@@ -1,0 +1,57 @@
+"""String-normalization kernels shared across the pipeline.
+
+`clean_str` reproduces the reference's normalization (reference
+utils/string.py:11-19: html.unescape + control-character strip, then the
+call sites' upper().strip() at graph/extractors/graph_extractor.py:205-206
+and utils/graph.py:60-63).  The html-unescape step needs Python, so it ships
+as an Arrow-vectorized pandas UDF; everything else is native Column algebra
+so it stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+# control characters (reference utils/string.py:17-19 strips categories C*)
+_CONTROL_RE = re.compile(r"[\x00-\x1f\x7f-\x9f]")
+
+
+def _clean_py(s: str) -> str:
+    if s is None:
+        return None
+    return _CONTROL_RE.sub("", html.unescape(s.strip()))
+
+
+@F.pandas_udf(T.StringType())
+def unescape_clean(s: pd.Series) -> pd.Series:  # pragma: no cover - trivial
+    return s.map(_clean_py, na_action="ignore")
+
+
+def clean_name(col: Column) -> Column:
+    """Entity-name normalization: unescape + control-strip + UPPER + trim,
+    matching reference graph_extractor.py:205-206 / utils/graph.py:62."""
+    return F.upper(F.trim(unescape_clean(col)))
+
+
+def clean_str_col(col: Column) -> Column:
+    """Description/value normalization (no uppercasing)."""
+    return unescape_clean(col)
+
+
+def strip_outer_parens(col: Column) -> Column:
+    """Remove one layer of surrounding parentheses from a record tuple
+    (reference graph_extractor.py:200 ``re.sub(r'^\\(|\\)$', '', ...)``)."""
+    return F.regexp_replace(F.trim(col), r"^\(|\)$", "")
+
+
+def parse_weight(col: Column) -> Column:
+    """Float parse with fallback to 1.0 for non-numeric weights
+    (reference graph_extractor.py:248-251)."""
+    casted = F.trim(col).try_cast("double")  # ANSI-safe: malformed → null
+    return F.coalesce(casted, F.lit(1.0))

@@ -1,0 +1,144 @@
+"""Stage 3 — batched mention / triple extraction (vectorized backends).
+
+Reference analogue: the extraction strategies E1/E2/E6 — an LLM loop
+(reference graph/extractors/graph_extractor.py:102-176) or an NLTK
+mention+co-occurrence extractor (reference
+verbs/entities/extraction/graph_nltk/run.py:21-60).  Both produce, per text
+unit, a string of delimiter-framed records
+``("entity"<|>NAME<|>TYPE<|>DESC)##("relationship"<|>SRC<|>TGT<|>DESC<|>W)``
+terminated by ``<|COMPLETE|>`` (delimiters at reference
+graph/extractors/graph_extractor.py:17-19).
+
+Here extraction is a swappable *backend* invoked from ONE Arrow-vectorized
+pandas UDF over the chunk column — no per-row Python on the driver, no
+network in the deterministic path.  Backends:
+
+- ``RuleBackend`` (default, deterministic): regex mention detection over the
+  planted uppercase surface forms + pairwise co-occurrence relationships,
+  mirroring the NLTK strategy's shape (mentions in first-appearance order,
+  all unordered pairs within a chunk).  Because the rule is also expressible
+  in ANSI SQL, the whole extract→parse→merge chain is oracle-checkable.
+- ``LLMBackend`` (stub): the batched-inference seam.  At scale this is
+  ``mapInPandas`` with a model client initialized once per executor and
+  gleaning rounds (reference max_gleanings=1, config.py:21) folded into the
+  batch loop.  Network inference is out of scope in this sandbox.
+
+Scale: extraction is the expensive stage — callers ``repartition(N,
+hash(conv_id))`` beforehand (north rule) so batches are even and co-located
+with the assembly output; the UDF is a narrow map.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TUPLE_DELIM = "<|>"  # reference graph_extractor.py:17
+RECORD_DELIM = "##"  # reference graph_extractor.py:18
+COMPLETION = "<|COMPLETE|>"  # reference graph_extractor.py:19
+
+# Planted-entity surface form: uppercase token, >= 3 chars.  Identical
+# semantics in Python re, Java regex and RE2 (DuckDB) for oracle parity.
+MENTION_PATTERN = r"\b[A-Z][A-Z0-9_]{2,}\b"
+_MENTION_RE = re.compile(MENTION_PATTERN)
+
+# Deterministic type rule (default entity types, reference
+# verbs/entities/extraction/entity_extract.py:23).
+_TYPE_PREFIXES = (
+    ("USER_", "PERSON"),
+    ("PERSON_", "PERSON"),
+    ("AGENT_", "PERSON"),
+    ("CITY_", "GEO"),
+    ("EVT_", "EVENT"),
+)
+
+
+def mention_type(name: str) -> str:
+    for prefix, typ in _TYPE_PREFIXES:
+        if name.startswith(prefix):
+            return typ
+    return "ORGANIZATION"
+
+
+class ExtractionBackend(Protocol):
+    def extract(self, chunks: pd.Series) -> pd.Series:
+        """chunk text batch → record-format string batch."""
+
+
+class RuleBackend:
+    """Deterministic mention+co-occurrence extractor in record format."""
+
+    def __init__(self, pattern: str = MENTION_PATTERN):
+        self._re = re.compile(pattern)
+
+    def _one(self, text: str) -> str:
+        if not text:
+            return COMPLETION
+        seen: dict[str, None] = {}
+        for m in self._re.findall(text):
+            seen.setdefault(m)
+        names = list(seen)
+        records = [
+            f'("entity"{TUPLE_DELIM}{n}{TUPLE_DELIM}{mention_type(n)}'
+            f"{TUPLE_DELIM}MENTION OF {n})"
+            for n in names
+        ]
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                records.append(
+                    f'("relationship"{TUPLE_DELIM}{a}{TUPLE_DELIM}{b}'
+                    f"{TUPLE_DELIM}{a} -> {b}{TUPLE_DELIM}1)"
+                )
+        # completion marker as its own record element so the parser skips it
+        # without corrupting the final record's last field
+        return RECORD_DELIM.join([*records, COMPLETION])
+
+    def extract(self, chunks: pd.Series) -> pd.Series:
+        return chunks.map(self._one, na_action="ignore")
+
+
+class LLMBackend:
+    """Batched LLM extraction seam (prompt/gleaning loop of reference
+    graph_extractor.py:102-176).  Stubbed: no network in this sandbox."""
+
+    def __init__(self, *_, **__):
+        raise NotImplementedError(
+            "LLM extraction backend requires an inference endpoint; use "
+            "RuleBackend for deterministic runs (see SURVEY.md §2.3 E2)."
+        )
+
+
+def emit_records(text_units: DataFrame, backend: ExtractionBackend | None = None) -> DataFrame:
+    """TEXT_UNITS → RAW_RECORDS (text_unit_id, conv_id, records)."""
+    backend = backend or RuleBackend()
+
+    @F.pandas_udf("string")
+    def extract_udf(chunks: pd.Series) -> pd.Series:
+        return backend.extract(chunks)
+
+    return text_units.select(
+        F.col("id").alias("text_unit_id"),
+        "conv_id",
+        extract_udf(F.col("chunk")).alias("records"),
+    )
+
+
+def extract_mentions(text_units: DataFrame, pattern: str = MENTION_PATTERN) -> DataFrame:
+    """Direct mention rows (text_unit_id, conv_id, mention) — one row per
+    occurrence, in-order.  Vectorized str.findall + explode."""
+    rx = re.compile(pattern)
+
+    @F.pandas_udf("array<string>")
+    def find_udf(chunks: pd.Series) -> pd.Series:
+        return chunks.map(lambda t: rx.findall(t) if t else [])
+
+    return text_units.select(
+        F.col("id").alias("text_unit_id"),
+        "conv_id",
+        F.explode(find_udf(F.col("chunk"))).alias("mention"),
+    )

@@ -1,0 +1,85 @@
+"""Graph finishing operators: degree, edge rank, stable ids, LCC.
+
+Reference analogues:
+- degree: ``graph.degree`` stamped on nodes (reference
+  verbs/community_detection/cluster_graph.py:56-57) — here an explode +
+  two-phase count over the edge list.
+- edge combined degree "rank" = source_degree + target_degree (reference
+  verbs/community_summarization/prepare_report/compute_edge_degree.py:11-54)
+  — two broadcast joins of the (small) degree table onto edges.
+- human_readable_id: enumerate in stable name order (reference
+  cluster_graph.py:60-68 uses enumerate + a seeded uuid; we use
+  row_number over an explicit orderBy + content-hash ids — deterministic
+  and resume-safe, see SURVEY.md G8).
+- largest connected component (reference utils/graph.py:15-20,
+  graspologic largest_connected_component) — via connected_components in
+  operators/community.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def node_degrees(edges: DataFrame) -> DataFrame:
+    """(title, degree) from the canonical edge list.  Self-loops count once
+    per endpoint appearance (nx.Graph counts a self-loop as degree 2; the
+    reference pipeline never produces self-loops because co-occurrence
+    pairs are i<j, so both conventions coincide here)."""
+    return (
+        edges.select(F.explode(F.array("source", "target")).alias("title"))
+        .groupBy("title")
+        .agg(F.count("*").cast("int").alias("degree"))
+    )
+
+
+def with_edge_rank(edges: DataFrame, degrees: DataFrame) -> DataFrame:
+    """Attach source_degree / target_degree / rank (their sum) to edges.
+
+    The degree table is tiny relative to edges (|V| << |E| at scale), so
+    both joins are explicitly broadcast — no shuffle of the edge list.
+    """
+    deg = F.broadcast(degrees)
+    src = deg.select(F.col("title").alias("source"), F.col("degree").alias("source_degree"))
+    tgt = deg.select(F.col("title").alias("target"), F.col("degree").alias("target_degree"))
+    return (
+        edges.join(src, "source", "left")
+        .join(tgt, "target", "left")
+        .withColumn("source_degree", F.coalesce("source_degree", F.lit(0)))
+        .withColumn("target_degree", F.coalesce("target_degree", F.lit(0)))
+        .withColumn("rank", (F.col("source_degree") + F.col("target_degree")).cast("int"))
+    )
+
+
+def with_node_ids(nodes: DataFrame) -> DataFrame:
+    """Deterministic id = sha2(title); human_readable_id = rank in stable
+    name order (reference G8 enumerate-after-stable-sort semantics).
+
+    Note: the global row_number needs a total order; at 10^12-turn scale the
+    node table is ~|entities| (millions, not trillions), so a single-pass
+    window over the sorted node table is acceptable; zipWithIndex-style
+    two-phase numbering is the fallback if |V| ever outgrows one stage.
+    """
+    w = Window.orderBy("title")
+    return nodes.withColumn("id", F.sha2(F.col("title"), 256)).withColumn(
+        "human_readable_id", F.row_number().over(w).cast("long") - 1
+    )
+
+
+def with_edge_ids(edges: DataFrame) -> DataFrame:
+    w = Window.orderBy("source", "target")
+    return edges.withColumn(
+        "id", F.sha2(F.concat_ws("->", "source", "target"), 256)
+    ).withColumn("human_readable_id", F.row_number().over(w).cast("long") - 1)
+
+
+def stabilize_nodes(nodes: DataFrame) -> DataFrame:
+    """Stable output ordering (reference utils/graph.py:33-44 sorts nodes by
+    name for deterministic serialization)."""
+    return nodes.orderBy("title")
+
+
+def stabilize_edges(edges: DataFrame) -> DataFrame:
+    """Canonical (min,max) endpoints then sort (reference utils/graph.py:45-56)."""
+    return edges.orderBy("source", "target")

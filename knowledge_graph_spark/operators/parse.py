@@ -1,0 +1,194 @@
+"""Stage 4 — record parsing and graph-merge normalization (E3).
+
+Faithful re-expression of the reference's parser+merger
+(reference graph/extractors/graph_extractor.py:180-292) as declarative
+DataFrame algebra instead of a sequential nx.Graph build:
+
+- split on record delimiter ``##``, trim, strip ONE layer of outer parens
+  (reference :200), split fields on tuple delimiter ``<|>`` (reference :201);
+- ``"entity"`` records need >= 4 fields (reference :203): name/type
+  uppercased + clean_str (reference :205-207);
+- ``"relationship"`` records need >= 5 fields (reference :239-242): weight =
+  float(LAST field) with fallback 1.0 on parse failure (reference :248-251);
+- node dedup by name: descriptions set-unioned (sorted here — the
+  reference's Python-set order is nondeterministic, and its own
+  summarization stage re-sorts at description_summarize.py:34), source ids
+  set-unioned, type = last non-empty in record order (reference :228-230);
+- edge endpoints auto-created as empty nodes (reference :253-266);
+- undirected edge dedup: nx.Graph treats (A,B)==(B,A), so the group key is
+  the canonical (least, greatest) pair; weights SUM across duplicates
+  (reference :267-290).
+
+Determinism: every collect_set is array_sorted before join; "last non-empty"
+uses max_by over an explicit (conv_id, text_unit_id, rec_idx) record
+ordinal, so results are independent of shuffle order.
+
+Scale: the name groupBy is Zipf-skewed (hot entities appear in most turns).
+``merge_nodes`` therefore aggregates in TWO phases — a salted partial
+aggregation then a final merge — so no single reducer receives a hot key's
+entire row stream; AQE skew handling covers the joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_str_col, strip_outer_parens
+from .extract import COMPLETION, RECORD_DELIM, TUPLE_DELIM
+
+_TUPLE_SPLIT = r"<\|>"  # regex-escaped TUPLE_DELIM
+N_SALTS = 16
+
+
+def _clean_upper(col: Column) -> Column:
+    return F.upper(clean_str_col(col))
+
+
+def split_records(raw_records: DataFrame) -> DataFrame:
+    """RAW_RECORDS → one row per parsed record with a stable ordinal.
+
+    Columns: conv_id, text_unit_id, rec_idx, rtype, fields(array<string>).
+    """
+    recs = raw_records.select(
+        "conv_id",
+        "text_unit_id",
+        F.posexplode(F.split("records", RECORD_DELIM)).alias("rec_idx", "rec"),
+    )
+    fields = F.split(strip_outer_parens(F.col("rec")), _TUPLE_SPLIT)
+    return recs.select(
+        "conv_id",
+        "text_unit_id",
+        "rec_idx",
+        F.element_at(fields, 1).alias("rtype"),
+        fields.alias("fields"),
+    ).filter(F.col("rtype") != COMPLETION)
+
+
+def parse_entities(records: DataFrame) -> DataFrame:
+    """Entity records → (name, type, description, text_unit_id, ordinal)."""
+    e = records.filter((F.col("rtype") == '"entity"') & (F.size("fields") >= 4))
+    return e.select(
+        "conv_id",
+        "text_unit_id",
+        "rec_idx",
+        _clean_upper(F.element_at("fields", 2)).alias("name"),
+        _clean_upper(F.element_at("fields", 3)).alias("type"),
+        clean_str_col(F.element_at("fields", 4)).alias("description"),
+    )
+
+
+def parse_relationships(records: DataFrame) -> DataFrame:
+    """Relationship records → (source, target, description, weight, ...).
+
+    Weight parses the LAST field like the reference (float() with 1.0
+    fallback); Spark's double cast accepts the same plain-numeric forms.
+    """
+    r = records.filter((F.col("rtype") == '"relationship"') & (F.size("fields") >= 5))
+    return r.select(
+        "conv_id",
+        "text_unit_id",
+        "rec_idx",
+        _clean_upper(F.element_at("fields", 2)).alias("source"),
+        _clean_upper(F.element_at("fields", 3)).alias("target"),
+        clean_str_col(F.element_at("fields", 4)).alias("description"),
+        F.coalesce(F.trim(F.element_at("fields", -1)).try_cast("double"), F.lit(1.0)).alias(
+            "weight"
+        ),
+    )
+
+
+def _ordinal() -> Column:
+    """Stable global record order: (conv_id, text_unit_id, rec_idx) —
+    unique per record, shuffle-independent."""
+    return F.struct(F.col("conv_id"), F.col("text_unit_id"), F.col("rec_idx"))
+
+
+def merge_nodes(entities: DataFrame, auto_nodes: DataFrame | None = None) -> DataFrame:
+    """Dedup entities by name with the reference merge semantics.
+
+    Two-phase (salted) aggregation: phase 1 groups on (name, salt) so hot
+    names partial-aggregate across N_SALTS reducers; phase 2 merges the
+    partials.  ``auto_nodes`` are relationship endpoints never declared as
+    entities (empty type/description, reference :253-266).
+    """
+    base = entities.select("name", "type", "description", "source_id", "ord")
+    if auto_nodes is not None:
+        base = base.unionByName(auto_nodes)
+
+    salted = base.withColumn("salt", F.pmod(F.xxhash64("source_id"), F.lit(N_SALTS)))
+    partial = salted.groupBy("name", "salt").agg(
+        F.collect_set("description").alias("descs"),
+        F.collect_set("source_id").alias("sids"),
+        F.max(F.when(F.col("type") != "", F.struct("ord", "type"))).alias("last_type"),
+    )
+    merged = partial.groupBy("name").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("descs")))).alias("descs"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sids")))).alias("source_id"),
+        F.max("last_type").alias("last_type"),
+    )
+    return merged.select(
+        F.col("name").alias("title"),
+        F.coalesce(F.col("last_type.type"), F.lit("")).alias("type"),
+        # drop empty descriptions contributed by auto-created endpoints when
+        # a real description exists; join like the reference ("\n")
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.size(F.filter(F.col("descs"), lambda d: d != F.lit(""))) > 0,
+                F.filter(F.col("descs"), lambda d: d != F.lit("")),
+            ).otherwise(F.col("descs")),
+        ).alias("description"),
+        "source_id",
+    )
+
+
+def merge_edges(relationships: DataFrame) -> DataFrame:
+    """Canonical undirected edges with summed weights.
+
+    Group key is (least, greatest) of the endpoint names — nx.Graph's
+    unordered-pair identity (SURVEY.md G3) — without which duplicate
+    reversed edges double-count weight.
+    """
+    canon = relationships.select(
+        F.least("source", "target").alias("source"),
+        F.greatest("source", "target").alias("target"),
+        "description",
+        "weight",
+        F.col("text_unit_id").alias("source_id"),
+    )
+    return canon.groupBy("source", "target").agg(
+        F.sum("weight").alias("weight"),
+        F.concat_ws("\n", F.array_sort(F.collect_set("description"))).alias("description"),
+        F.array_sort(F.collect_set("source_id")).alias("text_unit_ids"),
+    )
+
+
+def auto_endpoint_nodes(relationships: DataFrame) -> DataFrame:
+    """Relationship endpoints as empty node contributions (reference
+    :253-266 auto-creates missing endpoints).  The reference adds the edge's
+    source id only when the endpoint is not yet declared — an
+    order-dependent rule; we deterministically take the superset (endpoints
+    ALWAYS contribute edge provenance), which the vendored oracle mirrors.
+    Empty type/description lose every merge against declared entities."""
+    return relationships.select(
+        F.explode(F.array("source", "target")).alias("name"),
+        F.lit("").alias("type"),
+        F.lit("").alias("description"),
+        F.col("text_unit_id").alias("source_id"),
+        _ordinal().alias("ord"),
+    )
+
+
+def parse_and_merge(raw_records: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """RAW_RECORDS → (nodes, edges) with full reference merge semantics."""
+    records = split_records(raw_records)
+    entities = parse_entities(records)
+    rels = parse_relationships(records)
+    auto = auto_endpoint_nodes(rels)
+    ent_with_ord = entities.withColumn("ord", _ordinal()).select(
+        "name", "type", "description", F.col("text_unit_id").alias("source_id"), "ord"
+    )
+    nodes = merge_nodes(ent_with_ord, auto_nodes=auto)
+    edges = merge_edges(rels)
+    return nodes, edges

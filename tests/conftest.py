@@ -1,0 +1,14 @@
+import pytest
+
+from knowledge_graph_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="kg-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "8g"},
+    )
+    yield s
