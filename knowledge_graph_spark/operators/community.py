@@ -1,0 +1,215 @@
+"""Community detection and canonicalization graph algorithms.
+
+Reference analogues:
+- Stable LCC (reference utils/graph.py:15-20 via graspologic
+  largest_connected_component) → ``connected_components`` + keep max.
+- Hierarchical Leiden (reference
+  verbs/community_detection/clustering/leiden.py:45-61, max_cluster_size=10,
+  seed=6969) → replaced per the north rule with **label propagation**
+  implemented as iterative DataFrame joins (graphframes is not a
+  dependency); hierarchy is emulated by re-running LPA inside oversized
+  communities (``hierarchical_lpa``).
+- Apply-clustering (reference cluster_graph.py:41-53) → a join.
+
+Determinism: both algorithms are synchronous fixpoint iterations with
+total-order tie-breaks (lexicographic min), so results are independent of
+partitioning and shuffle order — no seeds needed.
+
+Scale notes:
+- min-label CC converges in O(graph diameter) rounds; each round is one
+  shuffle join keyed on the node id.  ``localCheckpoint`` every round cuts
+  the lineage chain (SURVEY.md §7 risk 4).  Entity graphs are short-diameter
+  (hot entities act as hubs), so rounds stay single-digit in practice.
+- LPA's per-round aggregation is weighted-mode over neighbor labels —
+  groupBy(node, label).sum(weight) then argmax via max_by; two shuffles per
+  round, both on node id.  AQE handles hub-node skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame, src: str, dst: str, weight: str | None) -> DataFrame:
+    cols = [F.col(src).alias("a"), F.col(dst).alias("b")]
+    if weight:
+        cols.append(F.col(weight).alias("w"))
+    fwd = edges.select(*cols)
+    back_cols = [F.col(dst).alias("a"), F.col(src).alias("b")]
+    if weight:
+        back_cols.append(F.col(weight).alias("w"))
+    return fwd.unionByName(edges.select(*back_cols))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "title",
+    src: str = "source",
+    dst: str = "target",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(title, component) where component = lexicographic-min reachable
+    node id — the fixpoint of min-label propagation.  Matches the recursive
+    min-reachability SQL oracle exactly."""
+    adj = _symmetric(edges, src, dst, None).distinct()
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            adj.join(labels.select(F.col("node").alias("b"), "comp"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col), F.col("comp").alias("component"))
+
+
+def largest_component(components: DataFrame, node_col: str = "title") -> DataFrame:
+    """Membership of the largest connected component (reference stable-LCC
+    G2).  Ties broken by min component id for determinism."""
+    sizes = components.groupBy("component").agg(F.count("*").alias("n"))
+    top = (
+        sizes.orderBy(F.desc("n"), F.asc("component")).limit(1).select("component")
+    )
+    return components.join(F.broadcast(top), "component").select(node_col, "component")
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "title",
+    src: str = "source",
+    dst: str = "target",
+    weight: str = "weight",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Weighted synchronous LPA → (title, community).
+
+    Per round, every node adopts the label with the highest total incident
+    edge weight among its neighbors (its own current label wins ties only
+    through the lexicographic-min rule).  Deterministic: argmax is
+    max_by(struct(total_weight, desc-lexicographic label)) with an explicit
+    tie-break, so no dependence on aggregation order.
+    """
+    adj = _symmetric(edges, src, dst, weight)
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        scored = (
+            adj.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy("a", "label")
+            .agg(F.sum("w").alias("score"))
+        )
+        # argmax by (score, label-min): max_by over struct with inverted
+        # label can't express "min label on max score" directly, so order
+        # explicitly: max score first, then lexicographic min label.
+        # deterministic argmax: min label among the max-score candidates
+        best = (
+            scored.join(
+                scored.groupBy("a").agg(F.max("score").alias("mx")), "a"
+            )
+            .filter(F.col("score") == F.col("mx"))
+            .groupBy("a")
+            .agg(F.min("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(best, labels["node"] == best["a"], "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias("community"))
+
+
+def hierarchical_lpa(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_cluster_size: int = 10,
+    max_levels: int = 3,
+    node_col: str = "title",
+    **kwargs,
+) -> DataFrame:
+    """Emulates hierarchical clustering (reference hierarchical Leiden,
+    max_cluster_size=10): level 0 = LPA on the full graph; each oversized
+    community is re-clustered on its induced subgraph at the next level.
+
+    Returns (title, community, level) with one row per node per level at
+    which that node's community was (re)assigned — mirroring the
+    reference's {level → node → community} map (leiden.py:12-42).
+    """
+    out = None
+    current = label_propagation(nodes, edges, node_col=node_col, **kwargs).withColumn(
+        "level", F.lit(0)
+    )
+    for level in range(max_levels):
+        out = current if out is None else out.unionByName(current)
+        sizes = current.groupBy("community").agg(F.count("*").alias("n"))
+        oversized = sizes.filter(F.col("n") > max_cluster_size).select("community")
+        if oversized.limit(1).count() == 0:
+            break
+        member = current.join(F.broadcast(oversized), "community").select(
+            node_col, "community"
+        )
+        # induced subgraph: both endpoints in the same oversized community
+        e = (
+            edges.join(
+                member.select(F.col(node_col).alias("source"), F.col("community").alias("_cs")),
+                "source",
+            )
+            .join(
+                member.select(F.col(node_col).alias("target"), F.col("community").alias("_ct")),
+                "target",
+            )
+            .filter(F.col("_cs") == F.col("_ct"))
+            .drop("_cs", "_ct")
+        )
+        sub_nodes = member.select(node_col)
+        relabel = label_propagation(sub_nodes, e, node_col=node_col, **kwargs)
+        # qualify labels so communities from different parents never merge
+        current = (
+            relabel.join(member.select(node_col, F.col("community").alias("parent")), node_col)
+            .select(
+                node_col,
+                F.concat_ws("/", "parent", "community").alias("community"),
+            )
+            .withColumn("level", F.lit(level + 1))
+        )
+    return out
+
+
+def apply_clustering(nodes: DataFrame, communities: DataFrame, level: int = 0) -> DataFrame:
+    """Stamp community/level onto the node table (reference
+    cluster_graph.py:41-53; exported level defaults to 0, config.py:47)."""
+    chosen = communities.filter(F.col("level") == level).select("title", "community")
+    return (
+        nodes.join(chosen, "title", "left")
+        .withColumn("level", F.lit(level))
+    )

@@ -1,0 +1,258 @@
+"""Entity linking and canonicalization.
+
+North-star operators (BASELINE.json): entity-link scoring against a
+broadcast alias dictionary, MinHash-LSH blocking for candidate pairs, and
+canonicalization via connected components over the candidate-pair
+similarity graph.  Reference analogue: the claims stage substitutes
+resolved entity names from a dict (reference
+graph/claims/graph_claims.py:123-137) — generalized here to the node table.
+
+Scale design:
+- the alias dictionary is small (≤ millions of rows) → explicit
+  ``F.broadcast`` map-side join; no shuffle of the big side.
+- MinHash signatures are computed in ONE Arrow-vectorized pandas UDF
+  (numpy matrix of permutation hashes per batch); banding turns the
+  quadratic candidate problem into an equi-join on (band_idx, band_hash).
+- hot buckets (stop-word-like name fragments) are capped at
+  ``max_bucket_size`` — standard LSH practice and the skew guard here.
+- exact Jaccard verification runs only on blocked candidates.
+- canonical ids come from min-label connected components over verified
+  pairs (operators/community.connected_components), then nodes/edges are
+  re-keyed and re-aggregated with the same merge semantics as parse.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .community import connected_components
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def link_aliases(
+    df: DataFrame,
+    alias_dict: DataFrame,
+    name_col: str = "title",
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Broadcast alias→canonical substitution with link scoring.
+
+    Adds ``canonical_name`` (falls back to the original name) and
+    ``link_score`` (1.0 for exact/self matches).  The dictionary side is
+    always broadcast — the big side never shuffles.
+    """
+    d = (
+        alias_dict.filter(F.col("score") >= min_score)
+        .select(
+            F.upper(F.col("alias")).alias("__alias"),
+            F.col("canonical_name").alias("__canon"),
+            F.col("score").alias("__score"),
+        )
+    )
+    return (
+        df.join(F.broadcast(d), F.upper(F.col(name_col)) == F.col("__alias"), "left")
+        .withColumn("canonical_name", F.coalesce("__canon", F.col(name_col)))
+        .withColumn(
+            "link_score", F.coalesce("__score", F.lit(1.0)).cast("double")
+        )
+        .drop("__alias", "__canon", "__score")
+    )
+
+
+def _shingles(name: str, k: int) -> set[str]:
+    s = re.sub(r"\s+", " ", name.strip().upper())
+    if len(s) <= k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+
+def make_minhash_udf(num_perm: int, k: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.int64)
+
+    def sig(name: str) -> list[int]:
+        sh = _shingles(name or "", k)
+        if not sh:
+            return [0] * num_perm
+        # deterministic 32-bit base hashes (crc32 — process-independent)
+        x = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64)
+        # permutation hashes via (a*x + b) mod p, min over shingles
+        m = (a[None, :] * x[:, None] + b[None, :]) % MERSENNE_P
+        return m.min(axis=0).astype(np.int64).tolist()
+
+    @F.pandas_udf("array<long>")
+    def minhash_udf(names: pd.Series) -> pd.Series:
+        return names.map(sig)
+
+    return minhash_udf
+
+
+def minhash_candidate_pairs(
+    names: DataFrame,
+    name_col: str = "title",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Distinct candidate pairs (name_a < name_b) sharing an LSH band.
+
+    rows-per-band = num_perm / bands; a pair collides in a band iff that
+    slice of the signature matches exactly.  Buckets larger than
+    ``max_bucket_size`` are dropped (hot-fragment skew guard — they
+    produce O(n²) junk pairs and correspond to near-stopword shingle
+    patterns)."""
+    rows_per_band = num_perm // bands
+    sig = make_minhash_udf(num_perm, shingle_k, seed)
+    n = names.select(F.col(name_col).alias("name")).distinct()
+    signed = n.select("name", sig("name").alias("sig"))
+    banded = signed.select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("name", F.col("bb.band").alias("band"), F.hash("bb.bh").alias("bh"))
+
+    # cap hot buckets before the self-join
+    sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket_size).select("band", "bh")
+    capped = banded.join(ok, ["band", "bh"])
+
+    left = capped.select("band", "bh", F.col("name").alias("name_a"))
+    right = capped.select("band", "bh", F.col("name").alias("name_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, threshold: float = 0.5, shingle_k: int = 3
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs >= threshold."""
+
+    @F.pandas_udf("double")
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sa, sb = _shingles(x or "", shingle_k), _shingles(y or "", shingle_k)
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 0.0)
+        return pd.Series(out)
+
+    return pairs.withColumn("jaccard", jac("name_a", "name_b")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def canonical_map(
+    names: DataFrame,
+    similar_pairs: DataFrame,
+    alias_dict: DataFrame | None = None,
+    name_col: str = "title",
+) -> DataFrame:
+    """(title, canonical) map: alias-dictionary links + similarity pairs
+    feed one CC; canonical = min member of each cluster.
+
+    The alias dictionary contributes (alias → canonical_name) edges so
+    dictionary knowledge and string similarity canonicalize together."""
+    n = names.select(F.col(name_col).alias("title")).distinct()
+    e = similar_pairs.select(
+        F.col("name_a").alias("source"), F.col("name_b").alias("target")
+    )
+    if alias_dict is not None:
+        e = e.unionByName(
+            alias_dict.select(
+                F.upper("alias").alias("source"),
+                F.upper("canonical_name").alias("target"),
+            )
+        )
+    # CC only needs nodes that appear in some edge; isolated names map to
+    # themselves without entering the iteration (cheaper at scale).
+    touched = e.select(F.col("source").alias("title")).unionByName(
+        e.select(F.col("target").alias("title"))
+    ).distinct().join(n, "title", "inner")
+    comp = connected_components(touched, e, node_col="title")
+    return (
+        n.join(comp, "title", "left")
+        .select(
+            "title",
+            F.coalesce("component", "title").alias("canonical"),
+        )
+    )
+
+
+def apply_canonicalization(
+    nodes: DataFrame, edges: DataFrame, mapping: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Re-key nodes/edges by canonical name and re-merge with the same
+    semantics as parse (descriptions set-union sorted, source ids unioned,
+    weights summed, canonical (least,greatest) pairs)."""
+    m = mapping.select("title", "canonical")
+    cn = (
+        nodes.join(m, "title", "left")
+        .withColumn("canonical", F.coalesce("canonical", "title"))
+        .groupBy(F.col("canonical").alias("title"))
+        .agg(
+            F.max(F.when(F.col("type") != "", F.struct(F.lit(0).alias("o"), "type"))).alias(
+                "_t"
+            ),
+            F.concat_ws(
+                "\n",
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.split("description", "\n"))))
+                ),
+            ).alias("description"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("source_id")))).alias(
+                "source_id"
+            ),
+        )
+        .select(
+            "title",
+            F.coalesce(F.col("_t.type"), F.lit("")).alias("type"),
+            "description",
+            "source_id",
+        )
+    )
+    ms = m.select(F.col("title").alias("source"), F.col("canonical").alias("cs"))
+    mt = m.select(F.col("title").alias("target"), F.col("canonical").alias("ct"))
+    ce = (
+        edges.join(ms, "source", "left")
+        .join(mt, "target", "left")
+        .withColumn("cs", F.coalesce("cs", "source"))
+        .withColumn("ct", F.coalesce("ct", "target"))
+        .filter(F.col("cs") != F.col("ct"))  # intra-cluster edges collapse away
+        .groupBy(
+            F.least("cs", "ct").alias("source"), F.greatest("cs", "ct").alias("target")
+        )
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.concat_ws(
+                "\n",
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(F.split("description", "\n"))))
+                ),
+            ).alias("description"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("text_unit_ids")))).alias(
+                "text_unit_ids"
+            ),
+        )
+    )
+    return cn, ce

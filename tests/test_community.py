@@ -1,0 +1,96 @@
+"""Connected components / LCC / LPA — determinism + correctness vs networkx."""
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.community import (
+    apply_clustering,
+    connected_components,
+    hierarchical_lpa,
+    label_propagation,
+    largest_component,
+)
+
+EDGES = [
+    ("a", "b", 1.0),
+    ("b", "c", 1.0),
+    ("d", "e", 1.0),
+    ("f", "g", 2.0),
+    ("g", "h", 2.0),
+    ("h", "f", 2.0),
+]
+NODES = ["a", "b", "c", "d", "e", "f", "g", "h", "iso"]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame([(n,) for n in NODES], "title string")
+    edges = spark.createDataFrame(EDGES, "source string, target string, weight double")
+    return nodes, edges
+
+
+def test_cc_matches_networkx(spark, graph):
+    nodes, edges = graph
+    got = {
+        r.title: r.component for r in connected_components(nodes, edges).collect()
+    }
+    g = nx.Graph()
+    g.add_nodes_from(NODES)
+    g.add_edges_from([(s, t) for s, t, _ in EDGES])
+    want = {n: min(c) for c in nx.connected_components(g) for n in c}
+    assert got == want
+
+
+def test_lcc(spark, graph):
+    nodes, edges = graph
+    comp = connected_components(nodes, edges)
+    lcc = {r.title for r in largest_component(comp).collect()}
+    assert lcc == {"a", "b", "c"} or lcc == {"f", "g", "h"}
+    # deterministic tie-break: both have size 3 → min component id wins ("a")
+    assert lcc == {"a", "b", "c"}
+
+
+def test_lpa_separates_components(spark, graph):
+    nodes, edges = graph
+    lab = {r.title: r.community for r in label_propagation(nodes, edges).collect()}
+    # different components can never share a label
+    assert lab["a"] != lab["d"] != lab["f"]
+    # triangle members converge to one label
+    assert lab["f"] == lab["g"] == lab["h"]
+    # isolated node keeps its own label
+    assert lab["iso"] == "iso"
+
+
+def test_lpa_deterministic_under_shuffle(spark, graph):
+    nodes, edges = graph
+    a = sorted(map(tuple, label_propagation(nodes, edges).collect()))
+    shuffled_edges = edges.orderBy(F.xxhash64("target")).repartition(5)
+    b = sorted(map(tuple, label_propagation(nodes, shuffled_edges).collect()))
+    assert a == b
+
+
+def test_hierarchical_lpa_splits_oversized(spark):
+    # two 4-cliques joined by one weak bridge → LPA level 0 may merge them;
+    # with max_cluster_size=4 an 8-node community must split at level 1
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((f"n{base + i}", f"n{base + j}", 5.0))
+    edges.append(("n0", "n4", 0.1))
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(8)], "title string")
+    e = spark.createDataFrame(edges, "source string, target string, weight double")
+    res = hierarchical_lpa(nodes, e, max_cluster_size=4, max_levels=3)
+    final_level = res.groupBy().agg(F.max("level")).collect()[0][0]
+    final = res.filter(F.col("level") == final_level)
+    sizes = [r[1] for r in final.groupBy("community").count().collect()]
+    assert all(s <= 4 for s in sizes)
+
+
+def test_apply_clustering(spark, graph):
+    nodes, edges = graph
+    comm = label_propagation(nodes, edges).withColumn("level", F.lit(0))
+    stamped = apply_clustering(nodes, comm, level=0)
+    rows = {r.title: (r.community, r.level) for r in stamped.collect()}
+    assert rows["a"][1] == 0 and rows["a"][0] is not None
