@@ -1,0 +1,236 @@
+"""Document deduplication for training-data pipelines.
+
+Four dedup families over a ``documents(doc_id, text, ...)`` table, chosen
+to cover the standard large-corpus toolbox (exact, n-gram Jaccard,
+MinHash-LSH, SimHash):
+
+- **exact**: hash-groupBy on normalized text — one shuffle on the sha256
+  key, perfectly balanced (hash keys are uniform).  The canonical survivor
+  is min(doc_id) — deterministic.
+- **n-gram Jaccard**: token n-gram inverted index → candidate pairs share
+  ≥1 n-gram → exact Jaccard from intersection/union counts.  Fully
+  relational (explode + self-join + groupBy); DuckDB-oracle-checkable.
+  Blocking keeps it out of O(n²): only co-blocked pairs are scored, and
+  hot n-grams (df > max_ngram_df) are dropped from the index — standard
+  posting-list pruning and the skew guard for the self-join.
+- **MinHash-LSH**: numpy-vectorized signatures (one Arrow batch kernel),
+  banded bucketing, verified with exact Jaccard — reuses the entity
+  linking machinery (operators/linking.py) on document shingles.
+  Probabilistic → pytest-verified recall vs the exact pairs, rows-only at
+  the driver gate.
+- **SimHash**: 64-bit weighted-bit signature per doc (numpy kernel),
+  16-bit band blocking, Hamming-distance verification — near-dup at
+  hamming ≤ k.
+
+All pair outputs are canonical (id_a < id_b) and deduplicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.textqc import content_hash, normalized_text, ws_tokens_col
+from .linking import MERSENNE_P, jaccard_verify, minhash_candidate_pairs
+
+DEFAULT_NGRAM = 5
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: (content_hash, canonical_id,
+    dup_count).  Survivor = min id."""
+    return (
+        docs.select(
+            content_hash(F.col(text_col)).alias("content_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+def token_ngrams(text: F.Column, n: int = DEFAULT_NGRAM) -> F.Column:
+    """Space-joined token n-grams of the normalized text (native)."""
+    toks = ws_tokens_col(normalized_text(text))
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    max_ngram_df: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
+
+    Jaccard is computed on DISTINCT n-gram sets from exact intersection
+    counts — no UDF, no quadratic scan.  ``max_ngram_df`` drops stop-gram
+    postings (df-pruning: a pair whose every shared n-gram is that common
+    is far below any useful threshold anyway — and such postings are the
+    O(n²) skew bomb at corpus scale)."""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    rare = df_counts.filter(F.col("df") <= max_ngram_df).select("gram")
+    posting = grams.join(rare, "gram")
+
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_doc_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs on character shingles of the normalized
+    text, exact-Jaccard-verified.  Returns (id_a, id_b, jaccard) with ids
+    mapped back from the blocked name space."""
+    named = docs.select(
+        F.col(id_col).alias("doc_id"), normalized_text(F.col(text_col)).alias("title")
+    )
+    pairs = minhash_candidate_pairs(
+        named, name_col="title", num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed
+    )
+    verified = jaccard_verify(pairs, threshold=threshold, shingle_k=shingle_k)
+    a = named.select(F.col("title").alias("name_a"), F.col("doc_id").alias("id_a"))
+    b = named.select(F.col("title").alias("name_b"), F.col("doc_id").alias("id_b"))
+    return (
+        verified.join(a, "name_a")
+        .join(b, "name_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_kernel(tokens_list: list[list[str]], seed: int = 42) -> list[int]:
+    """64-bit SimHash per token list (pure kernel, unit-testable).
+
+    Per-token 64-bit hashes via the same (a*x+b) mod p family as MinHash;
+    bit i of the signature = sign of the sum over tokens of (+1 if hash
+    bit i else -1)."""
+    import zlib
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_P, dtype=np.int64)
+    out = []
+    for toks in tokens_list:
+        if not toks:
+            out.append(0)
+            continue
+        x = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.int64)
+        h = (a * x + b) % MERSENNE_P
+        bits = ((h[:, None] >> np.arange(64)[None, :]) & 1).astype(np.int32)
+        v = np.where(bits > 0, 1, -1).sum(axis=0)
+        sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return out
+
+
+def with_simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        toks = [t.lower().split() if t else [] for t in texts]
+        return pd.Series(simhash_kernel(toks, seed=seed), dtype="int64")
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), sim_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: a pair within Hamming ≤ 3 must agree exactly on ≥1 of the
+    four 16-bit bands (pigeonhole) — so candidates come from four
+    equi-joins, never a cross join."""
+    sh = with_simhash(docs, id_col=id_col, text_col=text_col, seed=seed)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.cast("int").alias("band"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,70 @@
+"""Driver-contract test: __spark_entry__ queries vs their DuckDB oracles.
+
+This automates the driver's correctness gate locally (sf0.001 subset — the
+full sweep is tools/check_entry.py): row count, column set, and
+order-insensitive value equality per query.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry_mod
+from knowledge_graph_spark.synth import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+# Fast representative subset — every stage family: SQL derivation, window
+# assembly, chunk UDF, parse/merge, degree joins, recursive-CTE CC.
+CHECK = ["conv_docs", "text_units", "kg_nodes", "kg_edges", "edge_rank", "connected_components"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", CHECK)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    a, b = _norm(sdf), _norm(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert {"source", "target", "weight", "rank"} <= set(df.columns)
+
+
+def test_every_query_has_oracle_or_is_declared_iterative():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    rows_only = set(qs) - set(os_)
+    # iterative / probabilistic ops are the only permitted rows-only checks
+    assert rows_only <= {"communities_lpa", "canonicalization", "minhash_dedup",
+                         "simhash_dedup", "emb_neardup_lsh"}
