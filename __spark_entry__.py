@@ -33,8 +33,10 @@ from knowledge_graph_spark.operators.linking import (
     link_aliases,
     minhash_candidate_pairs,
 )
+from knowledge_graph_spark.functions import textqc
+from knowledge_graph_spark.operators import dedup, multimodal, similarity
 from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
-from knowledge_graph_spark.synth import TRANSCRIPTS_SQL, transcripts_from_events
+from knowledge_graph_spark.synth import TRANSCRIPTS_SQL, load_views, transcripts_from_events
 
 # ---------------------------------------------------------------------------
 # Shared configuration — identical constants on the Spark and DuckDB sides.
@@ -260,6 +262,271 @@ def q_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline queries (documents / embeddings tables).
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 5
+NGRAM_THRESHOLD = 0.2
+NEARDUP_TAU = 0.35  # driver embeddings are near-orthogonal; P99.9 cosine ≈ 0.38
+TOPK_K = 5
+TOPK_QUERY_LIMIT = 50
+IVF_BITS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        textqc.ws_token_count(text).alias("n_ws_tokens"),
+        textqc.bpeish_token_count(text).alias("n_bpeish_tokens"),
+        textqc.punct_count(text).alias("n_punct"),
+        textqc.stopword_hits(text).alias("en_stop_hits"),
+        textqc.lang_id(text).alias("lang_pred"),
+        textqc.quality_score(text).alias("quality"),
+        textqc.content_hash(text).alias("content_hash"),
+        textqc.rolling_fingerprint(text).alias("rolling_fp"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir)).select(
+        "content_hash", "canonical_id", "dup_count"
+    )
+
+
+def q_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b", "jaccard")
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_doc_pairs(_docs(spark, sf_dir), threshold=NGRAM_THRESHOLD)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return similarity.cosine_topk(embs, queries_df, k=TOPK_K).select(
+        "query_id", "neighbor_id", "sim_micro", "rk"
+    )
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return similarity.ivf_topk(embs, queries_df, k=TOPK_K, bits=IVF_BITS).select(
+        "query_id", "neighbor_id", "cell", "sim_micro", "rk"
+    )
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_TAU).select(
+        "id_a", "id_b", "sim_micro"
+    )
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_TAU)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.extract_media_meta(media)
+
+
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.frame_sample_plan(multimodal.extract_media_meta(media))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the documents/embeddings queries.
+# ---------------------------------------------------------------------------
+
+_STOP = {lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in textqc.LANG_STOPWORDS.items()}
+
+_HITS = {
+    lang: (
+        "CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" x -> x <> ''), t -> t IN ({_STOP[lang]}))) AS INT)"
+    )
+    for lang in textqc.LANG_STOPWORDS
+}
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {lang}_hits > 0 AND {lang}_hits = best_hits THEN '{lang}'"
+        for lang in textqc.LANG_STOPWORDS
+    )
+    + " ELSE 'unknown' END"
+)
+
+_TEXT_PROFILE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS INT)
+      AS n_ws_tokens,
+    CAST(len(regexp_extract_all(text, '{textqc.BPEISH_RE}')) AS INT) AS n_bpeish_tokens,
+    CAST(len(regexp_extract_all(text, '{textqc.PUNCT_RE}')) AS INT) AS n_punct,
+    {", ".join(f"{_HITS[lang]} AS {lang}_hits" for lang in textqc.LANG_STOPWORDS)}
+  FROM documents
+),
+scored AS (
+  SELECT *, greatest({", ".join(f"{lang}_hits" for lang in textqc.LANG_STOPWORDS)}) AS best_hits
+  FROM base
+)
+SELECT doc_id, n_ws_tokens, n_bpeish_tokens, n_punct, en_hits AS en_stop_hits,
+  {_LANG_CASE} AS lang_pred,
+  least(CAST(n_ws_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+    + least((CAST(en_hits AS DOUBLE) / greatest(CAST(n_ws_tokens AS DOUBLE), 1.0)) / 0.5, 1.0) * 0.3
+    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.3
+    AS quality,
+  sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+    (a, b) -> (a * {textqc.FP_BASE} + b) % {textqc.FP_MOD}) AS rolling_fp
+FROM scored
+"""
+
+_EXACT_DEDUP_SQL = """
+SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+_NGRAM_DEDUP_SQL = f"""
+WITH dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[ci+1 : ci+{NGRAM_N}], ' ') AS gram
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {NGRAM_N} THEN 0
+                                           ELSE len(t) - {NGRAM_N} + 1 END)) AS u(ci)
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 1000),
+posting AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE) >= {NGRAM_THRESHOLD}
+"""
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(a.e) + 1), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])), "
+    "(x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({v}) + 1), i -> {v}[CAST(i AS INT)] * {v}[CAST(i AS INT)])), "
+    "(x, y) -> x + y))"
+)
+_COS_MICRO = (
+    f"CAST(floor({_DOT} / ({_NORM.format(v='a.e')} * {_NORM.format(v='b.e')})"
+    f" * {similarity.SIM_SCALE}) AS BIGINT)"
+)
+_IVF_CELL = " + ".join(
+    f"(CASE WHEN e[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(IVF_BITS)
+)
+
+_EMB_TOPK_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_MICRO} AS sim_micro
+  FROM emb a JOIN emb b ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, sim_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rk
+FROM scored QUALIFY rk <= {TOPK_K}
+"""
+
+_EMB_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+celled AS (SELECT vec_id, e, CAST({_IVF_CELL} AS BIGINT) AS cell FROM emb),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell AS cell,
+         {_COS_MICRO} AS sim_micro
+  FROM celled a JOIN celled b ON a.cell = b.cell
+  WHERE b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cell, sim_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rk
+FROM scored QUALIFY rk <= {TOPK_K}
+"""
+
+_EMB_NEARDUP_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO} AS sim_micro
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT * FROM scored WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
+"""
+
+_HEX = "md5(text)"
+_MEDIA_META_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         CAST(64 + CAST('0x' || substr({_HEX}, 1, 4) AS BIGINT) % 1984 AS INT) AS w,
+         CAST(64 + CAST('0x' || substr({_HEX}, 5, 4) AS BIGINT) % 1984 AS INT) AS h,
+         CAST(CAST('0x' || substr({_HEX}, 9, 6) AS BIGINT) % 600000 AS INT) AS dur,
+         {_HEX} AS fingerprint
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CASE WHEN media_type IN ('image', 'video') THEN w ELSE 0 END AS width,
+       CASE WHEN media_type IN ('image', 'video') THEN h ELSE 0 END AS height,
+       CASE WHEN media_type IN ('audio', 'video') THEN dur ELSE 0 END AS duration_ms,
+       fingerprint
+FROM m
+"""
+
+_FRAME_PLAN_SQL = f"""
+WITH meta AS ({_MEDIA_META_SQL})
+SELECT doc_id, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS INT)
+         AS frame_ts_ms
+FROM meta WHERE media_type = 'video'
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full construction pipeline,
     returning the ranked canonical edge list (relationship.csv analogue)."""
@@ -289,6 +556,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
         "canonicalization": q_canonicalization,  # rows-only: MinHash-LSH + CC
+        "text_profile": q_text_profile,
+        "exact_dedup": q_exact_dedup,
+        "ngram_dedup": q_ngram_dedup,
+        "minhash_dedup": q_minhash_dedup,  # rows-only: probabilistic LSH
+        "simhash_dedup": q_simhash_dedup,  # rows-only: probabilistic LSH
+        "emb_topk": q_emb_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,  # rows-only: probabilistic LSH
+        "media_meta": q_media_meta,
+        "frame_plan": q_frame_plan,
     }
 
 
@@ -346,4 +624,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS title, min(r) AS component FROM reach GROUP BY node
             """
         ),
+        "text_profile": _TEXT_PROFILE_SQL,
+        "exact_dedup": _EXACT_DEDUP_SQL,
+        "ngram_dedup": _NGRAM_DEDUP_SQL,
+        "emb_topk": _EMB_TOPK_SQL,
+        "emb_ivf_topk": _EMB_IVF_SQL,
+        "emb_neardup": _EMB_NEARDUP_SQL,
+        "media_meta": _MEDIA_META_SQL,
+        "frame_plan": _FRAME_PLAN_SQL,
     }

@@ -141,11 +141,17 @@ def minhash_doc_pairs(
     verified = jaccard_verify(pairs, threshold=threshold, shingle_k=shingle_k)
     a = named.select(F.col("title").alias("name_a"), F.col("doc_id").alias("id_a"))
     b = named.select(F.col("title").alias("name_b"), F.col("doc_id").alias("id_b"))
+    # pair canonicalization is by NAME; re-canonicalize by id (exact
+    # normalized-text duplicates share one name and are exact_duplicates'
+    # job, so id_a == id_b cannot occur here)
     return (
         verified.join(a, "name_a")
         .join(b, "name_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
@@ -209,12 +215,16 @@ def simhash_pairs(
         "doc_id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.cast("int").alias("band"),
-                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
