@@ -34,7 +34,10 @@ from knowledge_graph_spark.operators.linking import (
     minhash_candidate_pairs,
 )
 from knowledge_graph_spark.functions import textqc
-from knowledge_graph_spark.operators import dedup, multimodal, similarity
+from knowledge_graph_spark.operators import claims as claims_ops
+from knowledge_graph_spark.operators import dedup, multimodal, reports, similarity
+from knowledge_graph_spark.operators.community import hierarchical_lpa
+from knowledge_graph_spark.operators.summarize import summarize_descriptions
 from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
 from knowledge_graph_spark.synth import TRANSCRIPTS_SQL, load_views, transcripts_from_events
 
@@ -74,7 +77,10 @@ def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if sf_dir not in _STAGE_CACHE:
         t = transcripts_from_events(spark, sf_dir)
         stages = build_graph(t, ENTRY_CFG)
-        for key in ("text_units", "nodes", "edges"):
+        # raw_records is the expensive intermediate (the extraction UDF);
+        # nodes and edges both branch off it, so an unpersisted plan runs
+        # extraction twice.  text_units backs the mentions/chunk queries.
+        for key in ("text_units", "raw_records", "nodes", "edges"):
             stages[key] = stages[key].persist()
         _STAGE_CACHE[sf_dir] = stages
     return _STAGE_CACHE[sf_dir]
@@ -262,6 +268,62 @@ def q_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    c = claims_ops.extract_claims(t, alias_dict=_alias_df(spark))
+    return c.select(
+        "id",
+        "subject_id",
+        "object_id",
+        "claim_type",
+        "status",
+        "start_date",
+        "end_date",
+        "description",
+        F.concat_ws("|", "source_text").alias("source_texts"),
+        "doc_ids",
+        "n_claims",
+        "human_readable_id",
+    )
+
+
+def q_summarized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _stages(spark, sf_dir)["edges"]
+    named = edges.withColumn("title", F.concat_ws("->", "source", "target"))
+    return summarize_descriptions(named).select("source", "target", "description", "summary")
+
+
+def q_community_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R13 over connected components as the community assignment (the
+    SQL-checkable detection path; LPA communities are the rows-only
+    variant)."""
+    s = _stages(spark, sf_dir)
+    comm = connected_components(s["nodes"], s["edges"]).select(
+        "title", F.col("component").alias("community")
+    )
+    nctx = reports.node_context(s["nodes"], s["degrees"], comm)
+    ectx = reports.edge_context(with_edge_rank(s["edges"], s["degrees"]), comm)
+    ctx = reports.community_local_context(nctx, ectx, top_k=10)
+    return reports.render_reports(ctx).select(
+        "id",
+        "community",
+        "title",
+        "summary",
+        "full_content",
+        "rank",
+        "level",
+        "human_readable_id",
+    )
+
+
+def q_community_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    leveled = hierarchical_lpa(s["nodes"], s["edges"], max_cluster_size=5, max_levels=2)
+    return reports.community_hierarchy(leveled).select(
+        "community", "level", "sub_community", "sub_community_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (documents / embeddings tables).
 # ---------------------------------------------------------------------------
@@ -443,29 +505,36 @@ JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE) >= {NGRAM_THRESHOLD}
 """
 
+# Cosine oracle mirrors the Spark fold EXACTLY: per-vector L2 normalize
+# (sequential sum-of-squares fold), then a sequential dot-product fold of
+# the unit vectors — identical float op order on both engines.
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(e) + 1), i -> e[CAST(i AS INT)] * e[CAST(i AS INT)])), "
+    "(x, y) -> x + y))"
+)
+_UNIT_CTE = f"""
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+uemb AS (
+  SELECT vec_id, nrm, list_transform(e, x -> x / nrm) AS e
+  FROM (SELECT vec_id, e, {_NORM} AS nrm FROM emb)
+)
+"""
 _DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(range(1, len(a.e) + 1), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])), "
     "(x, y) -> x + y)"
 )
-_NORM = (
-    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(range(1, len({v}) + 1), i -> {v}[CAST(i AS INT)] * {v}[CAST(i AS INT)])), "
-    "(x, y) -> x + y))"
-)
-_COS_MICRO = (
-    f"CAST(floor({_DOT} / ({_NORM.format(v='a.e')} * {_NORM.format(v='b.e')})"
-    f" * {similarity.SIM_SCALE}) AS BIGINT)"
-)
+_COS_MICRO = f"CAST(floor({_DOT} * {similarity.SIM_SCALE}) AS BIGINT)"
 _IVF_CELL = " + ".join(
     f"(CASE WHEN e[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(IVF_BITS)
 )
 
 _EMB_TOPK_SQL = f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH {_UNIT_CTE},
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_MICRO} AS sim_micro
-  FROM emb a JOIN emb b ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+  FROM uemb a JOIN uemb b ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, sim_micro,
        CAST(row_number() OVER (PARTITION BY query_id
@@ -474,10 +543,9 @@ FROM scored QUALIFY rk <= {TOPK_K}
 """
 
 _EMB_IVF_SQL = f"""
-WITH emb AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-),
-celled AS (SELECT vec_id, e, CAST({_IVF_CELL} AS BIGINT) AS cell FROM emb),
+WITH {_UNIT_CTE},
+cells AS (SELECT vec_id, CAST({_IVF_CELL} AS BIGINT) AS cell FROM emb),
+celled AS (SELECT u.vec_id, u.e, c.cell FROM uemb u JOIN cells c USING (vec_id)),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell AS cell,
          {_COS_MICRO} AS sim_micro
@@ -491,10 +559,10 @@ FROM scored QUALIFY rk <= {TOPK_K}
 """
 
 _EMB_NEARDUP_SQL = f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH {_UNIT_CTE},
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO} AS sim_micro
-  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  FROM uemb a JOIN uemb b ON a.vec_id < b.vec_id
 )
 SELECT * FROM scored WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
 """
@@ -527,6 +595,162 @@ FROM meta WHERE media_type = 'video'
 """
 
 
+# ---------------------------------------------------------------------------
+# Oracles for claims / summarization / community reports.
+# ---------------------------------------------------------------------------
+
+_CLAIMS_BODY = f"""
+, cl AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 1) AS subj,
+         regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 2) AS typ,
+         regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 3) AS obj,
+         strftime(ts, '%Y-%m-%d') AS start_date,
+         text AS source_text,
+         conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 10, '0') AS ord
+  FROM transcripts
+  WHERE regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 1) <> ''
+),
+linked AS (
+  SELECT coalesce(sa.canonical_name, c.subj) AS subject_id,
+         coalesce(oa.canonical_name, c.obj) AS object_id,
+         c.typ AS claim_type,
+         '{claims_ops.CLAIM_STATUS}' AS status,
+         c.start_date,
+         '{claims_ops.NO_DATE}' AS end_date,
+         c.subj || ' ' || c.typ || ' ' || c.obj AS description,
+         c.source_text, c.conv_id, c.ord
+  FROM cl c
+  LEFT JOIN alias_dict sa ON upper(c.subj) = upper(sa.alias)
+  LEFT JOIN alias_dict oa ON upper(c.obj) = upper(oa.alias)
+),
+cmerged AS (
+  SELECT subject_id,
+         arg_min(object_id, ord) AS object_id,
+         arg_min(claim_type, ord) AS claim_type,
+         arg_min(status, ord) AS status,
+         arg_min(start_date, ord) AS start_date,
+         arg_min(end_date, ord) AS end_date,
+         string_agg(DISTINCT description, ' ' ORDER BY description) AS description,
+         string_agg(DISTINCT source_text, '|' ORDER BY source_text) AS source_texts,
+         string_agg(DISTINCT conv_id, ',' ORDER BY conv_id) AS doc_ids,
+         CAST(count(*) AS BIGINT) AS n_claims
+  FROM linked GROUP BY subject_id
+)
+SELECT sha256(subject_id) AS id, subject_id, object_id, claim_type, status,
+       start_date, end_date, description, source_texts, doc_ids, n_claims,
+       CAST(row_number() OVER (ORDER BY subject_id) - 1 AS BIGINT) AS human_readable_id
+FROM cmerged
+"""
+
+_SUMMARIZED_EDGES_BODY = """
+, ed AS (
+  SELECT source, target, description,
+         list_filter(string_split(description, chr(10)), d -> d <> '') AS descs
+  FROM kg_edges
+),
+epacked AS (
+  SELECT source, target, description, descs,
+    greatest(len(list_filter(range(1, len(descs) + 1),
+      i -> len(list_filter(regexp_split_to_array(
+              trim(array_to_string(descs[1 : CAST(i AS INT)], ' ')), '\\s+'),
+            x -> x <> '')) <= 4000)), 1) AS cut
+  FROM ed
+)
+SELECT source, target, description,
+  CASE WHEN len(descs) = 0 THEN ''
+       WHEN len(descs) = 1 THEN descs[1]
+       ELSE source || '->' || target || ': ' ||
+            array_to_string(descs[1 : CAST(cut AS INT)], '; ')
+  END AS summary
+FROM epacked
+"""
+
+_REPORTS_BODY = """
+, sym AS (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION SELECT target AS a, source AS b FROM kg_edges
+),
+reach(node, r) AS (
+  SELECT title, title FROM kg_nodes
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+),
+comm AS (SELECT node AS title, min(r) AS community FROM reach GROUP BY node),
+nctx AS (
+  SELECT n.title, n.type,
+         CASE WHEN n.description <> '' THEN n.description
+              ELSE 'No Description' END AS description,
+         coalesce(d.degree, 0) AS degree, c.community
+  FROM kg_nodes n LEFT JOIN degrees d USING (title) LEFT JOIN comm c USING (title)
+),
+er AS (
+  SELECT e.source, e.target, e.weight,
+         coalesce(ds.degree, 0) + coalesce(dt.degree, 0) AS rank
+  FROM kg_edges e
+  LEFT JOIN degrees ds ON e.source = ds.title
+  LEFT JOIN degrees dt ON e.target = dt.title
+),
+ectx AS (
+  SELECT er.*, cs.community
+  FROM er JOIN comm cs ON er.source = cs.title
+          JOIN comm ct ON er.target = ct.title
+  WHERE cs.community = ct.community
+),
+topn AS (
+  SELECT *, row_number() OVER (PARTITION BY community
+                               ORDER BY degree DESC, title) AS rk
+  FROM nctx QUALIFY rk <= 10
+),
+entb AS (
+  SELECT community,
+         string_agg(title || ',' || type || ',' || CAST(degree AS VARCHAR),
+                    chr(10) ORDER BY rk) AS entity_rows
+  FROM topn GROUP BY community
+),
+tope AS (
+  SELECT *, row_number() OVER (PARTITION BY community
+                               ORDER BY rank DESC, source, target) AS rk
+  FROM ectx QUALIFY rk <= 10
+),
+edgb AS (
+  SELECT community,
+         string_agg(source || ',' || target || ',' || CAST(rank AS VARCHAR),
+                    chr(10) ORDER BY rk) AS edge_rows
+  FROM tope GROUP BY community
+),
+csizes AS (SELECT community, CAST(count(*) AS INT) AS n_entities FROM nctx GROUP BY community),
+cmass AS (
+  SELECT community, CAST(sum(weight) AS DOUBLE) AS weight_mass,
+         CAST(count(*) AS INT) AS n_edges
+  FROM ectx GROUP BY community
+),
+cctx AS (
+  SELECT s.community, s.n_entities,
+         coalesce(m.n_edges, 0) AS n_edges,
+         coalesce(m.weight_mass, 0.0) AS weight_mass,
+         '-----Entities-----' || chr(10) || 'title,type,degree' || chr(10)
+           || coalesce(e.entity_rows, '') || chr(10)
+           || '-----Relationships-----' || chr(10) || 'source,target,rank'
+           || chr(10) || coalesce(g.edge_rows, '') AS context_string
+  FROM csizes s
+  LEFT JOIN entb e USING (community)
+  LEFT JOIN edgb g USING (community)
+  LEFT JOIN cmass m USING (community)
+)
+SELECT sha256(community) AS id, community,
+       'Community ' || community AS title,
+       'Community of ' || CAST(n_entities AS VARCHAR) || ' entities with '
+         || CAST(n_edges AS VARCHAR) || ' internal relationships (weight '
+         || CAST(weight_mass AS VARCHAR) || ')' AS summary,
+       '# Community ' || community || chr(10) || chr(10) || context_string AS full_content,
+       weight_mass AS rank, 0 AS level,
+       CAST(row_number() OVER (ORDER BY weight_mass DESC, community) - 1 AS BIGINT)
+         AS human_readable_id
+FROM cctx
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full construction pipeline,
     returning the ranked canonical edge list (relationship.csv analogue)."""
@@ -556,6 +780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
         "canonicalization": q_canonicalization,  # rows-only: MinHash-LSH + CC
+        "claims": q_claims,
+        "summarized_edges": q_summarized_edges,
+        "community_reports": q_community_reports,
+        "community_hierarchy": q_community_hierarchy,  # rows-only: hierarchical LPA
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
@@ -624,6 +852,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS title, min(r) AS component FROM reach GROUP BY node
             """
         ),
+        "claims": _oracle(_CLAIMS_BODY),
+        "summarized_edges": _oracle(_SUMMARIZED_EDGES_BODY),
+        "community_reports": _oracle(_REPORTS_BODY),
         "text_profile": _TEXT_PROFILE_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,

@@ -1,0 +1,96 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = one query per engine subsystem: the full KG construction
+pipeline (assembly → chunk → extract → parse → merge → rank), community
+LPA, text QC profile, exact + n-gram + MinHash dedup, cosine top-k and
+exact near-dup over embeddings, and the multimodal metadata scan.
+
+``value`` is the end-to-end wall-clock sum; ``turns_per_sec`` (the north
+rule's throughput unit — transcript turns through the full KG pipeline)
+is included alongside.  Scaling-efficiency evidence (same job at local[8]
+vs local[32]) lives in tools/bench_scaling.py → BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from knowledge_graph_spark.session import get_spark
+from knowledge_graph_spark.synth import load_views, transcripts_from_events
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    spark = get_spark(app_name="kg-bench", master=f"local[{cpus}]")
+    load_views(spark, sf_dir)
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+
+    def timed(name, make_df):
+        t0 = time.time()
+        n = make_df().count()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    # Full KG construction (flagship): measure turns/sec through the
+    # whole extract→merge→rank dataflow.  Uses the entry's stage cache so
+    # the downstream queries reuse the persisted hub tables instead of
+    # recomputing extraction per query (matches the driver-gate shape).
+    n_turns = transcripts_from_events(spark, sf_dir).count()
+    t0 = time.time()
+    stages = entry._stages(spark, sf_dir)
+    n_edges = stages["edges_ranked"].count()
+    kg_secs = time.time() - t0
+    timings["kg_pipeline"] = round(kg_secs, 3)
+
+    timed("communities_lpa", lambda: entry.q_communities(spark, sf_dir))
+    timed("text_profile", lambda: entry.q_text_profile(spark, sf_dir))
+    timed("exact_dedup", lambda: entry.q_exact_dedup(spark, sf_dir))
+    timed("ngram_dedup", lambda: entry.q_ngram_dedup(spark, sf_dir))
+    timed("minhash_dedup", lambda: entry.q_minhash_dedup(spark, sf_dir))
+    timed("emb_topk", lambda: entry.q_emb_topk(spark, sf_dir))
+    # exact pairwise-fold variant is the gate's oracle query; the bench
+    # measures the production BLAS path (operators/similarity.py fast ops)
+    from knowledge_graph_spark.operators import similarity
+
+    timed(
+        "emb_neardup_fast",
+        lambda: similarity.neardup_pairs_fast(spark.table("embeddings"), threshold=0.35),
+    )
+    timed("media_meta", lambda: entry.q_media_meta(spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(m.group(1).rstrip(".")) if m else None,
+        "turns_per_sec": round(n_turns / kg_secs, 1),
+        "n_turns": n_turns,
+        "n_edges": n_edges,
+        "cpus": int(cpus),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

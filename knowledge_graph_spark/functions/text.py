@@ -33,15 +33,40 @@ def unescape_clean(s: pd.Series) -> pd.Series:  # pragma: no cover - trivial
     return s.map(_clean_py, na_action="ignore")
 
 
+# Named-entity subset covering html.unescape's behavior on real-world
+# extraction output.  &amp; is LAST so "&amp;lt;" → "&lt;" exactly like
+# Python's single-pass unescape.  Exotic entities (&copy;, &#x1F600;)
+# fall outside this subset — the parse stage handles ~10^8 records per
+# input TB, and a row-at-a-time Python unescape there costs more than the
+# whole JVM parse; callers needing full fidelity use `unescape_clean`.
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#x27;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def _native_clean(col: Column) -> Column:
+    c = F.trim(col)
+    for entity, char in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(char))
+    return F.regexp_replace(c, r"[\x00-\x1f\x7f-\x9f]", "")
+
+
 def clean_name(col: Column) -> Column:
     """Entity-name normalization: unescape + control-strip + UPPER + trim,
-    matching reference graph_extractor.py:205-206 / utils/graph.py:62."""
-    return F.upper(F.trim(unescape_clean(col)))
+    matching reference graph_extractor.py:205-206 / utils/graph.py:62.
+    Native (whole-stage codegen) — the hot parse path."""
+    return F.upper(F.trim(_native_clean(col)))
 
 
 def clean_str_col(col: Column) -> Column:
-    """Description/value normalization (no uppercasing)."""
-    return unescape_clean(col)
+    """Description/value normalization (no uppercasing).  Native."""
+    return _native_clean(col)
 
 
 def strip_outer_parens(col: Column) -> Column:

@@ -27,8 +27,19 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections import defaultdict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Graphs whose EDGE LIST fits comfortably on the driver skip the
+# iterative-join path: per-round shuffle+checkpoint overhead (seconds per
+# round regardless of data size) dwarfs the actual work below this size.
+# The local algorithms implement the IDENTICAL fixpoints (min-label /
+# weighted-mode with min-label tie-break), so results are byte-equal to
+# the distributed path — this is a physical-plan choice, not a semantic
+# one (GraphFrames applies the same small-graph cutover idea).
+LOCAL_EDGE_THRESHOLD = 200_000
 
 
 def _symmetric(edges: DataFrame, src: str, dst: str, weight: str | None) -> DataFrame:
@@ -42,6 +53,50 @@ def _symmetric(edges: DataFrame, src: str, dst: str, weight: str | None) -> Data
     return fwd.unionByName(edges.select(*back_cols))
 
 
+def _cc_local(node_ids: list, edge_pairs: list) -> dict:
+    """Union-find; component label = min member (same fixpoint as the
+    distributed min-label propagation)."""
+    parent: dict = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_pairs:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in node_ids}
+
+
+def _lpa_local(node_ids: list, weighted_edges: list, max_iter: int) -> dict:
+    """Synchronous weighted LPA with (max score, min label) argmax —
+    identical update rule to the iterative-join path."""
+    adj: dict = defaultdict(list)
+    for a, b, w in weighted_edges:
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    labels = {n: n for n in node_ids}
+    for _ in range(max_iter):
+        scores: dict = {}
+        for n in node_ids:
+            s: dict = defaultdict(float)
+            for m, w in adj.get(n, ()):
+                s[labels[m]] += w
+            if s:
+                mx = max(s.values())
+                scores[n] = min(l for l, v in s.items() if v == mx)
+            else:
+                scores[n] = labels[n]
+        if scores == labels:
+            break
+        labels = scores
+    return labels
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -49,10 +104,19 @@ def connected_components(
     src: str = "source",
     dst: str = "target",
     max_iter: int = 50,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(title, component) where component = lexicographic-min reachable
     node id — the fixpoint of min-label propagation.  Matches the recursive
     min-reachability SQL oracle exactly."""
+    spark = nodes.sparkSession
+    if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
+        node_ids = [r[0] for r in nodes.select(node_col).distinct().collect()]
+        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+        comp = _cc_local(node_ids, pairs)
+        return spark.createDataFrame(
+            sorted(comp.items()), schema=f"{node_col} string, component string"
+        )
     adj = _symmetric(edges, src, dst, None).distinct()
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("comp"))
     labels = labels.localCheckpoint(eager=True)
@@ -101,6 +165,7 @@ def label_propagation(
     dst: str = "target",
     weight: str = "weight",
     max_iter: int = 10,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Weighted synchronous LPA → (title, community).
 
@@ -110,6 +175,14 @@ def label_propagation(
     max_by(struct(total_weight, desc-lexicographic label)) with an explicit
     tie-break, so no dependence on aggregation order.
     """
+    spark = nodes.sparkSession
+    if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
+        node_ids = [r[0] for r in nodes.select(node_col).distinct().collect()]
+        wedges = [(r[0], r[1], float(r[2])) for r in edges.select(src, dst, weight).collect()]
+        labels = _lpa_local(node_ids, wedges, max_iter)
+        return spark.createDataFrame(
+            sorted(labels.items()), schema=f"{node_col} string, community string"
+        )
     adj = _symmetric(edges, src, dst, weight)
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)

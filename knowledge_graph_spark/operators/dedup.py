@@ -83,10 +83,14 @@ def ngram_jaccard_pairs(
     postings (df-pruning: a pair whose every shared n-gram is that common
     is far below any useful threshold anyway — and such postings are the
     O(n²) skew bomb at corpus scale)."""
+    # the gram table feeds three consumers (sizes, df-counts, both sides
+    # of the candidate join) — persist it or Spark recomputes the
+    # explode+distinct subtree per consumer (MEMORY_AND_DISK: spills
+    # rather than OOMs when the posting list outgrows executor memory)
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
-    )
+    ).persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
 
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("df"))

@@ -1,0 +1,198 @@
+"""Community report preparation & generation (reference §2.8, R1-R13).
+
+The reference builds per-community LLM reports from a token-budgeted
+"local context" of member entities/edges/claims (reference
+verbs/community_summarization/prepare_report/*, graph/community_reports/*).
+Per the north rule, LLM report generation is replaced with deterministic
+community summaries rendered from the same context tables; the LLM seam
+remains where ``render_report`` is applied.
+
+Operators (reference analogue in parens):
+- node/edge context frames (R1/R2 community_nodes.py:16-58,
+  community_edges.py:20-65): joins + coalesce('No Description').
+- edge combined degree (R3 compute_edge_degree.py:11-54): in graphops.
+- get_levels / level filters (R5/R6 utils.py:26-53).
+- local context (R7/R8 community_reports.py:57-186, sort_context.py:
+  10-155): per-community top-K entities by (degree desc, title) and
+  edges by (rank desc, source, target) rendered as the reference's
+  "-----Entities----- / -----Relationships-----" CSV blocks.
+- community hierarchy (R10 community_hierachy.py:13-74): node-set
+  containment between adjacent levels.
+- report generation (R13 summarization.py:32-120): deterministic
+  rendering; rank = sum of member edge weights (size-weighted salience
+  replacing the LLM rating).
+
+Scale: everything is joins/groupBys keyed on community id; the only
+windows are per-community top-K (bounded output).  Context rendering is
+string_agg over ≤K rows per community — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NO_DESCRIPTION = "No Description"  # reference community_nodes.py fillna
+DEFAULT_TOP_K = 10
+
+
+def node_context(nodes: DataFrame, degrees: DataFrame, communities: DataFrame) -> DataFrame:
+    """R1: (title, type, description, degree, community)."""
+    return (
+        nodes.join(degrees, "title", "left")
+        .join(communities, "title", "left")
+        .select(
+            "title",
+            "type",
+            F.coalesce(
+                F.when(F.col("description") != "", F.col("description")), F.lit(NO_DESCRIPTION)
+            ).alias("description"),
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.col("community"),
+        )
+    )
+
+
+def edge_context(edges_ranked: DataFrame, communities: DataFrame) -> DataFrame:
+    """R2+R6: edges whose BOTH endpoints share a community, stamped with
+    it (reference at_level keeps edges with both ends in the node set)."""
+    cs = communities.select(F.col("title").alias("source"), F.col("community").alias("__cs"))
+    ct = communities.select(F.col("title").alias("target"), F.col("community").alias("__ct"))
+    return (
+        edges_ranked.join(cs, "source")
+        .join(ct, "target")
+        .filter(F.col("__cs") == F.col("__ct"))
+        .withColumn("community", F.col("__cs"))
+        .drop("__cs", "__ct")
+    )
+
+
+def get_levels(communities: DataFrame) -> list[int]:
+    """R5: distinct levels, deepest first (reference utils.py:26-29)."""
+    return [
+        r.level
+        for r in communities.select("level").distinct().orderBy(F.desc("level")).collect()
+    ]
+
+
+def community_local_context(
+    nodes_ctx: DataFrame, edges_ctx: DataFrame, top_k: int = DEFAULT_TOP_K
+) -> DataFrame:
+    """R7/R8: per community, rendered context of the top-K entities
+    (degree desc, title) and top-K edges (rank desc, source, target) in
+    the reference's sectioned-CSV shape, plus counts and weight mass."""
+    wn = Window.partitionBy("community").orderBy(F.desc("degree"), F.asc("title"))
+    top_nodes = nodes_ctx.withColumn("rk", F.row_number().over(wn)).filter(F.col("rk") <= top_k)
+    ent_block = top_nodes.groupBy("community").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rk"), F.col("title"), F.col("type"), F.col("degree")))
+                ),
+                lambda s: F.concat_ws(",", s["title"], s["type"], s["degree"].cast("string")),
+            ),
+        ).alias("entity_rows"),
+        F.count("*").cast("int").alias("n_top_entities"),
+    )
+    we = Window.partitionBy("community").orderBy(F.desc("rank"), F.asc("source"), F.asc("target"))
+    top_edges = edges_ctx.withColumn("rk", F.row_number().over(we)).filter(F.col("rk") <= top_k)
+    edge_block = top_edges.groupBy("community").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("rk"), F.col("source"), F.col("target"), F.col("rank"))
+                    )
+                ),
+                lambda s: F.concat_ws(",", s["source"], s["target"], s["rank"].cast("string")),
+            ),
+        ).alias("edge_rows"),
+        F.count("*").cast("int").alias("n_top_edges"),
+    )
+    sizes = nodes_ctx.groupBy("community").agg(F.count("*").cast("int").alias("n_entities"))
+    mass = edges_ctx.groupBy("community").agg(
+        F.sum("weight").cast("double").alias("weight_mass"),
+        F.count("*").cast("int").alias("n_edges"),
+    )
+    ctx = (
+        sizes.join(ent_block, "community", "left")
+        .join(edge_block, "community", "left")
+        .join(mass, "community", "left")
+        .select(
+            "community",
+            "n_entities",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("weight_mass", F.lit(0.0)).alias("weight_mass"),
+            F.concat(
+                F.lit("-----Entities-----\ntitle,type,degree\n"),
+                F.coalesce("entity_rows", F.lit("")),
+                F.lit("\n-----Relationships-----\nsource,target,rank\n"),
+                F.coalesce("edge_rows", F.lit("")),
+            ).alias("context_string"),
+        )
+    )
+    return ctx
+
+
+def render_reports(context: DataFrame, level: int = 0) -> DataFrame:
+    """R13 (deterministic replacement): one report row per community.
+
+    rank = weight_mass (edge-weight salience); title/summary rendered
+    from the context.  An LLM backend would map ``context_string`` →
+    {title, summary, findings} here instead (reference
+    community_reports_extractor.py:45-79)."""
+    w = Window.orderBy(F.desc("rank"), F.asc("community"))
+    return context.select(
+        F.sha2(F.col("community"), 256).alias("id"),
+        "community",
+        F.concat(F.lit("Community "), F.col("community")).alias("title"),
+        F.concat(
+            F.lit("Community of "),
+            F.col("n_entities").cast("string"),
+            F.lit(" entities with "),
+            F.col("n_edges").cast("string"),
+            F.lit(" internal relationships (weight "),
+            F.col("weight_mass").cast("string"),
+            F.lit(")"),
+        ).alias("summary"),
+        F.concat(
+            F.lit("# Community "),
+            F.col("community"),
+            F.lit("\n\n"),
+            F.col("context_string"),
+        ).alias("full_content"),
+        F.col("weight_mass").alias("rank"),
+        F.lit(level).alias("level"),
+    ).withColumn("human_readable_id", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def community_hierarchy(communities_leveled: DataFrame) -> DataFrame:
+    """R10: (community, level, sub_community, sub_size) — a next-level
+    community is a sub-community iff its node set is contained in the
+    parent's (reference checks issubset; here: member-join count ==
+    sub-community size)."""
+    a = communities_leveled.select("title", F.col("community").alias("parent"), "level")
+    b = communities_leveled.select(
+        "title", F.col("community").alias("sub_community"), F.col("level").alias("sub_level")
+    )
+    joined = a.join(b, "title").filter(F.col("sub_level") == F.col("level") + 1)
+    sub_sizes = (
+        communities_leveled.groupBy(F.col("community").alias("sub_community"), "level")
+        .agg(F.count("*").alias("sub_size"))
+        .withColumnRenamed("level", "sub_level")
+    )
+    overlap = joined.groupBy("parent", "level", "sub_community").agg(
+        F.count("*").alias("overlap")
+    )
+    return (
+        overlap.join(sub_sizes, ["sub_community"])
+        .filter(F.col("overlap") == F.col("sub_size"))
+        .select(
+            F.col("parent").alias("community"),
+            "level",
+            "sub_community",
+            F.col("sub_size").cast("int").alias("sub_community_size"),
+        )
+    )
