@@ -1,0 +1,168 @@
+"""spark-submit entry point: full KG construction over a transcripts table.
+
+Cluster usage (north rule: spark-submit --py-files at N / 4N executors):
+
+    zip -r kg.zip knowledge_graph_spark
+    spark-submit --py-files kg.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.local.type=hadoop \
+      --conf spark.sql.catalog.local.warehouse=s3a://bucket/warehouse \
+      jobs/run_pipeline.py --input local.db.transcripts --iceberg local \
+      --output s3a://bucket/kg_out
+
+Sandbox usage (parquet fallback, local master):
+
+    python jobs/run_pipeline.py --input /root/testdata/sf0.01 --from-events \
+      --output /tmp/kg_out
+
+Stages are checkpointed (knowledge_graph_spark.checkpoint): re-running
+with the same --output resumes after the last completed stage; pass
+--force to rebuild everything.  The transcripts scan is repartitioned by
+hash(conv_id) before extraction (north rule) sized by shuffle.partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from knowledge_graph_spark.checkpoint import StageRunner  # noqa: E402
+from knowledge_graph_spark.io import TableIO  # noqa: E402
+from knowledge_graph_spark.operators.assemble import assemble_conversations  # noqa: E402
+from knowledge_graph_spark.operators.chunk import split_text_units  # noqa: E402
+from knowledge_graph_spark.operators.claims import extract_claims  # noqa: E402
+from knowledge_graph_spark.operators.community import label_propagation  # noqa: E402
+from knowledge_graph_spark.operators.extract import emit_records  # noqa: E402
+from knowledge_graph_spark.operators.graphops import (  # noqa: E402
+    node_degrees,
+    with_edge_ids,
+    with_edge_rank,
+    with_node_ids,
+)
+from knowledge_graph_spark.operators.parse import parse_and_merge  # noqa: E402
+from knowledge_graph_spark.operators.reports import (  # noqa: E402
+    community_local_context,
+    edge_context,
+    node_context,
+    render_reports,
+)
+from knowledge_graph_spark.operators.summarize import summarize_descriptions  # noqa: E402
+from knowledge_graph_spark.session import get_spark  # noqa: E402
+from knowledge_graph_spark.synth import transcripts_from_events  # noqa: E402
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="transcripts table/path (or sf dir with --from-events)")
+    p.add_argument("--output", required=True, help="output warehouse dir")
+    p.add_argument("--from-events", action="store_true", help="derive transcripts from an events parquet dir")
+    p.add_argument("--iceberg", default=None, help="Iceberg catalog name (omit for parquet)")
+    p.add_argument("--chunk-size", type=int, default=1200)
+    p.add_argument("--chunk-overlap", type=int, default=100)
+    p.add_argument("--tokenizer", default="auto")
+    p.add_argument("--force", action="store_true", help="ignore existing checkpoints")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    spark = get_spark(app_name="kg-construct", master=args.master)
+    io = TableIO(spark, base=args.output, catalog=args.iceberg)
+    if args.force:
+        import shutil
+
+        shutil.rmtree(os.path.join(args.output, "_manifests"), ignore_errors=True)
+    runner = StageRunner(io)
+
+    if args.from_events:
+        transcripts = transcripts_from_events(spark, args.input)
+    elif args.iceberg:
+        transcripts = spark.read.format("iceberg").load(args.input)
+    else:
+        transcripts = spark.read.parquet(args.input)
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    transcripts = transcripts.repartition(n_part, F.hash("conv_id"))
+
+    conv_docs = runner.run(
+        "conv_docs", lambda: assemble_conversations(transcripts), inputs=[]
+    )
+    text_units = runner.run(
+        "text_units",
+        lambda: split_text_units(
+            conv_docs, size=args.chunk_size, overlap=args.chunk_overlap, tokenizer=args.tokenizer
+        ),
+        inputs=["conv_docs"],
+        partition_by=None,
+    )
+    raw_records = runner.run(
+        "raw_records", lambda: emit_records(text_units), inputs=["text_units"]
+    )
+
+    def _graph():
+        nodes, edges = parse_and_merge(raw_records)
+        return nodes, edges
+
+    nodes = runner.run("nodes", lambda: _graph()[0], inputs=["raw_records"])
+    edges = runner.run("edges", lambda: _graph()[1], inputs=["raw_records"])
+    degrees = runner.run("degrees", lambda: node_degrees(edges), inputs=["edges"])
+    nodes_final = runner.run(
+        "nodes_final",
+        lambda: with_node_ids(
+            summarize_descriptions(nodes.join(degrees, "title", "left"))
+        ),
+        inputs=["nodes", "degrees"],
+    )
+    edges_final = runner.run(
+        "edges_final",
+        lambda: with_edge_ids(with_edge_rank(edges, degrees)),
+        inputs=["edges", "degrees"],
+    )
+    communities = runner.run(
+        "communities",
+        lambda: label_propagation(nodes, edges),
+        inputs=["nodes", "edges"],
+    )
+    claims = runner.run(
+        "claims", lambda: extract_claims(transcripts), inputs=[]
+    )
+    reports = runner.run(
+        "community_reports",
+        lambda: render_reports(
+            community_local_context(
+                node_context(nodes, degrees, communities.select("title", "community")),
+                edge_context(
+                    with_edge_rank(edges, degrees), communities.select("title", "community")
+                ),
+            )
+        ),
+        inputs=["nodes", "edges", "degrees", "communities"],
+    )
+
+    summary = {
+        "computed": runner.computed,
+        "skipped": runner.skipped,
+        "rows": {
+            "nodes": nodes_final.count(),
+            "edges": edges_final.count(),
+            "communities": communities.count(),
+            "claims": claims.count(),
+            "community_reports": reports.count(),
+        },
+    }
+    print(summary)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

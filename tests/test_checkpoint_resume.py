@@ -1,0 +1,91 @@
+"""Checkpoint/lineage/resume tests (M6): idempotent stage re-runs,
+manifest contents, and the spark-submit job driver end-to-end."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.checkpoint import StageRunner, content_fingerprint
+from knowledge_graph_spark.io import TableIO
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    return TableIO(spark, base=str(tmp_path / "wh"))
+
+
+def test_stage_runner_computes_then_skips(spark, io):
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    r1 = StageRunner(io)
+    df1 = r1.run("double", make, inputs=[])
+    assert df1.count() == 10 and calls["n"] == 1 and r1.computed == ["double"]
+
+    r2 = StageRunner(io)
+    df2 = r2.run("double", make, inputs=[])
+    assert calls["n"] == 1  # resume: make() not called again
+    assert r2.skipped == ["double"]
+    assert sorted(t["v"] for t in df2.collect()) == sorted(t["v"] for t in df1.collect())
+
+
+def test_manifest_records_lineage_and_fingerprint(spark, io):
+    r = StageRunner(io)
+    a = r.run("a", lambda: spark.range(5).select(F.col("id")), inputs=[])
+    r.run("b", lambda: a.select((F.col("id") + 1).alias("id")), inputs=["a"])
+    mb = json.loads((Path(io.base) / "_manifests" / "b.json").read_text())
+    assert mb["rows"] == 5
+    assert mb["inputs"]["a"] == json.loads(
+        (Path(io.base) / "_manifests" / "a.json").read_text()
+    )["fingerprint"]
+    assert sum(mb["partition_rows"]) == 5
+    assert mb["schema"].startswith("struct<id")
+
+
+def test_fingerprint_is_order_insensitive(spark):
+    df = spark.range(100).select(F.col("id"))
+    shuffled = df.repartition(7)
+    assert content_fingerprint(df) == content_fingerprint(shuffled)
+    assert content_fingerprint(df) != content_fingerprint(df.filter(F.col("id") < 99))
+
+
+def test_crash_between_write_and_manifest_reruns(spark, io):
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(3).toDF("id")
+
+    r = StageRunner(io)
+    r.run("s", make, inputs=[])
+    # simulate crash AFTER table write but BEFORE commit: delete manifest
+    (Path(io.base) / "_manifests" / "s.json").unlink()
+    StageRunner(io).run("s", make, inputs=[])
+    assert calls["n"] == 2  # stage re-ran (manifest is the commit marker)
+
+
+def test_job_driver_end_to_end_and_resume(spark, tmp_path):
+    import jobs.run_pipeline as job
+
+    out = str(tmp_path / "kg_out")
+    argv = [
+        "--input", "/root/testdata/sf0.001", "--from-events",
+        "--output", out, "--chunk-size", "128", "--chunk-overlap", "16",
+        "--tokenizer", "ws", "--master", "local[4]",
+    ]
+    s1 = job.main(argv)
+    assert s1["rows"]["nodes"] == 19 and s1["rows"]["edges"] == 161
+    assert s1["rows"]["claims"] > 0 and s1["rows"]["community_reports"] >= 1
+    assert not s1["skipped"]
+
+    s2 = job.main(argv)  # resume: everything checkpointed
+    assert not s2["computed"]
+    assert set(s2["skipped"]) == set(s1["computed"])
+    assert s2["rows"] == s1["rows"]
