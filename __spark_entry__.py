@@ -36,6 +36,7 @@ from knowledge_graph_spark.operators.linking import (
 from knowledge_graph_spark.functions import textqc
 from knowledge_graph_spark.operators import claims as claims_ops
 from knowledge_graph_spark.operators import dedup, multimodal, reports, similarity
+from knowledge_graph_spark.operators import query as query_ops
 from knowledge_graph_spark.operators.community import hierarchical_lpa
 from knowledge_graph_spark.operators.summarize import summarize_descriptions
 from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
@@ -595,6 +596,53 @@ FROM meta WHERE media_type = 'video'
 """
 
 
+# Query-side (read model) constants shared with the oracles.
+RELATED_ENTITY = "ITEM_0"
+SELECTED_ENTITIES = ["USER_0", "ITEM_0", "EVT_CLICK"]
+TOP_ENTITIES_K = 10
+
+
+def q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    nwd = s["nodes"].join(s["degrees"], "title", "left").withColumn(
+        "degree", F.coalesce("degree", F.lit(0))
+    )
+    return query_ops.top_entities_by_rank(nwd, k=TOP_ENTITIES_K)
+
+
+def q_related_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    ranked = with_edge_rank(s["edges"], s["degrees"])
+    return query_ops.related_entities(ranked, RELATED_ENTITY, k=TOP_ENTITIES_K).select(
+        "neighbor", F.col("weight").cast("double").alias("weight"), "rank", "rk"
+    )
+
+
+def q_out_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    ranked = with_edge_rank(s["edges"], s["degrees"])
+    selected = spark.createDataFrame([(t,) for t in SELECTED_ENTITIES], "title string")
+    _, out_net = query_ops.split_network_relationships(ranked, selected)
+    return out_net.select(
+        "source",
+        "target",
+        F.col("weight").cast("double").alias("weight"),
+        "rank",
+        "external",
+        "links",
+    )
+
+
+def q_community_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _stages(spark, sf_dir)
+    comm = connected_components(s["nodes"], s["edges"]).select(
+        "title", F.col("component").alias("community")
+    )
+    return query_ops.community_weight(s["nodes"], comm).select(
+        "community", "n_text_units", "normalized_weight"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles for claims / summarization / community reports.
 # ---------------------------------------------------------------------------
@@ -780,6 +828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
         "canonicalization": q_canonicalization,  # rows-only: MinHash-LSH + CC
+        "top_entities": q_top_entities,
+        "related_entities": q_related_entities,
+        "out_network": q_out_network,
+        "community_weight": q_community_weight,
         "claims": q_claims,
         "summarized_edges": q_summarized_edges,
         "community_reports": q_community_reports,
@@ -850,6 +902,93 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
             )
             SELECT node AS title, min(r) AS component FROM reach GROUP BY node
+            """
+        ),
+        "top_entities": _oracle(
+            f"""
+            , nwd AS (
+              SELECT n.title, coalesce(d.degree, 0) AS degree
+              FROM kg_nodes n LEFT JOIN degrees d USING (title)
+            )
+            SELECT title, degree,
+                   CAST(row_number() OVER (ORDER BY degree DESC, title) AS INT) AS rk
+            FROM nwd QUALIFY rk <= {TOP_ENTITIES_K}
+            """
+        ),
+        "related_entities": _oracle(
+            f"""
+            , er AS (
+              SELECT e.source, e.target, e.weight,
+                     coalesce(ds.degree, 0) + coalesce(dt.degree, 0) AS rank
+              FROM kg_edges e
+              LEFT JOIN degrees ds ON e.source = ds.title
+              LEFT JOIN degrees dt ON e.target = dt.title
+            ),
+            nbrs AS (
+              SELECT CASE WHEN source = '{RELATED_ENTITY}' THEN target
+                          ELSE source END AS neighbor,
+                     weight, CAST(rank AS INT) AS rank
+              FROM er WHERE source = '{RELATED_ENTITY}' OR target = '{RELATED_ENTITY}'
+            )
+            SELECT neighbor, weight, rank,
+                   CAST(row_number() OVER (ORDER BY weight DESC, rank DESC, neighbor)
+                        AS INT) AS rk
+            FROM nbrs QUALIFY rk <= {TOP_ENTITIES_K}
+            """
+        ),
+        "out_network": _oracle(
+            f"""
+            , sel(title) AS (VALUES {", ".join(f"('{t}')" for t in SELECTED_ENTITIES)}),
+            er AS (
+              SELECT e.source, e.target, e.weight,
+                     CAST(coalesce(ds.degree, 0) + coalesce(dt.degree, 0) AS INT) AS rank
+              FROM kg_edges e
+              LEFT JOIN degrees ds ON e.source = ds.title
+              LEFT JOIN degrees dt ON e.target = dt.title
+            ),
+            flagged AS (
+              SELECT er.*,
+                     CASE WHEN ss.title IS NULL THEN 0 ELSE 1 END AS s_in,
+                     CASE WHEN st.title IS NULL THEN 0 ELSE 1 END AS t_in
+              FROM er LEFT JOIN sel ss ON er.source = ss.title
+                      LEFT JOIN sel st ON er.target = st.title
+            ),
+            out_net AS (
+              SELECT source, target, weight, rank,
+                     CASE WHEN s_in = 0 THEN source ELSE target END AS external
+              FROM flagged WHERE s_in + t_in = 1
+            )
+            SELECT o.source, o.target, o.weight, o.rank, o.external,
+                   CAST(l.links AS INT) AS links
+            FROM out_net o
+            JOIN (SELECT external, count(*) AS links FROM out_net GROUP BY external) l
+              USING (external)
+            """
+        ),
+        "community_weight": _oracle(
+            """
+            , sym AS (
+              SELECT source AS a, target AS b FROM kg_edges
+              UNION SELECT target AS a, source AS b FROM kg_edges
+            ),
+            reach(node, r) AS (
+              SELECT title, title FROM kg_nodes
+              UNION
+              SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+            ),
+            comm AS (SELECT node AS title, min(r) AS community FROM reach GROUP BY node),
+            member_units AS (
+              SELECT DISTINCT c.community, unnest(string_split(n.source_ids, ',')) AS unit
+              FROM kg_nodes n JOIN comm c USING (title)
+            ),
+            wgt AS (
+              SELECT community, CAST(count(DISTINCT unit) AS INT) AS n_text_units
+              FROM member_units GROUP BY community
+            )
+            SELECT community, n_text_units,
+                   n_text_units / CAST(max(n_text_units) OVER () AS DOUBLE)
+                     AS normalized_weight
+            FROM wgt
             """
         ),
         "claims": _oracle(_CLAIMS_BODY),

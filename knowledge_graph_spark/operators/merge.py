@@ -1,0 +1,114 @@
+"""Incremental graph union — resumable multi-run merges (G5/G6).
+
+Reference analogues:
+- Extract-stage union (reference utils/graph.py:68-115): old ∪ new; on
+  node collision source_id is comma-concatenated and description becomes
+  ``Old Information---\\n{old}\\nNew Information---\\n{new}``; edge
+  collision follows the same pattern (weights: new value wins, matching
+  the reference's attribute overwrite after description framing).
+- Cluster-stage union (reference utils/graph.py:119-177): collision →
+  new attributes win wholesale (dict.update), old identity kept; the
+  per-run JSON delta files become the returned (added, updated) frames —
+  on Iceberg this whole operator is one MERGE INTO + snapshot diff.
+
+Shape: one full-outer join on the entity key — shuffle on both sides
+keyed by name (AQE skew-handles hot entities), no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OLD_NEW_FRAME = "Old Information---\n{old}\nNew Information---\n{new}"
+
+
+def _framed(old_col, new_col):
+    return F.concat(
+        F.lit("Old Information---\n"), old_col, F.lit("\nNew Information---\n"), new_col
+    )
+
+
+def incremental_union_nodes(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Extract-stage node union (collision → framed description,
+    source-id concat, type: new non-empty wins else old)."""
+    o = old.select(
+        "title",
+        F.col("type").alias("_ot"),
+        F.col("description").alias("_od"),
+        F.col("source_id").alias("_os"),
+    )
+    n = new.select(
+        "title",
+        F.col("type").alias("_nt"),
+        F.col("description").alias("_nd"),
+        F.col("source_id").alias("_ns"),
+    )
+    j = o.join(n, "title", "full_outer")
+    both = F.col("_od").isNotNull() & F.col("_nd").isNotNull()
+    return j.select(
+        "title",
+        F.when(both & (F.col("_nt") != ""), F.col("_nt"))
+        .otherwise(F.coalesce("_nt", "_ot"))
+        .alias("type"),
+        F.when(both, _framed(F.col("_od"), F.col("_nd")))
+        .otherwise(F.coalesce("_nd", "_od"))
+        .alias("description"),
+        F.when(both, F.concat(F.array_join("_os", ","), F.lit(","), F.array_join("_ns", ",")))
+        .otherwise(F.array_join(F.coalesce("_ns", "_os"), ","))
+        .alias("source_id_joined"),
+    ).withColumn("source_id", F.split("source_id_joined", ",")).drop("source_id_joined")
+
+
+def incremental_union_edges(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Extract-stage edge union on the canonical (source, target) pair."""
+    o = old.select(
+        "source",
+        "target",
+        F.col("weight").alias("_ow"),
+        F.col("description").alias("_od"),
+        F.col("text_unit_ids").alias("_os"),
+    )
+    n = new.select(
+        "source",
+        "target",
+        F.col("weight").alias("_nw"),
+        F.col("description").alias("_nd"),
+        F.col("text_unit_ids").alias("_ns"),
+    )
+    j = o.join(n, ["source", "target"], "full_outer")
+    both = F.col("_od").isNotNull() & F.col("_nd").isNotNull()
+    return j.select(
+        "source",
+        "target",
+        F.coalesce("_nw", "_ow").alias("weight"),
+        F.when(both, _framed(F.col("_od"), F.col("_nd")))
+        .otherwise(F.coalesce("_nd", "_od"))
+        .alias("description"),
+        F.when(both, F.array_sort(F.array_union("_os", "_ns")))
+        .otherwise(F.coalesce("_ns", "_os"))
+        .alias("text_unit_ids"),
+    )
+
+
+def cluster_union(
+    old: DataFrame, new: DataFrame, key: list[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cluster-stage union: (merged, added, updated).
+
+    merged: new attribute values win on collision, old-only rows kept;
+    added: keys only in new; updated: collided keys whose attributes
+    changed (the reference's per-run JSON delta, reference
+    utils/graph.py:180-203)."""
+    value_cols = [c for c in new.columns if c not in key]
+    merged = old.join(new.select(key).withColumn("__n", F.lit(1)), key, "left_anti").unionByName(
+        new
+    )
+    added = new.join(old.select(key), key, "left_anti")
+    collided = new.alias("n").join(old.alias("o"), key, "inner")
+    changed = collided.filter(
+        ~F.struct(*[F.col(f"n.{c}") for c in value_cols]).eqNullSafe(
+            F.struct(*[F.col(f"o.{c}") for c in value_cols])
+        )
+    ).select("n.*")
+    return merged, added, changed

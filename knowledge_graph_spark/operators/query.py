@@ -1,0 +1,133 @@
+"""Query-side (read model) operators — SURVEY.md §2.10.
+
+The reference's local/global search builds token-budgeted LLM context
+from the materialized tables (reference query/*); the dataflow pieces —
+entity mapping, relationship ranking, community weighting — are
+re-expressed here as DataFrame operators over the construction outputs.
+The LLM call itself is out of scope (north rule replaces reports/search
+generation with deterministic renderings).
+
+- Q1 entity mapping (reference query/system_prompt_builder/
+  entity_extraction.py:30-81): vector top-k with rank fallback for the
+  empty query → `map_query_to_entities` (delegates to similarity.* for
+  the vector path; rank path = degree order).
+- Q2 in/out-network relationship selection (reference
+  query/inputs/retrieval/relationships.py:12-59 and
+  relationship_context.py:88-175): edges among selected entities vs
+  edges leaving the selection, out-network ranked by (external-endpoint
+  link count desc, rank desc).
+- Q3 combined rank: source.rank + target.rank — graphops.with_edge_rank.
+- Q5 community weight (reference community_context.py:153-190): count
+  of distinct text units covered by member entities, normalized by max.
+- Q6 text-unit ranking (reference combine_context.py:230-274): order
+  text units by (first-entity order, -#relationships).
+
+All are joins/groupBys/windows on community- or entity-keyed tables —
+no UDFs, broadcast-sized dimension tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_entities_by_rank(nodes_with_degree: DataFrame, k: int = 10) -> DataFrame:
+    """Q1 fallback path: empty query → top-k entities by (degree desc,
+    title) — the reference's rank-ordered default."""
+    w = Window.orderBy(F.desc("degree"), F.asc("title"))
+    return (
+        nodes_with_degree.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("title", "degree", "rk")
+    )
+
+
+def related_entities(
+    edges_ranked: DataFrame, entity: str, k: int = 10
+) -> DataFrame:
+    """Neighbors of one entity ordered by (weight desc, rank desc, title)
+    — the M1 flagship read query ('top-k related entities of X')."""
+    nbrs = edges_ranked.filter(
+        (F.col("source") == entity) | (F.col("target") == entity)
+    ).select(
+        F.when(F.col("source") == entity, F.col("target"))
+        .otherwise(F.col("source"))
+        .alias("neighbor"),
+        "weight",
+        "rank",
+    )
+    w = Window.orderBy(F.desc("weight"), F.desc("rank"), F.asc("neighbor"))
+    return nbrs.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
+
+
+def split_network_relationships(
+    edges_ranked: DataFrame, selected: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Q2: (in_network, out_network) relative to a selected-entity set.
+
+    in-network: both endpoints selected.  out-network: exactly one; ranked
+    by (#links of the external endpoint into the selection desc, rank
+    desc) like the reference's sort.  `selected` is broadcast — it is a
+    query-sized set, never the big side."""
+    sel = F.broadcast(selected.select(F.col("title").alias("__sel")).distinct())
+    e = (
+        edges_ranked.join(
+            sel.withColumnRenamed("__sel", "source").withColumn("__s_in", F.lit(1)),
+            "source",
+            "left",
+        )
+        .join(
+            sel.withColumnRenamed("__sel", "target").withColumn("__t_in", F.lit(1)),
+            "target",
+            "left",
+        )
+        .withColumn("__s_in", F.coalesce("__s_in", F.lit(0)))
+        .withColumn("__t_in", F.coalesce("__t_in", F.lit(0)))
+    )
+    in_net = e.filter((F.col("__s_in") == 1) & (F.col("__t_in") == 1)).drop("__s_in", "__t_in")
+    out = e.filter(F.col("__s_in") + F.col("__t_in") == 1).withColumn(
+        "external", F.when(F.col("__s_in") == 0, F.col("source")).otherwise(F.col("target"))
+    )
+    links = out.groupBy("external").agg(F.count("*").cast("int").alias("links"))
+    out_net = (
+        out.join(links, "external")
+        .drop("__s_in", "__t_in")
+        .orderBy(F.desc("links"), F.desc("rank"), F.asc("source"), F.asc("target"))
+    )
+    return in_net, out_net
+
+
+def community_weight(
+    nodes: DataFrame, communities: DataFrame, source_col: str = "source_id"
+) -> DataFrame:
+    """Q5: per-community weight = count of DISTINCT text units covered by
+    member entities, normalized by the max across communities."""
+    member_units = (
+        nodes.join(communities, "title")
+        .select("community", F.explode(F.col(source_col)).alias("unit"))
+    )
+    w = member_units.groupBy("community").agg(
+        F.countDistinct("unit").cast("int").alias("n_text_units")
+    )
+    mx = Window.partitionBy()
+    return w.select(
+        "community",
+        "n_text_units",
+        (F.col("n_text_units") / F.max("n_text_units").over(mx)).alias("normalized_weight"),
+    )
+
+
+def rank_text_units(
+    text_unit_entities: DataFrame, entity_order: DataFrame
+) -> DataFrame:
+    """Q6: text units ordered by (best entity order asc, relationship
+    count desc).  text_unit_entities: (text_unit_id, title);
+    entity_order: (title, entity_rank)."""
+    joined = text_unit_entities.join(F.broadcast(entity_order), "title")
+    agg = joined.groupBy("text_unit_id").agg(
+        F.min("entity_rank").cast("int").alias("best_entity_rank"),
+        F.count("*").cast("int").alias("n_entities"),
+    )
+    w = Window.orderBy(F.asc("best_entity_rank"), F.desc("n_entities"), F.asc("text_unit_id"))
+    return agg.withColumn("order", F.row_number().over(w).cast("int"))

@@ -1,0 +1,114 @@
+"""Physical-plan assertions: the plans we designed for, not just the
+first ones that passed (.explain-driven engineering).
+
+These run `explain` only — no job execution — so they are cheap and
+catch plan regressions (a lost broadcast, a filter that stopped pushing
+down, Python appearing in a native path) at test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.functions import textqc
+from knowledge_graph_spark.operators.graphops import with_edge_rank
+from knowledge_graph_spark.operators.linking import link_aliases
+from knowledge_graph_spark.operators.query import split_network_relationships
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_and_projection_push_into_scan(spark, docs):
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    # column pruning: the wide text column must not reach the scan
+    read_schema = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" not in read_schema and "doc_id" in read_schema
+
+
+def test_textqc_stays_jvm_side(spark, docs):
+    """All text-QC ops must run in the JVM — no Python/Arrow eval nodes.
+    (Higher-order lambdas disable whole-stage codegen by design, so the
+    codegen assertion applies only to the lambda-free expressions.)"""
+    q = docs.select(
+        textqc.quality_score(F.col("text")).alias("q"),
+        textqc.lang_id(F.col("text")).alias("lang"),
+        textqc.rolling_fingerprint(F.col("text")).alias("fp"),
+        textqc.content_hash(F.col("text")).alias("h"),
+    )
+    p = plan(q)
+    assert "PythonUDF" not in p and "ArrowEval" not in p and "BatchEval" not in p
+
+    codegen_friendly = docs.select(
+        textqc.content_hash(F.col("text")).alias("h"),
+        textqc.bpeish_token_count(F.col("text")).alias("n"),
+    )
+    # "*(n)" prefix marks whole-stage-codegen spans in the plan string
+    assert plan(codegen_friendly).lstrip().startswith("*(")
+
+
+def test_parse_stage_has_no_python_udf(spark):
+    from knowledge_graph_spark.operators.parse import parse_and_merge
+
+    raw = spark.createDataFrame(
+        [("c", "u", '("entity"<|>A<|>T<|>d)##<|COMPLETE|>')],
+        "conv_id string, text_unit_id string, records string",
+    )
+    nodes, edges = parse_and_merge(raw)
+    for df in (nodes, edges):
+        p = plan(df)
+        assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_alias_linking_broadcasts_dictionary(spark):
+    big = spark.createDataFrame([("ACME",), ("X",)], "title string")
+    d = spark.createDataFrame(
+        [("ACME", "ACME_CORP", 1.0)], "alias string, canonical_name string, score double"
+    )
+    p = plan(link_aliases(big, d))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_edge_rank_uses_broadcast_joins(spark):
+    edges = spark.createDataFrame([("A", "B", 1.0)], "source string, target string, weight double")
+    degrees = spark.createDataFrame([("A", 1), ("B", 1)], "title string, degree int")
+    p = plan(with_edge_rank(edges, degrees))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_out_network_broadcasts_selection(spark):
+    edges = spark.createDataFrame(
+        [("A", "B", 1.0, 2)], "source string, target string, weight double, rank int"
+    )
+    sel = spark.createDataFrame([("A",)], "title string")
+    _, out_net = split_network_relationships(edges, sel)
+    p = plan(out_net)
+    assert "BroadcastHashJoin" in p
+
+
+def test_salted_merge_is_two_phase(spark):
+    """merge_nodes must aggregate twice (salt partial → final) so hot
+    entity names never funnel into a single reducer."""
+    from knowledge_graph_spark.operators.parse import merge_nodes
+
+    ents = spark.createDataFrame(
+        [("A", "T", "d", "s", ("c", "u", 0))],
+        "name string, type string, description string, source_id string, "
+        "ord struct<conv_id:string,text_unit_id:string,rec_idx:int>",
+    )
+    p = plan(merge_nodes(ents))
+    # two distinct aggregate key sets: (name, salt) then (name)
+    assert "pmod" in p and p.count("HashAggregate") >= 4  # partial+final × 2 phases
