@@ -113,8 +113,90 @@ class LLMBackend:
         )
 
 
-def emit_records(text_units: DataFrame, backend: ExtractionBackend | None = None) -> DataFrame:
-    """TEXT_UNITS → RAW_RECORDS (text_unit_id, conv_id, records)."""
+def _type_case(m):
+    """Column-expression mirror of mention_type (prefix dispatch)."""
+    expr = F.lit("ORGANIZATION")
+    for prefix, typ in reversed(_TYPE_PREFIXES):
+        expr = F.when(m.startswith(prefix), F.lit(typ)).otherwise(expr)
+    return expr
+
+
+def emit_records_native(text_units: DataFrame, pattern: str = MENTION_PATTERN) -> DataFrame:
+    """RuleBackend's exact output, as pure Column algebra (no Python).
+
+    Byte-identical to ``RuleBackend`` (asserted in tests): first-order
+    distinct mentions via array_distinct over regexp_extract_all, entity
+    records per mention, relationship records for every ordered pair
+    (i < j) via nested transform+flatten, '##'-joined with the
+    completion marker.
+
+    NOT the default: measured 9× SLOWER than the Arrow-batched Python
+    backend at sf0.1 (62s vs 7s).  Nested higher-order lambdas are
+    interpreted per element (no codegen), and the O(m²) pairwise string
+    build allocates a UTF8String per concat — whereas the pandas UDF
+    does the same loop in CPython over one Arrow batch.  Kept as the
+    reference implementation for the record grammar and as evidence
+    that 'native' is not automatically faster: the rule is *vectorize
+    the batch*, not *eliminate Python at any cost*."""
+    arr = F.array_distinct(F.regexp_extract_all(F.col("chunk"), F.lit(pattern), F.lit(0)))
+    n = F.size(arr)
+
+    def ent_rec(m):
+        return F.concat(
+            F.lit(f'("entity"{TUPLE_DELIM}'),
+            m,
+            F.lit(TUPLE_DELIM),
+            _type_case(m),
+            F.lit(f"{TUPLE_DELIM}MENTION OF "),
+            m,
+            F.lit(")"),
+        )
+
+    def rel_rec(a, b):
+        return F.concat(
+            F.lit(f'("relationship"{TUPLE_DELIM}'),
+            a,
+            F.lit(TUPLE_DELIM),
+            b,
+            F.lit(TUPLE_DELIM),
+            a,
+            F.lit(" -> "),
+            b,
+            F.lit(f"{TUPLE_DELIM}1)"),
+        )
+
+    ents = F.transform(arr, ent_rec)
+    # sequence(1, 0) yields a DESCENDING range, so n < 2 must short-circuit
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(arr, i + 1, F.greatest(n - i, F.lit(0))),
+                    lambda b: rel_rec(F.element_at(arr, i), b),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    records = F.concat_ws(
+        RECORD_DELIM, F.concat(ents, pairs, F.array(F.lit(COMPLETION)))
+    )
+    return text_units.select(
+        F.col("id").alias("text_unit_id"),
+        "conv_id",
+        F.when(F.col("chunk").isNull() | (F.col("chunk") == ""), F.lit(COMPLETION))
+        .otherwise(records)
+        .alias("records"),
+    )
+
+
+def emit_records(
+    text_units: DataFrame, backend: ExtractionBackend | None = None
+) -> DataFrame:
+    """TEXT_UNITS → RAW_RECORDS (text_unit_id, conv_id, records) via an
+    Arrow-batched backend UDF (default: deterministic RuleBackend; same
+    seam an LLM backend plugs into)."""
     backend = backend or RuleBackend()
 
     @F.pandas_udf("string")

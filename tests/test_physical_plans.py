@@ -112,3 +112,27 @@ def test_salted_merge_is_two_phase(spark):
     p = plan(merge_nodes(ents))
     # two distinct aggregate key sets: (name, salt) then (name)
     assert "pmod" in p and p.count("HashAggregate") >= 4  # partial+final × 2 phases
+
+
+def test_native_extraction_no_python_and_matches_rule_backend(spark):
+    from knowledge_graph_spark.operators.extract import (
+        RuleBackend,
+        emit_records,
+        emit_records_native,
+    )
+
+    units = spark.createDataFrame(
+        [
+            ("u1", "c1", "USER_1 met ACME in CITY_3 with USER_1 and AGENT_0"),
+            ("u2", "c1", "nothing here"),
+            ("u3", "c2", ""),
+            ("u4", "c2", "SOLO_MENTION"),
+            ("u5", "c2", "A1X B2Y C3Z D4W E5V"),
+        ],
+        "id string, conv_id string, chunk string",
+    )
+    p = plan(emit_records_native(units))
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+    py = {r.text_unit_id: r.records for r in emit_records(units, RuleBackend()).collect()}
+    nat = {r.text_unit_id: r.records for r in emit_records_native(units).collect()}
+    assert py == nat  # byte-identical record streams
