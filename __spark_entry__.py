@@ -260,6 +260,37 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(s["nodes"], s["edges"]).select("title", "community")
 
 
+def _alias_only_map(spark: SparkSession, s: dict[str, DataFrame]) -> DataFrame:
+    """Canonical map from the dictionary alone (SQL-checkable path; the
+    MinHash-LSH variant layers probabilistic pairs on top)."""
+    no_pairs = spark.createDataFrame([], "name_a string, name_b string")
+    return canonical_map(s["nodes"], no_pairs, alias_dict=_alias_df(spark))
+
+
+def q_canonical_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_graph_spark.operators.linking import apply_canonicalization
+
+    s = _stages(spark, sf_dir)
+    cn, _ = apply_canonicalization(s["nodes"], s["edges"], _alias_only_map(spark, s))
+    return cn.select(
+        "title", "type", "description", F.concat_ws(",", "source_id").alias("source_ids")
+    )
+
+
+def q_canonical_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_graph_spark.operators.linking import apply_canonicalization
+
+    s = _stages(spark, sf_dir)
+    _, ce = apply_canonicalization(s["nodes"], s["edges"], _alias_only_map(spark, s))
+    return ce.select(
+        "source",
+        "target",
+        F.col("weight").cast("double").alias("weight"),
+        "description",
+        F.concat_ws(",", "text_unit_ids").alias("text_unit_ids"),
+    )
+
+
 def q_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stages(spark, sf_dir)
     pairs = minhash_candidate_pairs(s["nodes"], name_col="title")
@@ -596,6 +627,45 @@ FROM meta WHERE media_type = 'video'
 """
 
 
+# Alias-only canonicalization CTEs (shared by canonical_nodes/edges):
+# CC over the alias-dictionary edge set — aliases merge THROUGH their
+# canonical form even when it is not itself a node title; canonical
+# cluster id = lexicographic-min member.
+_CANON_CTE = """
+, aedges AS (SELECT upper(alias) AS a, upper(canonical_name) AS b FROM alias_dict),
+asym AS (SELECT a, b FROM aedges UNION SELECT b AS a, a AS b FROM aedges),
+anodes AS (SELECT DISTINCT a AS node FROM asym),
+areach(node, r) AS (
+  SELECT node, node FROM anodes
+  UNION
+  SELECT s.a, areach.r FROM asym s JOIN areach ON s.b = areach.node
+),
+amap AS (SELECT node AS title, min(r) AS canonical FROM areach GROUP BY node),
+cmap AS (
+  SELECT n.title, coalesce(m.canonical, n.title) AS canonical
+  FROM kg_nodes n LEFT JOIN amap m USING (title)
+),
+ctype AS (
+  SELECT c.canonical AS title,
+         coalesce(max(CASE WHEN n.type <> '' THEN n.type END), '') AS type
+  FROM kg_nodes n JOIN cmap c USING (title) GROUP BY c.canonical
+),
+cdesc_agg AS (
+  SELECT canonical AS title,
+         string_agg(DISTINCT d, chr(10) ORDER BY d) AS description
+  FROM (SELECT c.canonical, unnest(string_split(n.description, chr(10))) AS d
+        FROM kg_nodes n JOIN cmap c USING (title))
+  GROUP BY canonical
+),
+csrc_agg AS (
+  SELECT canonical AS title,
+         string_agg(DISTINCT s, ',' ORDER BY s) AS source_ids
+  FROM (SELECT c.canonical, unnest(string_split(n.source_ids, ',')) AS s
+        FROM kg_nodes n JOIN cmap c USING (title))
+  GROUP BY canonical
+)
+"""
+
 # Query-side (read model) constants shared with the oracles.
 RELATED_ENTITY = "ITEM_0"
 SELECTED_ENTITIES = ["USER_0", "ITEM_0", "EVT_CLICK"]
@@ -828,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
         "canonicalization": q_canonicalization,  # rows-only: MinHash-LSH + CC
+        "canonical_nodes": q_canonical_nodes,
+        "canonical_edges": q_canonical_edges,
         "top_entities": q_top_entities,
         "related_entities": q_related_entities,
         "out_network": q_out_network,
@@ -904,6 +976,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS title, min(r) AS component FROM reach GROUP BY node
             """
         ),
+        "canonical_nodes": _oracle(_CANON_CTE + """
+            SELECT t.title, t.type, d.description, s.source_ids
+            FROM ctype t JOIN cdesc_agg d USING (title) JOIN csrc_agg s USING (title)
+            """),
+        "canonical_edges": _oracle(_CANON_CTE + """
+            , cedge AS (
+              SELECT least(coalesce(ms.canonical, e.source),
+                           coalesce(mt.canonical, e.target)) AS source,
+                     greatest(coalesce(ms.canonical, e.source),
+                              coalesce(mt.canonical, e.target)) AS target,
+                     e.weight, e.description, e.text_unit_ids
+              FROM kg_edges e
+              LEFT JOIN cmap ms ON e.source = ms.title
+              LEFT JOIN cmap mt ON e.target = mt.title
+              WHERE coalesce(ms.canonical, e.source) <> coalesce(mt.canonical, e.target)
+            ),
+            ew AS (
+              SELECT source, target, CAST(sum(weight) AS DOUBLE) AS weight
+              FROM cedge GROUP BY source, target
+            ),
+            ed AS (
+              SELECT source, target,
+                     string_agg(DISTINCT d, chr(10) ORDER BY d) AS description
+              FROM (SELECT source, target,
+                           unnest(string_split(description, chr(10))) AS d FROM cedge)
+              GROUP BY source, target
+            ),
+            et AS (
+              SELECT source, target,
+                     string_agg(DISTINCT u, ',' ORDER BY u) AS text_unit_ids
+              FROM (SELECT source, target,
+                           unnest(string_split(text_unit_ids, ',')) AS u FROM cedge)
+              GROUP BY source, target
+            )
+            SELECT w.source, w.target, w.weight, d.description, t.text_unit_ids
+            FROM ew w JOIN ed d USING (source, target) JOIN et t USING (source, target)
+            """),
         "top_entities": _oracle(
             f"""
             , nwd AS (

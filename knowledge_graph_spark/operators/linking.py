@@ -184,11 +184,16 @@ def canonical_map(
                 F.upper("canonical_name").alias("target"),
             )
         )
-    # CC only needs nodes that appear in some edge; isolated names map to
-    # themselves without entering the iteration (cheaper at scale).
-    touched = e.select(F.col("source").alias("title")).unionByName(
-        e.select(F.col("target").alias("title"))
-    ).distinct().join(n, "title", "inner")
+    # CC runs over every name appearing in a similarity/alias edge —
+    # including dictionary canonical forms that are not themselves node
+    # titles, so two aliases of the same canonical name merge THROUGH it
+    # (EVT_CLICK—INTERACTION—EVT_VIEW → one cluster).  Isolated titles
+    # never enter the iteration; the output is restricted to real titles.
+    touched = (
+        e.select(F.col("source").alias("title"))
+        .unionByName(e.select(F.col("target").alias("title")))
+        .distinct()
+    )
     comp = connected_components(touched, e, node_col="title")
     return (
         n.join(comp, "title", "left")

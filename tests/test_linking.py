@@ -84,3 +84,21 @@ def test_alias_dict_feeds_canonicalization(spark):
     got = {r.title: r.canonical for r in mapping.collect()}
     assert got["ACME_CORP"] == "ACME" and got["ACME_CORPORATION"] == "ACME"
     assert got["BOB"] == "BOB"
+
+
+def test_canonical_map_merges_through_dictionary_canonical(spark):
+    """Two aliases of one canonical form merge even when the canonical
+    form never appears as a node title (EVT_CLICK—INTERACTION—EVT_VIEW)."""
+    from knowledge_graph_spark.operators.linking import canonical_map
+
+    nodes = spark.createDataFrame(
+        [("EVT_CLICK",), ("EVT_VIEW",), ("OTHER",)], "title string"
+    )
+    alias = spark.createDataFrame(
+        [("EVT_CLICK", "INTERACTION", 0.9), ("EVT_VIEW", "INTERACTION", 0.9)],
+        "alias string, canonical_name string, score double",
+    )
+    no_pairs = spark.createDataFrame([], "name_a string, name_b string")
+    got = {r.title: r.canonical for r in canonical_map(nodes, no_pairs, alias).collect()}
+    assert got["EVT_CLICK"] == got["EVT_VIEW"] == "EVT_CLICK"  # min member
+    assert got["OTHER"] == "OTHER"

@@ -1,0 +1,89 @@
+"""Structured-Streaming incremental construction tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.io import TableIO
+from knowledge_graph_spark.pipeline import PipelineConfig
+from knowledge_graph_spark.streaming.incremental import (
+    TRANSCRIPT_DDL,
+    run_incremental,
+    turn_counts,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _batch(spark, conv, mentions):
+    rows = [
+        (conv, i, "user", f"{m} met {mentions[0]} here", "", TS + datetime.timedelta(minutes=i))
+        for i, m in enumerate(mentions)
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPT_DDL)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_incremental_fold_two_batches(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(chunk_size=64, chunk_overlap=8, tokenizer="ws")
+
+    _batch(spark, "c1", ["ALPHA", "BETA"]).write.mode("append").parquet(inp)
+    run_incremental(spark, inp, io, ckpt, cfg)
+    nodes1 = {r.title for r in io.read("nodes").collect()}
+    assert {"ALPHA", "BETA"} <= nodes1
+
+    # second file: overlapping entity ALPHA + new GAMMA
+    _batch(spark, "c2", ["ALPHA", "GAMMA"]).write.mode("append").parquet(inp)
+    run_incremental(spark, inp, io, ckpt, cfg)
+    nodes2 = {r.title: r for r in io.read("nodes").collect()}
+    assert {"ALPHA", "BETA", "GAMMA"} <= set(nodes2)
+    # collided node carries the G5 framed description from the union
+    assert "Old Information---" in nodes2["ALPHA"].description
+    # only-old and only-new nodes pass through unframed
+    assert "Old Information---" not in nodes2["BETA"].description
+    assert "Old Information---" not in nodes2["GAMMA"].description
+
+    # re-running with no new files is a no-op (offset log dedups inputs)
+    before = {r.title: r.description for r in io.read("nodes").collect()}
+    run_incremental(spark, inp, io, ckpt, cfg)
+    after = {r.title: r.description for r in io.read("nodes").collect()}
+    assert before == after
+
+
+def test_turn_counts_watermarked_aggregate(spark, tmp_path):
+    inp = str(tmp_path / "stream_in")
+    _batch(spark, "c1", ["A1X", "B2Y", "C3Z"]).write.parquet(inp)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL).parquet(inp)
+    )
+    agg = turn_counts(stream, window="1 hour", watermark="2 hours")
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tc")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode only emits windows the watermark has closed; with a
+    # bounded historical file everything is late → assert the aggregation
+    # plan ran and the watermark column is wired (complete-mode check)
+    q2 = (
+        turn_counts(stream).writeStream.format("memory")
+        .queryName("tc2")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "tc2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = spark.sql("select * from tc2").collect()
+    assert len(rows) == 1 and rows[0].n_turns == 3 and rows[0].n_tool_turns == 0
