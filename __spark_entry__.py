@@ -300,6 +300,16 @@ def q_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 vector path: feature-hash name embeddings + cosine top-k for a
+    fixed query string (rows-only: crc32 feature hashing is not
+    SQL-expressible; ranking behavior is pytest-verified)."""
+    from knowledge_graph_spark.operators.embedding import map_query_to_entities
+
+    s = _stages(spark, sf_dir)
+    return map_query_to_entities(s["nodes"], "user zero activity", k=5)
+
+
 def q_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     c = claims_ops.extract_claims(t, alias_dict=_alias_df(spark))
@@ -904,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_entities": q_related_entities,
         "out_network": q_out_network,
         "community_weight": q_community_weight,
+        "entity_search": q_entity_search,  # rows-only: feature-hash ANN
         "claims": q_claims,
         "summarized_edges": q_summarized_edges,
         "community_reports": q_community_reports,

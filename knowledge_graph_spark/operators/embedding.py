@@ -1,0 +1,81 @@
+"""Entity name embeddings + vector entity mapping (Q1 vector path, S10).
+
+The reference embeds entity descriptions with an external model and
+serves query→entity mapping from a vector store (reference
+query/system_prompt_builder/entity_extraction.py:30-81,
+vectorstore/__init__.py:6-30).  Here the embedding is a deterministic
+char-trigram feature-hashing vector (no model, no network — the same
+seam a real encoder plugs into), and the store is just an embedding
+column: ANN search is `operators/similarity.py` over that column.
+
+Kernel: one numpy pass per Arrow batch — v[crc32(gram) % dim] += 1 over
+char 3-grams of the normalized name, then L2-normalize.  Feature hashing
+is the standard trick when no trained encoder is available; similar
+surface forms share trigram mass, so alias-like names rank close.
+
+Scale: embedding is a narrow map; top-k delegates to the broadcast /
+bucketed ANN operators.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 64
+
+
+def _trigram_vec(name: str, dim: int) -> np.ndarray:
+    if not name or not name.strip():
+        return np.zeros(dim, dtype=np.float64)
+    s = f"  {name.strip().upper()}  "
+    v = np.zeros(dim, dtype=np.float64)
+    for i in range(len(s) - 2):
+        v[zlib.crc32(s[i : i + 3].encode()) % dim] += 1.0
+    n = np.linalg.norm(v)
+    return v / n if n else v
+
+
+def make_name_embedding_udf(dim: int = DEFAULT_DIM):
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(names: pd.Series) -> pd.Series:
+        return names.map(lambda s: [float(x) for x in _trigram_vec(s or "", dim)])
+
+    return embed
+
+
+def with_name_embedding(
+    df: DataFrame, name_col: str = "title", dim: int = DEFAULT_DIM
+) -> DataFrame:
+    return df.withColumn("name_embedding", make_name_embedding_udf(dim)(F.col(name_col)))
+
+
+def map_query_to_entities(
+    nodes: DataFrame,
+    query_text: str,
+    k: int = 5,
+    name_col: str = "title",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """Q1 vector path: embed the query string, cosine top-k over entity
+    name embeddings.  (Empty-query fallback = query.top_entities_by_rank.)"""
+    from .similarity import cosine_topk
+
+    spark = nodes.sparkSession
+    emb = with_name_embedding(nodes, name_col=name_col, dim=dim).select(
+        F.col(name_col).alias("vec_id"), F.col("name_embedding").alias("embedding")
+    )
+    qvec = [float(x) for x in _trigram_vec(query_text, dim)]
+    qdf = spark.createDataFrame(
+        [("__query__", qvec)], "vec_id string, embedding array<float>"
+    )
+    corpus = emb.unionByName(qdf)
+    hits = cosine_topk(corpus, qdf, k=k)
+    return hits.filter(F.col("neighbor_id") != "__query__").select(
+        F.col("neighbor_id").alias(name_col), "sim_micro", "rk"
+    )

@@ -67,4 +67,5 @@ def test_every_query_has_oracle_or_is_declared_iterative():
     rows_only = set(qs) - set(os_)
     # iterative / probabilistic ops are the only permitted rows-only checks
     assert rows_only <= {"communities_lpa", "canonicalization", "minhash_dedup",
-                         "simhash_dedup", "emb_neardup_lsh", "community_hierarchy"}
+                         "simhash_dedup", "emb_neardup_lsh", "community_hierarchy",
+                         "entity_search"}
