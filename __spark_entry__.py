@@ -255,6 +255,16 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(s["nodes"], s["edges"]).select("title", "component")
 
 
+def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 stable-LCC membership (reference graspologic
+    largest_connected_component, utils/graph.py:15-20)."""
+    from knowledge_graph_spark.operators.community import largest_component
+
+    s = _stages(spark, sf_dir)
+    comps = connected_components(s["nodes"], s["edges"])
+    return largest_component(comps).select("title", "component")
+
+
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stages(spark, sf_dir)
     return label_propagation(s["nodes"], s["edges"]).select("title", "community")
@@ -906,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_rank": q_edge_rank,
         "linked_nodes": q_linked_nodes,
         "connected_components": q_components,
+        "largest_component": q_largest_component,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
         "canonicalization": q_canonicalization,  # rows-only: MinHash-LSH + CC
         "canonical_nodes": q_canonical_nodes,
@@ -985,6 +996,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
             )
             SELECT node AS title, min(r) AS component FROM reach GROUP BY node
+            """
+        ),
+        "largest_component": _oracle(
+            """
+            , sym AS (
+              SELECT source AS a, target AS b FROM kg_edges
+              UNION SELECT target AS a, source AS b FROM kg_edges
+            ),
+            reach(node, r) AS (
+              SELECT title, title FROM kg_nodes
+              UNION
+              SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+            ),
+            comp AS (SELECT node AS title, min(r) AS component FROM reach GROUP BY node),
+            top AS (
+              SELECT component FROM comp GROUP BY component
+              ORDER BY count(*) DESC, component LIMIT 1
+            )
+            SELECT c.title, c.component FROM comp c JOIN top USING (component)
             """
         ),
         "canonical_nodes": _oracle(_CANON_CTE + """

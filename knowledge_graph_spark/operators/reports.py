@@ -168,6 +168,126 @@ def render_reports(context: DataFrame, level: int = 0) -> DataFrame:
     ).withColumn("human_readable_id", (F.row_number().over(w) - 1).cast("bigint"))
 
 
+def build_mixed_context(
+    parent_ctx: DataFrame,
+    hierarchy: DataFrame,
+    sub_ctx: DataFrame,
+    sub_reports: DataFrame,
+    max_tokens: int = 8000,
+) -> DataFrame:
+    """R11/R12: when a parent community's local context exceeds the
+    token budget, greedily substitute its largest sub-communities' local
+    contexts with their (shorter) report summaries until the mix fits;
+    if even all-summaries overflows, pack summaries largest-first up to
+    the budget (reference build_mixed_context.py:12-68 /
+    pre_community_report_context.py:22-74, deterministically re-rendered).
+
+    Inputs: parent_ctx/sub_ctx from ``community_local_context``;
+    hierarchy from ``community_hierarchy``; sub_reports from
+    ``render_reports`` on the sub level.  Output: (community,
+    mixed_context, context_tokens, exceeds_budget, n_substituted).
+
+    The greedy fold is a pure function of one community's sub list →
+    Arrow-batched UDF; everything around it is joins keyed on community.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    subs = (
+        hierarchy.select("community", "sub_community")
+        .join(
+            sub_ctx.select(
+                F.col("community").alias("sub_community"),
+                F.col("context_string").alias("sub_context"),
+            ),
+            "sub_community",
+        )
+        .join(
+            sub_reports.select(
+                F.col("community").alias("sub_community"),
+                F.col("summary").alias("sub_summary"),
+            ),
+            "sub_community",
+        )
+    )
+    grouped = subs.groupBy("community").agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub_community", "sub_context", "sub_summary"))
+        ).alias("subs")
+    )
+    joined = parent_ctx.join(grouped, "community", "left")
+
+    out_t = T.StructType(
+        [
+            T.StructField("mixed_context", T.StringType()),
+            T.StructField("context_tokens", T.IntegerType()),
+            T.StructField("exceeds_budget", T.BooleanType()),
+            T.StructField("n_substituted", T.IntegerType()),
+        ]
+    )
+
+    def _wc(s: str) -> int:
+        return len(s.split())
+
+    @F.pandas_udf(out_t)
+    def mix(ctx, subs_col):  # (pd.Series, pd.Series) -> pd.DataFrame[out_t]
+        rows = []
+        for context, sub_list in zip(ctx, subs_col):
+            if context is None:
+                context = ""
+            if _wc(context) <= max_tokens or sub_list is None or len(sub_list) == 0:
+                rows.append((context, _wc(context), _wc(context) > max_tokens, 0))
+                continue
+            parts = [
+                {"id": s["sub_community"], "text": s["sub_context"], "summary": s["sub_summary"]}
+                for s in sub_list
+            ]
+            # substitute largest local contexts first (size desc, id asc)
+            order = sorted(parts, key=lambda p: (-_wc(p["text"]), p["id"]))
+            substituted: set = set()
+
+            def render() -> str:
+                out = []
+                for p in parts:
+                    if p["id"] in substituted:
+                        out.append(f"Report {p['id']}: {p['summary']}")
+                    else:
+                        out.append(p["text"])
+                return "\n".join(out)
+
+            mixed = render()
+            for p in order:
+                if _wc(mixed) <= max_tokens:
+                    break
+                substituted.add(p["id"])
+                mixed = render()
+            if _wc(mixed) > max_tokens:
+                # reports-only fallback, packed until the budget
+                packed, total = [], 0
+                for p in order:
+                    line = f"Report {p['id']}: {p['summary']}"
+                    if total + _wc(line) > max_tokens:
+                        break
+                    packed.append(line)
+                    total += _wc(line)
+                mixed = "\n".join(packed)
+            rows.append(
+                (mixed, _wc(mixed), _wc(mixed) > max_tokens, len(substituted))
+            )
+        return pd.DataFrame(
+            rows, columns=["mixed_context", "context_tokens", "exceeds_budget", "n_substituted"]
+        )
+
+    mixed = joined.withColumn("m", mix(F.col("context_string"), F.col("subs")))
+    return mixed.select(
+        "community",
+        F.col("m.mixed_context").alias("mixed_context"),
+        F.col("m.context_tokens").alias("context_tokens"),
+        F.col("m.exceeds_budget").alias("exceeds_budget"),
+        F.col("m.n_substituted").alias("n_substituted"),
+    )
+
+
 def community_hierarchy(communities_leveled: DataFrame) -> DataFrame:
     """R10: (community, level, sub_community, sub_size) — a next-level
     community is a sub-community iff its node set is contained in the

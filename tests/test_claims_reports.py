@@ -133,3 +133,49 @@ def test_community_hierarchy_containment(spark):
     got = {(r.community, r.sub_community): r.sub_community_size
            for r in R.community_hierarchy(leveled).collect()}
     assert got == {("p", "p/x"): 2, ("p", "p/y"): 1}
+
+
+def test_build_mixed_context(spark):
+    """R11/R12: oversized parent context substitutes largest sub-contexts
+    with report summaries; reports-only fallback when still over."""
+    big = " ".join(["w"] * 40)
+    small = " ".join(["s"] * 5)
+    parent_ctx = spark.createDataFrame(
+        [("p", f"{big} {big}"), ("q", small)], "community string, context_string string"
+    )
+    hierarchy = spark.createDataFrame(
+        [("p", 0, "p/x", 2), ("p", 0, "p/y", 1)],
+        "community string, level int, sub_community string, sub_community_size int",
+    )
+    sub_ctx = spark.createDataFrame(
+        [("p/x", big), ("p/y", small)], "community string, context_string string"
+    )
+    sub_reports = spark.createDataFrame(
+        [("p/x", "x summary"), ("p/y", "y summary")], "community string, summary string"
+    )
+    from knowledge_graph_spark.operators.reports import build_mixed_context
+
+    # budget 50: parent (80 tok) overflows → rebuilt from sub contexts
+    # (40 + 5 = 45) which already fits; no substitution needed
+    got = {r.community: r for r in build_mixed_context(
+        parent_ctx, hierarchy, sub_ctx, sub_reports, max_tokens=50
+    ).collect()}
+    assert got["q"].n_substituted == 0 and not got["q"].exceeds_budget
+    assert got["p"].n_substituted == 0 and got["p"].context_tokens == 45
+
+    # budget 30: sub mix (45) overflows → largest sub swapped for its
+    # 4-token report line; the small sub stays verbatim
+    p = {r.community: r for r in build_mixed_context(
+        parent_ctx, hierarchy, sub_ctx, sub_reports, max_tokens=30
+    ).collect()}["p"]
+    assert p.n_substituted == 1
+    assert "Report p/x: x summary" in p.mixed_context
+    assert small in p.mixed_context
+    assert not p.exceeds_budget and p.context_tokens <= 30
+
+    # budget 5: even all-summaries (8 tok) overflow → reports-only packing
+    p2 = {r.community: r for r in build_mixed_context(
+        parent_ctx, hierarchy, sub_ctx, sub_reports, max_tokens=5
+    ).collect()}["p"]
+    assert p2.mixed_context.startswith("Report p/")
+    assert p2.context_tokens <= 5
