@@ -24,9 +24,15 @@ uses max_by over an explicit (conv_id, text_unit_id, rec_idx) record
 ordinal, so results are independent of shuffle order.
 
 Scale: the name groupBy is Zipf-skewed (hot entities appear in most turns).
-``merge_nodes`` therefore aggregates in TWO phases — a salted partial
-aggregation then a final merge — so no single reducer receives a hot key's
-entire row stream; AQE skew handling covers the joins.
+Default merge is the salted two-phase (north-star strategy); fair A/B at
+local[32] (tools/bench_skew.py, warmed, best-of-2) puts it within ~1.4×
+of the single-phase `merge_nodes_single` in either direction depending on
+provenance cardinality — Spark's map-side partial collect_set already
+combines hot keys per input partition, so the salt's remaining value is
+splitting the hot key's shuffle fan-in on real clusters.  The hot-key
+MEMORY lever is ``max_source_ids`` (provenance cap) since the final
+per-key set materializes on one reducer under either strategy; AQE skew
+handling covers the join side.
 """
 
 from __future__ import annotations
@@ -104,18 +110,68 @@ def _ordinal() -> Column:
     return F.struct(F.col("conv_id"), F.col("text_unit_id"), F.col("rec_idx"))
 
 
-def merge_nodes(entities: DataFrame, auto_nodes: DataFrame | None = None) -> DataFrame:
-    """Dedup entities by name with the reference merge semantics.
+def merge_nodes_single(
+    entities: DataFrame,
+    auto_nodes: DataFrame | None = None,
+    max_source_ids: int | None = None,
+) -> DataFrame:
+    """Single-groupBy variant of merge_nodes (one shuffle).
 
-    Two-phase (salted) aggregation: phase 1 groups on (name, salt) so hot
-    names partial-aggregate across N_SALTS reducers; phase 2 merges the
-    partials.  ``auto_nodes`` are relationship endpoints never declared as
-    entities (empty type/description, reference :253-266).
-    """
+    Spark's ObjectHashAggregate partial-aggregates collect_set map-side,
+    so this is within ~1.4× of the salted default either way at local
+    scale (tools/bench_skew.py; which side wins depends on provenance
+    cardinality).  Kept as the A/B arm and for pipelines that prefer the
+    simpler plan.  ``max_source_ids`` caps the provenance list — the
+    lever that actually bounds hot-key reducer memory under EITHER
+    strategy."""
     base = entities.select("name", "type", "description", "source_id", "ord")
     if auto_nodes is not None:
         base = base.unionByName(auto_nodes)
 
+    merged = base.groupBy("name").agg(
+        F.array_sort(F.collect_set("description")).alias("descs"),
+        F.array_sort(F.collect_set("source_id")).alias("sids"),
+        F.max(F.when(F.col("type") != "", F.struct("ord", "type"))).alias("last_type"),
+    )
+    sids = F.col("sids") if max_source_ids is None else F.slice("sids", 1, max_source_ids)
+    merged = merged.withColumn("source_id", sids)
+    return merged.select(
+        F.col("name").alias("title"),
+        F.coalesce(F.col("last_type.type"), F.lit("")).alias("type"),
+        # drop empty descriptions contributed by auto-created endpoints when
+        # a real description exists; join like the reference ("\n")
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.size(F.filter(F.col("descs"), lambda d: d != F.lit(""))) > 0,
+                F.filter(F.col("descs"), lambda d: d != F.lit("")),
+            ).otherwise(F.col("descs")),
+        ).alias("description"),
+        "source_id",
+    )
+
+
+def merge_nodes(
+    entities: DataFrame,
+    auto_nodes: DataFrame | None = None,
+    max_source_ids: int | None = None,
+) -> DataFrame:
+    """Dedup entities by name with the reference merge semantics
+    (default: salted two-phase, the north-star skew strategy).
+
+    Phase 1 groups on (name, salt) so a hot name's row stream spreads
+    across N_SALTS reducers; phase 2 merges the partials.  Fair A/B
+    (tools/bench_skew.py, warmed, best-of-2, 16M rows / 50%-hot key):
+    salted 2.4s vs single-phase 3.4s with repeated provenance ids, and
+    2.5s vs 1.9s with unique ids — a wash locally because Spark already
+    partial-aggregates map-side; on a real cluster the salt additionally
+    splits the hot key's shuffle fan-in across reducers (straggler/
+    network-hotspot control).  ``max_source_ids`` caps the provenance
+    list — the lever that bounds final per-key reducer memory under
+    either strategy."""
+    base = entities.select("name", "type", "description", "source_id", "ord")
+    if auto_nodes is not None:
+        base = base.unionByName(auto_nodes)
     salted = base.withColumn("salt", F.pmod(F.xxhash64("source_id"), F.lit(N_SALTS)))
     partial = salted.groupBy("name", "salt").agg(
         F.collect_set("description").alias("descs"),
@@ -124,14 +180,14 @@ def merge_nodes(entities: DataFrame, auto_nodes: DataFrame | None = None) -> Dat
     )
     merged = partial.groupBy("name").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("descs")))).alias("descs"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sids")))).alias("source_id"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("sids")))).alias("sids"),
         F.max("last_type").alias("last_type"),
     )
+    sids = F.col("sids") if max_source_ids is None else F.slice("sids", 1, max_source_ids)
+    merged = merged.withColumn("source_id", sids)
     return merged.select(
         F.col("name").alias("title"),
         F.coalesce(F.col("last_type.type"), F.lit("")).alias("type"),
-        # drop empty descriptions contributed by auto-created endpoints when
-        # a real description exists; join like the reference ("\n")
         F.concat_ws(
             "\n",
             F.when(

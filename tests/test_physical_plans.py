@@ -99,19 +99,35 @@ def test_out_network_broadcasts_selection(spark):
     assert "BroadcastHashJoin" in p
 
 
-def test_salted_merge_is_two_phase(spark):
-    """merge_nodes must aggregate twice (salt partial → final) so hot
-    entity names never funnel into a single reducer."""
-    from knowledge_graph_spark.operators.parse import merge_nodes
+def test_merge_strategies_plans_and_equality(spark):
+    """Default merge is the salted two-phase (north-star strategy, two
+    grouping key sets); the single-phase variant partial-aggregates
+    map-side in one shuffle; both must produce identical results
+    (including the provenance cap)."""
+    from knowledge_graph_spark.operators.parse import merge_nodes, merge_nodes_single
 
     ents = spark.createDataFrame(
-        [("A", "T", "d", "s", ("c", "u", 0))],
+        [
+            ("A", "T", "d1", "s1", ("c", "u1", 0)),
+            ("A", "T", "d2", "s2", ("c", "u2", 0)),
+            ("B", "", "", "s1", ("c", "u1", 1)),
+        ],
         "name string, type string, description string, source_id string, "
         "ord struct<conv_id:string,text_unit_id:string,rec_idx:int>",
     )
-    p = plan(merge_nodes(ents))
-    # two distinct aggregate key sets: (name, salt) then (name)
-    assert "pmod" in p and p.count("HashAggregate") >= 4  # partial+final × 2 phases
+    p_default = plan(merge_nodes(ents))
+    assert "pmod" in p_default and p_default.count("ObjectHashAggregate") == 4
+    p_single = plan(merge_nodes_single(ents))
+    # partial + final of one grouping -> exactly 2 ObjectHashAggregate nodes
+    assert p_single.count("ObjectHashAggregate") == 2
+    assert "pmod" not in p_single
+
+    def norm(df):
+        return sorted((r.title, r.type, r.description, tuple(r.source_id)) for r in df.collect())
+
+    assert norm(merge_nodes(ents)) == norm(merge_nodes_single(ents))
+    capped = {r.title: r.source_id for r in merge_nodes(ents, max_source_ids=1).collect()}
+    assert capped["A"] == ["s1"]  # first K of the sorted provenance set
 
 
 def test_native_extraction_no_python_and_matches_rule_backend(spark):
