@@ -68,23 +68,26 @@ def _alias_df(spark: SparkSession) -> DataFrame:
     )
 
 
-_STAGE_CACHE: dict[str, dict[str, DataFrame]] = {}
+_STAGE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Pipeline stages for sf_dir, memoized per process with the hub tables
-    persisted — the driver runs many queries() over the same stages, and
-    recomputing extraction per query would dominate the gate's wall clock."""
-    if sf_dir not in _STAGE_CACHE:
+    """Pipeline stages for sf_dir, memoized per (session, sf_dir) with the
+    hub tables persisted — the driver runs many queries() over the same
+    stages, and recomputing extraction per query would dominate the
+    gate's wall clock.  Keyed by applicationId so a fresh SparkSession
+    (whose cached DataFrames would be dead) never sees stale entries."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGE_CACHE:
         t = transcripts_from_events(spark, sf_dir)
         stages = build_graph(t, ENTRY_CFG)
         # raw_records is the expensive intermediate (the extraction UDF);
         # nodes and edges both branch off it, so an unpersisted plan runs
         # extraction twice.  text_units backs the mentions/chunk queries.
-        for key in ("text_units", "raw_records", "nodes", "edges"):
-            stages[key] = stages[key].persist()
-        _STAGE_CACHE[sf_dir] = stages
-    return _STAGE_CACHE[sf_dir]
+        for skey in ("text_units", "raw_records", "nodes", "edges"):
+            stages[skey] = stages[skey].persist()
+        _STAGE_CACHE[key] = stages
+    return _STAGE_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

@@ -125,7 +125,14 @@ def main(argv=None) -> dict:
     )
     edges_final = runner.run(
         "edges_final",
-        lambda: with_edge_ids(with_edge_rank(edges, degrees)),
+        lambda: with_edge_ids(
+            summarize_descriptions(
+                with_edge_rank(edges, degrees).withColumn(
+                    "pair", F.concat_ws("->", "source", "target")
+                ),
+                title_col="pair",
+            ).drop("pair")
+        ),
         inputs=["edges", "degrees"],
     )
     communities = runner.run(
