@@ -40,7 +40,10 @@ from knowledge_graph_spark.io import TableIO  # noqa: E402
 from knowledge_graph_spark.operators.assemble import assemble_conversations  # noqa: E402
 from knowledge_graph_spark.operators.chunk import split_text_units  # noqa: E402
 from knowledge_graph_spark.operators.claims import extract_claims  # noqa: E402
-from knowledge_graph_spark.operators.community import label_propagation  # noqa: E402
+from knowledge_graph_spark.operators.community import (  # noqa: E402
+    hierarchical_lpa,
+    label_propagation,
+)
 from knowledge_graph_spark.operators.extract import emit_records  # noqa: E402
 from knowledge_graph_spark.operators.graphops import (  # noqa: E402
     node_degrees,
@@ -50,6 +53,8 @@ from knowledge_graph_spark.operators.graphops import (  # noqa: E402
 )
 from knowledge_graph_spark.operators.parse import parse_and_merge  # noqa: E402
 from knowledge_graph_spark.operators.reports import (  # noqa: E402
+    claim_context,
+    community_hierarchy,
     community_local_context,
     edge_context,
     node_context,
@@ -69,6 +74,7 @@ def parse_args(argv=None):
     p.add_argument("--chunk-size", type=int, default=1200)
     p.add_argument("--chunk-overlap", type=int, default=100)
     p.add_argument("--tokenizer", default="auto")
+    p.add_argument("--max-cluster-size", type=int, default=10)  # reference leiden.py:13
     p.add_argument("--force", action="store_true", help="ignore existing checkpoints")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -140,20 +146,30 @@ def main(argv=None) -> dict:
         lambda: label_propagation(nodes, edges),
         inputs=["nodes", "edges"],
     )
+    communities_leveled = runner.run(
+        "communities_leveled",
+        lambda: hierarchical_lpa(nodes, edges, max_cluster_size=args.max_cluster_size),
+        inputs=["nodes", "edges"],
+    )
+    hierarchy = runner.run(
+        "community_hierarchy",
+        lambda: community_hierarchy(communities_leveled),
+        inputs=["communities_leveled"],
+    )
     claims = runner.run(
         "claims", lambda: extract_claims(transcripts), inputs=[]
     )
+    comm_flat = communities.select("title", "community")
     reports = runner.run(
         "community_reports",
         lambda: render_reports(
             community_local_context(
-                node_context(nodes, degrees, communities.select("title", "community")),
-                edge_context(
-                    with_edge_rank(edges, degrees), communities.select("title", "community")
-                ),
+                node_context(nodes, degrees, comm_flat),
+                edge_context(with_edge_rank(edges, degrees), comm_flat),
+                claims_ctx=claim_context(claims, comm_flat),
             )
         ),
-        inputs=["nodes", "edges", "degrees", "communities"],
+        inputs=["nodes", "edges", "degrees", "communities", "claims"],
     )
 
     summary = {

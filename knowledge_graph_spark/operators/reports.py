@@ -75,8 +75,21 @@ def get_levels(communities: DataFrame) -> list[int]:
     ]
 
 
+def claim_context(claims: DataFrame, communities: DataFrame) -> DataFrame:
+    """R4: claims stamped with their subject entity's community
+    (reference community_claims.py:17-43 builds claim_details per
+    community; membership is by subject)."""
+    m = communities.select(F.col("title").alias("subject_id"), "community")
+    return claims.join(m, "subject_id").select(
+        "community", "subject_id", "object_id", "claim_type", "status", "description"
+    )
+
+
 def community_local_context(
-    nodes_ctx: DataFrame, edges_ctx: DataFrame, top_k: int = DEFAULT_TOP_K
+    nodes_ctx: DataFrame,
+    edges_ctx: DataFrame,
+    top_k: int = DEFAULT_TOP_K,
+    claims_ctx: DataFrame | None = None,
 ) -> DataFrame:
     """R7/R8: per community, rendered context of the top-K entities
     (degree desc, title) and top-K edges (rank desc, source, target) in
@@ -116,22 +129,56 @@ def community_local_context(
         F.sum("weight").cast("double").alias("weight_mass"),
         F.count("*").cast("int").alias("n_edges"),
     )
-    ctx = (
+    joined = (
         sizes.join(ent_block, "community", "left")
         .join(edge_block, "community", "left")
         .join(mass, "community", "left")
-        .select(
-            "community",
-            "n_entities",
-            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
-            F.coalesce("weight_mass", F.lit(0.0)).alias("weight_mass"),
-            F.concat(
-                F.lit("-----Entities-----\ntitle,type,degree\n"),
-                F.coalesce("entity_rows", F.lit("")),
-                F.lit("\n-----Relationships-----\nsource,target,rank\n"),
-                F.coalesce("edge_rows", F.lit("")),
-            ).alias("context_string"),
+    )
+    claim_block_col = F.lit("")
+    if claims_ctx is not None:
+        wc = Window.partitionBy("community").orderBy(
+            F.asc("subject_id"), F.asc("claim_type"), F.asc("object_id")
         )
+        top_claims = claims_ctx.withColumn("rk", F.row_number().over(wc)).filter(
+            F.col("rk") <= top_k
+        )
+        claim_block = top_claims.groupBy("community").agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rk"),
+                                F.col("subject_id"),
+                                F.col("claim_type"),
+                                F.col("object_id"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ",", s["subject_id"], s["claim_type"], s["object_id"]
+                    ),
+                ),
+            ).alias("claim_rows"),
+        )
+        joined = joined.join(claim_block, "community", "left")
+        claim_block_col = F.concat(
+            F.lit("\n-----Claims-----\nsubject,type,object\n"),
+            F.coalesce("claim_rows", F.lit("")),
+        )
+    ctx = joined.select(
+        "community",
+        "n_entities",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.coalesce("weight_mass", F.lit(0.0)).alias("weight_mass"),
+        F.concat(
+            F.lit("-----Entities-----\ntitle,type,degree\n"),
+            F.coalesce("entity_rows", F.lit("")),
+            F.lit("\n-----Relationships-----\nsource,target,rank\n"),
+            F.coalesce("edge_rows", F.lit("")),
+            claim_block_col,
+        ).alias("context_string"),
     )
     return ctx
 

@@ -179,3 +179,26 @@ def test_build_mixed_context(spark):
     ).collect()}["p"]
     assert p2.mixed_context.startswith("Report p/")
     assert p2.context_tokens <= 5
+
+
+def test_claim_context_block(spark, graph):
+    nodes, edges, comm = graph
+    deg = node_degrees(edges)
+    claims = spark.createDataFrame(
+        [("A", "X", "EVT_CLICK", "TRUE", "did click"),
+         ("D", "Y", "EVT_VIEW", "TRUE", "did view")],
+        "subject_id string, object_id string, claim_type string, status string, description string",
+    )
+    cctx = R.claim_context(claims, comm)
+    got = {r.community: r for r in cctx.collect()}
+    assert got["g1"].subject_id == "A" and got["g2"].subject_id == "D"
+    ctx = R.community_local_context(
+        R.node_context(nodes, deg, comm),
+        R.edge_context(with_edge_rank(edges, deg), comm),
+        claims_ctx=cctx,
+    )
+    rows = {r.community: r.context_string for r in ctx.collect()}
+    assert "-----Claims-----" in rows["g1"]
+    assert "A,EVT_CLICK,X" in rows["g1"]
+    assert "D,EVT_VIEW,Y" in rows["g2"]
+    assert "A,EVT_CLICK,X" not in rows["g2"]
