@@ -55,6 +55,42 @@ class TableIO:
             return self.spark.read.format("iceberg").load(self._ident(name))
         return self.spark.read.parquet(self.path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        n_buckets: int = 64,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed materialization for shuffle-free co-located joins.
+
+        The node/edge tables are repeatedly joined on entity name
+        (degrees, rank, communities, canonicalization).  Bucketing both
+        sides by the join key at write time lets every later equi-join
+        skip its Exchange entirely (asserted in
+        tests/test_physical_plans.py).  Iceberg path: bucket partition
+        transform (storage-partitioned joins); parquet path: Spark
+        managed bucketed table (bucketBy requires saveAsTable)."""
+        if self.catalog:
+            from pyspark.sql import functions as F
+
+            (
+                df.writeTo(self._ident(name))
+                .using("iceberg")
+                .partitionedBy(F.bucket(n_buckets, F.col(bucket_cols[0])))
+                .createOrReplace()
+            )
+            return
+        w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        w.option("path", self.path(name)).saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        return self.spark.table(name) if not self.catalog else self.read(name)
+
     def exists(self, name: str) -> bool:
         if self.catalog:
             return self.spark.catalog.tableExists(self._ident(name))

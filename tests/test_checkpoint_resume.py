@@ -89,3 +89,32 @@ def test_job_driver_end_to_end_and_resume(spark, tmp_path):
     assert not s2["computed"]
     assert set(s2["skipped"]) == set(s1["computed"])
     assert s2["rows"] == s1["rows"]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed by the join key → the equi-join plan contains
+    no Exchange (the co-located-join strategy for node/edge tables)."""
+    io = TableIO(spark, base=str(tmp_path / "bwh"))
+    nodes = spark.range(1000).select(
+        F.concat(F.lit("E"), F.col("id")).alias("title"), (F.col("id") % 7).alias("v")
+    )
+    degrees = spark.range(1000).select(
+        F.concat(F.lit("E"), F.col("id")).alias("title"), (F.col("id") % 5).alias("degree")
+    )
+    io.write_bucketed(nodes, "bt_nodes", ["title"], n_buckets=8, sort_cols=["title"])
+    io.write_bucketed(degrees, "bt_degrees", ["title"], n_buckets=8, sort_cols=["title"])
+    try:
+        # force sort-merge (the at-scale strategy; broadcast would hide
+        # the shuffle question entirely) and assert no shuffle Exchange
+        joined = (
+            io.read_bucketed("bt_nodes")
+            .hint("merge")
+            .join(io.read_bucketed("bt_degrees"), "title")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_nodes")
+        spark.sql("DROP TABLE IF EXISTS bt_degrees")
