@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .extract import RECORD_DELIM, TUPLE_DELIM
+from .extract import TUPLE_DELIM
 
 # Deterministic claim rule over the planted transcript grammar
 # ("USER_x saw EVT_y on ITEM_z ..."), the claims-stage analogue of the

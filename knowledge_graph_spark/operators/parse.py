@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import clean_str_col, strip_outer_parens
-from .extract import COMPLETION, RECORD_DELIM, TUPLE_DELIM
+from .extract import COMPLETION, RECORD_DELIM
 
 _TUPLE_SPLIT = r"<\|>"  # regex-escaped TUPLE_DELIM
 N_SALTS = 16
