@@ -126,11 +126,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # pointer doubling (path shortcut): comp := comp's comp.  Plain
+        # min-label propagation needs O(diameter) rounds — a chain of n
+        # nodes takes n rounds; with the shortcut label chains halve each
+        # round, so convergence is O(log diameter) shuffles (the trick
+        # behind large/small-star CC).
+        parent = stepped.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
         new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            stepped.join(parent, stepped["comp"] == parent["p_node"], "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("p_comp", "comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )

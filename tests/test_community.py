@@ -94,3 +94,29 @@ def test_apply_clustering(spark, graph):
     stamped = apply_clustering(nodes, comm, level=0)
     rows = {r.title: (r.community, r.level) for r in stamped.collect()}
     assert rows["a"][1] == 0 and rows["a"][0] is not None
+
+
+def test_distributed_cc_pointer_doubling_on_chain(spark):
+    """A 120-node chain has diameter 119; min-label alone would need 119
+    rounds (> max_iter) — the pointer-doubling shortcut must converge
+    within max_iter=12 and still match the local union-find result."""
+    from knowledge_graph_spark.operators.community import connected_components
+
+    n = 120
+    nodes = spark.createDataFrame([(f"N{i:04d}",) for i in range(n)], "title string")
+    edges = spark.createDataFrame(
+        [(f"N{i:04d}", f"N{i + 1:04d}") for i in range(n - 1)],
+        "source string, target string",
+    )
+    dist = {
+        r.title: r.component
+        for r in connected_components(
+            nodes, edges, max_iter=12, local_threshold=0
+        ).collect()
+    }
+    assert set(dist.values()) == {"N0000"}  # one component, min label
+    local = {
+        r.title: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert dist == local
