@@ -429,6 +429,16 @@ def q_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup resolution: CC over the n-gram Jaccard pair graph →
+    canonical survivor per cluster."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD)
+    return dedup.dedup_clusters(docs, pairs).select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_doc_pairs(_docs(spark, sf_dir), threshold=NGRAM_THRESHOLD)
 
@@ -936,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,  # rows-only: probabilistic LSH
         "simhash_dedup": q_simhash_dedup,  # rows-only: probabilistic LSH
         "emb_topk": q_emb_topk,
@@ -1150,6 +1161,47 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": _TEXT_PROFILE_SQL,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
+        "dedup_clusters": f"""
+WITH RECURSIVE dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[ci+1 : ci+{NGRAM_N}], ' ') AS gram
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {NGRAM_N} THEN 0
+                                           ELSE len(t) - {NGRAM_N} + 1 END)) AS u(ci)
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 1000),
+posting AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dpairs AS (
+  SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
+         lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE)
+        >= {NGRAM_THRESHOLD}
+),
+dsym AS (SELECT a, b FROM dpairs UNION SELECT b AS a, a AS b FROM dpairs),
+dnodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS node FROM documents),
+dreach(node, r) AS (
+  SELECT node, node FROM dnodes
+  UNION
+  SELECT s.a, dreach.r FROM dsym s JOIN dreach ON s.b = dreach.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(r) AS BIGINT) AS canonical_id,
+       node <> min(r) AS is_duplicate
+FROM dreach GROUP BY node
+""",
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,

@@ -123,6 +123,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup RESOLUTION: connected components over the pair graph →
+    (doc_id, canonical_id, is_duplicate).  Canonical survivor = min id in
+    the cluster; docs outside any pair map to themselves.  This is the
+    step that turns pair detection (exact/ngram/MinHash/SimHash) into an
+    actionable keep/drop decision at corpus scale."""
+    from .community import connected_components
+
+    # zero-pad ids so lexicographic min-label == numeric min survivor
+    def pad(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    ids = docs.select(pad(F.col(id_col)).alias("title")).distinct()
+    edges = pairs.select(
+        pad(F.col("id_a")).alias("source"), pad(F.col("id_b")).alias("target")
+    )
+    comp = connected_components(ids, edges)
+    return comp.select(
+        F.col("title").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical_id"),
+        (F.col("title") != F.col("component")).alias("is_duplicate"),
+    )
+
+
 def minhash_doc_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -152,3 +152,14 @@ def test_decode_stub_seam_raises(spark, docs):
     media = multimodal.attach_payload(docs.limit(1))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         multimodal.extract_media_meta(media, decode_stub=False).collect()
+
+
+def test_dedup_clusters_resolution(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    got = {r.doc_id: r for r in dedup.dedup_clusters(docs, pairs).collect()}
+    # docs 0/1/2 form one near-dup cluster → canonical 0; 3,4,5 standalone
+    assert got[0].canonical_id == 0 and not got[0].is_duplicate
+    assert got[1].canonical_id == 0 and got[1].is_duplicate
+    assert got[2].canonical_id == 0 and got[2].is_duplicate
+    for i in (3, 4, 5):
+        assert got[i].canonical_id == i and not got[i].is_duplicate
