@@ -21,8 +21,20 @@ from knowledge_graph_spark.synth import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
 # Fast representative subset — every stage family: SQL derivation, window
-# assembly, chunk UDF, parse/merge, degree joins, recursive-CTE CC.
-CHECK = ["conv_docs", "text_units", "kg_nodes", "kg_edges", "edge_rank", "connected_components"]
+# assembly, chunk UDF, parse/merge, degree joins, recursive-CTE CC,
+# claims chain, alias canonicalization, dedup resolution, embeddings.
+CHECK = [
+    "conv_docs",
+    "text_units",
+    "kg_nodes",
+    "kg_edges",
+    "edge_rank",
+    "connected_components",
+    "claims",
+    "canonical_nodes",
+    "dedup_clusters",
+    "emb_topk",
+]
 
 
 @pytest.fixture(scope="module")
