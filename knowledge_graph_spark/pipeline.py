@@ -54,6 +54,14 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     run_communities: bool = False
     lpa_max_iter: int = 10
+    # explicit repartition width before the Python-UDF stages; None →
+    # spark.sql.shuffle.partitions.  MEASURED NECESSITY, not ritual: AQE
+    # coalesces the post-assembly shuffle by BYTE size, and conversation
+    # text is small in bytes but expensive per row in the chunk/extract
+    # UDFs — without this the 4M-turn scaling run collapsed to ~3 tasks
+    # and showed ZERO speedup from 8→32 cores.  An explicit repartition
+    # is exempt from AQE coalescing, so UDF parallelism tracks cores.
+    extract_partitions: int | None = None
 
 
 def build_graph(
@@ -66,7 +74,12 @@ def build_graph(
     cfg = config or PipelineConfig()
     out: dict[str, DataFrame] = {}
 
-    out["conv_docs"] = assemble_conversations(transcripts)
+    n_part = cfg.extract_partitions or int(
+        transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out["conv_docs"] = assemble_conversations(transcripts).repartition(
+        n_part, F.hash("conv_id")
+    )
     out["text_units"] = split_text_units(
         out["conv_docs"], size=cfg.chunk_size, overlap=cfg.chunk_overlap, tokenizer=cfg.tokenizer
     )
