@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,20 +60,33 @@ class StageRunner:
     def __init__(self, io: TableIO, fingerprint: bool = True):
         self.io = io
         self.fingerprint = fingerprint
-        self._manifest_dir = Path(io.base) / "_manifests"
-        self._manifest_dir.mkdir(parents=True, exist_ok=True)
         self.computed: list[str] = []
         self.skipped: list[str] = []
 
-    def _manifest_path(self, name: str) -> Path:
-        return self._manifest_dir / f"{name}.json"
+    def _manifest_rel(self, name: str) -> str:
+        # through the table Hadoop FS, so manifests live next to the data
+        # on any scheme (file://, hdfs://, s3a://) — pathlib would mangle
+        # URIs and strand them on the driver's local disk
+        return f"_manifests/{name}.json"
 
     def manifest(self, name: str) -> dict | None:
-        p = self._manifest_path(name)
-        return json.loads(p.read_text()) if p.exists() else None
+        text = self.io.read_text(self._manifest_rel(name))
+        return json.loads(text) if text is not None else None
 
-    def is_done(self, name: str) -> bool:
-        return self._manifest_path(name).exists() and self.io.exists(name)
+    def is_done(self, name: str, inputs: list[str] | None = None) -> bool:
+        """Manifest + table present AND recorded input fingerprints still
+        match the current upstream manifests — so recomputing an upstream
+        stage (changed input, selective --force) invalidates downstream
+        checkpoints instead of silently serving stale outputs."""
+        m = self.manifest(name)
+        if m is None or not self.io.exists(name):
+            return False
+        stored = m.get("inputs", {})
+        for i in inputs or []:
+            cur = (self.manifest(i) or {}).get("fingerprint")
+            if stored.get(i) != cur:
+                return False
+        return True
 
     def run(
         self,
@@ -83,7 +95,7 @@ class StageRunner:
         inputs: list[str] | None = None,
         partition_by: list[str] | None = None,
     ) -> DataFrame:
-        if self.is_done(name):
+        if self.is_done(name, inputs):
             self.skipped.append(name)
             return self.io.read(name)
         df = make()
@@ -100,6 +112,6 @@ class StageRunner:
             "schema": out.schema.simpleString(),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        self._manifest_path(name).write_text(json.dumps(manifest, indent=1))
+        self.io.write_text(self._manifest_rel(name), json.dumps(manifest, indent=1))
         self.computed.append(name)
         return out

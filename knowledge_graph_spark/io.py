@@ -100,3 +100,48 @@ class TableIO:
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(self.path(name))
         return p.getFileSystem(conf).exists(p)
+
+    # -- small-file IO through the same Hadoop FS as the tables ----------
+    # Manifests/markers must live NEXT TO the data on any scheme; pathlib
+    # would mangle URIs (s3a://bucket → s3a:/bucket) and silently write to
+    # the driver's local disk.
+
+    def _fs_path(self, relpath: str):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.base}/{relpath}")
+        return p.getFileSystem(conf), p
+
+    def write_text(self, relpath: str, text: str) -> None:
+        fs, p = self._fs_path(relpath)
+        out = fs.create(p, True)  # overwrite
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, relpath: str) -> str | None:
+        fs, p = self._fs_path(relpath)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            jvm = self.spark.sparkContext._jvm
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def text_exists(self, relpath: str) -> bool:
+        fs, p = self._fs_path(relpath)
+        return fs.exists(p)
+
+    def delete(self, name: str) -> None:
+        """Drop a table (best-effort; used for version GC)."""
+        if self.catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+            return
+        fs, p = self._fs_path(name)
+        if fs.exists(p):
+            fs.delete(p, True)

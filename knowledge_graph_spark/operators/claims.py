@@ -134,10 +134,12 @@ def merge_claims(claims: DataFrame) -> DataFrame:
 
 
 def finalize_claims(merged: DataFrame) -> DataFrame:
-    """V5: deterministic ids — content hash + rank in subject order."""
-    w = Window.orderBy("subject_id")
-    return merged.withColumn("id", F.sha2(F.col("subject_id"), 256)).withColumn(
-        "human_readable_id", (F.row_number().over(w) - 1).cast("bigint")
+    """V5: deterministic ids — content hash + rank in subject order via
+    the two-phase global index (no single-partition window)."""
+    from .graphops import with_global_index
+
+    return with_global_index(
+        merged.withColumn("id", F.sha2(F.col("subject_id"), 256)), ["subject_id"]
     )
 
 

@@ -52,26 +52,55 @@ def with_edge_rank(edges: DataFrame, degrees: DataFrame) -> DataFrame:
     )
 
 
+def with_global_index(
+    df: DataFrame, order_cols: list, out_col: str = "human_readable_id"
+) -> DataFrame:
+    """0-based dense global index in (order_cols) order WITHOUT a
+    single-partition window — the two-phase pattern:
+
+    1. range-partition on the order key, local ``row_number`` per
+       partition (parallel);
+    2. per-partition counts → cumulative offsets (a window over
+       #partitions rows — trivially small) broadcast back.
+
+    global_index = offset(partition) + local_rank − 1.  The result is
+    identical to ``row_number() over (order by …)`` for any unique order
+    key, independent of where the range boundaries fall, so the output is
+    hash-stable across runs and cluster sizes — but no stage funnels the
+    whole table through one task (asserted in test_physical_plans.py).
+    """
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = ranged.withColumn("__local", F.row_number().over(w_local).cast("long"))
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__local") - 1)
+        .drop("__pid", "__local", "__off")
+    )
+
+
 def with_node_ids(nodes: DataFrame) -> DataFrame:
     """Deterministic id = sha2(title); human_readable_id = rank in stable
-    name order (reference G8 enumerate-after-stable-sort semantics).
-
-    Note: the global row_number needs a total order; at 10^12-turn scale the
-    node table is ~|entities| (millions, not trillions), so a single-pass
-    window over the sorted node table is acceptable; zipWithIndex-style
-    two-phase numbering is the fallback if |V| ever outgrows one stage.
-    """
-    w = Window.orderBy("title")
-    return nodes.withColumn("id", F.sha2(F.col("title"), 256)).withColumn(
-        "human_readable_id", F.row_number().over(w).cast("long") - 1
+    name order (reference G8 enumerate-after-stable-sort semantics) via
+    the two-phase global index — no single-partition Exchange even when
+    |V| reaches the hundreds of millions."""
+    return with_global_index(
+        nodes.withColumn("id", F.sha2(F.col("title"), 256)), ["title"]
     )
 
 
 def with_edge_ids(edges: DataFrame) -> DataFrame:
-    w = Window.orderBy("source", "target")
-    return edges.withColumn(
-        "id", F.sha2(F.concat_ws("->", "source", "target"), 256)
-    ).withColumn("human_readable_id", F.row_number().over(w).cast("long") - 1)
+    return with_global_index(
+        edges.withColumn("id", F.sha2(F.concat_ws("->", "source", "target"), 256)),
+        ["source", "target"],
+    )
 
 
 def stabilize_nodes(nodes: DataFrame) -> DataFrame:

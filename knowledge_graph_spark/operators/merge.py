@@ -2,10 +2,11 @@
 
 Reference analogues:
 - Extract-stage union (reference utils/graph.py:68-115): old ∪ new; on
-  node collision source_id is comma-concatenated and description becomes
-  ``Old Information---\\n{old}\\nNew Information---\\n{new}``; edge
-  collision follows the same pattern (weights: new value wins, matching
-  the reference's attribute overwrite after description framing).
+  node collision ONLY source_id (comma-concatenated) and description
+  (``Old Information---\\n{old}\\nNew Information---\\n{new}``) are
+  updated — type keeps the OLD value (graph.py:88-91 touches only those
+  two keys).  Edge collision uses the shorter ``Old---/New---`` frame
+  (graph.py:107-108) and likewise keeps the OLD weight.
 - Cluster-stage union (reference utils/graph.py:119-177): collision →
   new attributes win wholesale (dict.update), old identity kept; the
   per-run JSON delta files become the returned (added, updated) frames —
@@ -21,17 +22,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 OLD_NEW_FRAME = "Old Information---\n{old}\nNew Information---\n{new}"
+OLD_NEW_EDGE_FRAME = "Old---\n{old}\nNew---\n{new}"
 
 
-def _framed(old_col, new_col):
-    return F.concat(
-        F.lit("Old Information---\n"), old_col, F.lit("\nNew Information---\n"), new_col
-    )
+def _framed(old_col, new_col, old_tag="Old Information---\n", new_tag="\nNew Information---\n"):
+    return F.concat(F.lit(old_tag), old_col, F.lit(new_tag), new_col)
 
 
 def incremental_union_nodes(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Extract-stage node union (collision → framed description,
-    source-id concat, type: new non-empty wins else old)."""
+    """Extract-stage node union.  On collision, ONLY description (framed)
+    and source_id (old-first concat) are updated; type keeps the old
+    value (reference utils/graph.py:88-91)."""
     o = old.select(
         "title",
         F.col("type").alias("_ot"),
@@ -48,20 +49,21 @@ def incremental_union_nodes(old: DataFrame, new: DataFrame) -> DataFrame:
     both = F.col("_od").isNotNull() & F.col("_nd").isNotNull()
     return j.select(
         "title",
-        F.when(both & (F.col("_nt") != ""), F.col("_nt"))
-        .otherwise(F.coalesce("_nt", "_ot"))
-        .alias("type"),
+        F.coalesce("_ot", "_nt").alias("type"),  # old wins on collision
         F.when(both, _framed(F.col("_od"), F.col("_nd")))
         .otherwise(F.coalesce("_nd", "_od"))
         .alias("description"),
-        F.when(both, F.concat(F.array_join("_os", ","), F.lit(","), F.array_join("_ns", ",")))
-        .otherwise(F.array_join(F.coalesce("_ns", "_os"), ","))
-        .alias("source_id_joined"),
-    ).withColumn("source_id", F.split("source_id_joined", ",")).drop("source_id_joined")
+        F.when(both, F.concat("_os", "_ns"))
+        .otherwise(F.coalesce("_ns", "_os"))
+        .alias("source_id"),
+    )
 
 
 def incremental_union_edges(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Extract-stage edge union on the canonical (source, target) pair."""
+    """Extract-stage edge union on the canonical (source, target) pair.
+    Collision: ``Old---/New---`` framed description + source-id concat;
+    weight keeps the old value (reference utils/graph.py:104-108 updates
+    only source_id and description)."""
     o = old.select(
         "source",
         "target",
@@ -81,11 +83,11 @@ def incremental_union_edges(old: DataFrame, new: DataFrame) -> DataFrame:
     return j.select(
         "source",
         "target",
-        F.coalesce("_nw", "_ow").alias("weight"),
-        F.when(both, _framed(F.col("_od"), F.col("_nd")))
+        F.coalesce("_ow", "_nw").alias("weight"),  # old wins on collision
+        F.when(both, _framed(F.col("_od"), F.col("_nd"), "Old---\n", "\nNew---\n"))
         .otherwise(F.coalesce("_nd", "_od"))
         .alias("description"),
-        F.when(both, F.array_sort(F.array_union("_os", "_ns")))
+        F.when(both, F.concat("_os", "_ns"))
         .otherwise(F.coalesce("_ns", "_os"))
         .alias("text_unit_ids"),
     )

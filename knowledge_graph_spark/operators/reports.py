@@ -190,8 +190,9 @@ def render_reports(context: DataFrame, level: int = 0) -> DataFrame:
     from the context.  An LLM backend would map ``context_string`` →
     {title, summary, findings} here instead (reference
     community_reports_extractor.py:45-79)."""
-    w = Window.orderBy(F.desc("rank"), F.asc("community"))
-    return context.select(
+    from .graphops import with_global_index
+
+    rendered = context.select(
         F.sha2(F.col("community"), 256).alias("id"),
         "community",
         F.concat(F.lit("Community "), F.col("community")).alias("title"),
@@ -212,7 +213,8 @@ def render_reports(context: DataFrame, level: int = 0) -> DataFrame:
         ).alias("full_content"),
         F.col("weight_mass").alias("rank"),
         F.lit(level).alias("level"),
-    ).withColumn("human_readable_id", (F.row_number().over(w) - 1).cast("bigint"))
+    )
+    return with_global_index(rendered, [F.desc("rank"), F.asc("community")])
 
 
 def build_mixed_context(

@@ -170,8 +170,30 @@ def cosine_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
-# Numpy fast paths — the 100 TB execution shape.
+# Numpy fast paths — the 100 TB execution shape: distributed block-matmul.
+#
+# No driver collect anywhere: rows are hashed to fixed-size blocks, each
+# (block_i, block_j) cell of the pair grid is shuffled to ONE task via a
+# cogrouped applyInPandas, and the task runs a single BLAS sgemm over the
+# two blocks.  Executor memory per task is bounded by 2×rows_per_block
+# vectors regardless of corpus size; the O(n²) flops (inherent to exact
+# all-pairs) are spread across B(B+1)/2 independent tasks.
 # ---------------------------------------------------------------------------
+
+
+def _num_blocks(df: DataFrame, rows_per_block: int) -> int:
+    """Block count from the corpus cardinality.  The count is one narrow
+    scan of the id column; on a real deployment this comes free from table
+    metadata (Iceberg snapshot row count)."""
+    n = df.count()
+    return max(1, -(-n // rows_per_block))
+
+
+def _to_matrix(pdf, vec_col: str):
+    m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+    # zero-norm guard: eps floor instead of silent NaN rows
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return m
 
 
 def neardup_pairs_fast(
@@ -179,45 +201,62 @@ def neardup_pairs_fast(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block: int = 2048,
+    rows_per_block: int = 4096,
 ) -> DataFrame:
-    """Near-dup pairs via blocked BLAS: the corpus is scanned
-    partition-parallel; each Arrow batch is matmul'd against a broadcast
-    block of the corpus matrix.  This is the production shape — one
-    sgemm per (batch × block) instead of an expression fold per pair —
-    ~100× the throughput of the pairwise-fold baseline.  Sum order is
-    BLAS pairwise, so use the exact variant when bit-parity with a
-    sequential oracle matters."""
-    import pandas as pd
+    """Near-dup pairs via distributed blocked BLAS.
 
-    rows = corpus.select(id_col, vec_col).toPandas()
-    ids = rows[id_col].to_numpy()
-    m = np.vstack(rows[vec_col].to_numpy()).astype("float64")
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((ids, m))
+    Plan shape: hash rows to B blocks; explode each row to the block-pair
+    grid cells it participates in (row in block b → left side of cells
+    (b, j≥b), right side of cells (i≤b, b)); cogroup on (bi, bj); one
+    sgemm per cell inside applyInPandas.  Replication factor is ~B per
+    side — the unavoidable data-movement cost of exact all-pairs, but
+    every task is bounded-memory and the grid parallelizes across the
+    cluster.  At corpus scale prefer lsh_neardup_pairs (candidate
+    generation) and use this on the candidate-restricted corpus.
+
+    Sum order is BLAS pairwise, so use the exact fold variant when
+    bit-parity with a sequential oracle matters."""
+    B = _num_blocks(corpus, rows_per_block)
     tau = threshold
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(B)).cast("int"))
+    left = c.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        "vid",
+        "vec",
+    )
+    right = c.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        "vid",
+        "vec",
+    )
 
-    def gen(batches):
-        b_ids, b_m = bc.value
-        for pdf in batches:
-            q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            qid = pdf[id_col].to_numpy()
-            out_a, out_b, out_s = [], [], []
-            for s in range(0, len(b_ids), block):
-                sims = q @ b_m[s : s + block].T
-                ii, jj = np.nonzero(sims >= tau)
-                for i, j in zip(ii, jj):
-                    a, b = qid[i], b_ids[s + j]
-                    if a < b:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_s.append(int(np.floor(sims[i, j] * SIM_SCALE)))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim_micro": out_s})
+    def cell(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim_micro": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim_micro": "int64"}
+            )
+        lm, rm = _to_matrix(lpdf, "vec"), _to_matrix(rpdf, "vec")
+        lid, rid = lpdf["vid"].to_numpy(), rpdf["vid"].to_numpy()
+        sims = lm @ rm.T
+        ii, jj = np.nonzero(sims >= tau)
+        a, b = lid[ii], rid[jj]
+        keep = a < b  # dedups the diagonal cell and orients pairs
+        return pd.DataFrame(
+            {
+                "id_a": a[keep].astype("int64"),
+                "id_b": b[keep].astype("int64"),
+                "sim_micro": np.floor(sims[ii, jj][keep] * SIM_SCALE).astype("int64"),
+            }
+        )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        gen, schema="id_a bigint, id_b bigint, sim_micro bigint"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(cell, schema="id_a bigint, id_b bigint, sim_micro bigint")
     )
 
 
@@ -227,36 +266,66 @@ def cosine_topk_fast(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 4096,
 ) -> DataFrame:
-    """Top-k via broadcast query matrix + per-batch matmul, then the same
-    deterministic (sim desc, id asc) window as the exact variant."""
-    import pandas as pd
+    """Top-k via distributed block-matmul: queries hashed to QB blocks,
+    corpus rows exploded across the QB query blocks, one sgemm per
+    (query-block × corpus-partition-batch) group emitting a per-group
+    top-k (≤ k rows per query per corpus block), then the same global
+    (sim desc, id asc) window as the exact variant.  No driver collect;
+    per-task memory bounded by one query block + one corpus block."""
+    QB = _num_blocks(queries, rows_per_block)
+    CB = _num_blocks(corpus, rows_per_block)
+    q = queries.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("qb", F.pmod(F.xxhash64(F.col("vid")), F.lit(QB)).cast("int"))
+    qx = q.select(
+        "qb",
+        F.explode(F.sequence(F.lit(0), F.lit(CB - 1))).alias("cb"),
+        "vid",
+        "vec",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("cb", F.pmod(F.xxhash64(F.col("vid")), F.lit(CB)).cast("int"))
+    cx = c.select(
+        F.explode(F.sequence(F.lit(0), F.lit(QB - 1))).alias("qb"), "cb", "vid", "vec"
+    )
 
-    qrows = queries.select(id_col, vec_col).toPandas()
-    qids = qrows[id_col].to_numpy()
-    qm = np.vstack(qrows[vec_col].to_numpy()).astype("float64")
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((qids, qm))
+    def cell(key, qpdf, cpdf):
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "sim_micro": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "sim_micro": "int64"}
+        )
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        qm, cm = _to_matrix(qpdf, "vec"), _to_matrix(cpdf, "vec")
+        qid, cid = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
+        sims = qm @ cm.T
+        sims_mi = np.floor(sims * SIM_SCALE).astype("int64")
+        frames = []
+        for i in range(len(qid)):
+            row = sims_mi[i]
+            mask = cid != qid[i]
+            nbr, sv = cid[mask], row[mask]
+            if len(nbr) == 0:
+                continue
+            # local top-k (sim desc, id asc) — shrinks shuffle to ≤k/query/cell
+            order = np.lexsort((nbr, -sv))[:k]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), qid[i], dtype="int64"),
+                        "neighbor_id": nbr[order].astype("int64"),
+                        "sim_micro": sv[order],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
 
-    def gen(batches):
-        b_qids, b_qm = bc.value
-        for pdf in batches:
-            c = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
-            cid = pdf[id_col].to_numpy()
-            sims = c @ b_qm.T  # corpus-batch × queries
-            n_c, n_q = sims.shape
-            rec = {
-                "query_id": np.repeat(b_qids[None, :], n_c, 0).ravel(),
-                "neighbor_id": np.repeat(cid[:, None], n_q, 1).ravel(),
-                "sim_micro": np.floor(sims * SIM_SCALE).astype("int64").ravel(),
-            }
-            df = pd.DataFrame(rec)
-            yield df[df.query_id != df.neighbor_id]
-
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        gen, schema="query_id bigint, neighbor_id bigint, sim_micro bigint"
+    scored = (
+        qx.groupBy("qb", "cb")
+        .cogroup(cx.groupBy("qb", "cb"))
+        .applyInPandas(cell, schema="query_id bigint, neighbor_id bigint, sim_micro bigint")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)

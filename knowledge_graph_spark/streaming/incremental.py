@@ -12,10 +12,17 @@ continuously:
         → TableIO overwrite
 
 Exactly-once: the streaming checkpoint (offset log) deduplicates input
-files across restarts, and the union write is an idempotent overwrite —
-re-processing an already-folded batch changes nothing because G5's
-framed-description merge is applied to the same (old, new) pair only
-once per committed batch.
+files across restarts, and the sink commits idempotently the way Delta's
+``txnAppId``/``txnVersion`` writer does: each fold writes nodes+edges to
+NEW versioned tables (``nodes__v{k+1}``, ``edges__v{k+1}``) — never
+overwriting the version it read — then publishes both in ONE small
+commit-marker write recording (lineage, epoch, version).  A crash before
+the marker leaves v{k} intact and the replayed batch redoes the fold as
+a unit from v{k}; a crash after the marker is caught by the epoch check
+(replayed epoch ≤ committed epoch for the same lineage → skip).  The
+lineage id is the checkpoint location, so a fresh checkpoint (which
+replays all input) never wrongly skips.  Read the published graph via
+``read_current(io, name)``.
 
 Assumption (documented contract): conversations arrive atomically — all
 turns of a conv_id land in one micro-batch (one file/partition per
@@ -30,6 +37,8 @@ state size is O(graph), not O(stream).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +50,8 @@ TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
+COMMIT_MARKER = "_stream/commit.json"
+
 
 def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
@@ -50,22 +61,62 @@ def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def fold_batch(io: TableIO, batch_df: DataFrame, cfg: PipelineConfig) -> None:
-    """One micro-batch → graph union into the materialized tables."""
+def _commit_state(io: TableIO) -> dict | None:
+    text = io.read_text(COMMIT_MARKER)
+    return json.loads(text) if text is not None else None
+
+
+def read_current(io: TableIO, name: str) -> DataFrame:
+    """Read the committed version of a streamed graph table ('nodes' or
+    'edges').  Resolution goes through the commit marker, so a fold that
+    crashed mid-write is invisible."""
+    state = _commit_state(io)
+    if state is None:
+        raise FileNotFoundError(f"no committed stream state under {io.base}")
+    return io.read(f"{name}__v{state['version']}")
+
+
+def fold_batch(
+    io: TableIO, batch_df: DataFrame, cfg: PipelineConfig, epoch_id: int, lineage: str = ""
+) -> None:
+    """One micro-batch → graph union, committed as a unit.
+
+    Writes nodes+edges to fresh ``__v{k+1}`` tables (never overwriting
+    the ``__v{k}`` inputs — no localCheckpoint needed), then publishes
+    both with one marker write.  Replays of an already-committed epoch
+    (same lineage, epoch ≤ committed) are skipped, making the sink
+    idempotent across crash/restart at any point."""
+    state = _commit_state(io)
+    if (
+        state is not None
+        and state.get("lineage") == lineage
+        and int(epoch_id) <= int(state.get("epoch", -1))
+    ):
+        return  # replay of a fully-committed batch
+    k = int(state["version"]) if state is not None else -1
     stages = build_graph(batch_df, cfg)
     new_nodes = stages["nodes"].persist()
     new_edges = stages["edges"].persist()
-    if io.exists("nodes"):
-        merged_nodes = incremental_union_nodes(io.read("nodes"), new_nodes)
-        merged_edges = incremental_union_edges(io.read("edges"), new_edges)
+    if k >= 0:
+        merged_nodes = incremental_union_nodes(io.read(f"nodes__v{k}"), new_nodes)
+        merged_edges = incremental_union_edges(io.read(f"edges__v{k}"), new_edges)
     else:
         merged_nodes, merged_edges = new_nodes, new_edges
-    # read-then-overwrite: localCheckpoint cuts the plan's dependency on
-    # the files being overwritten (Spark cannot overwrite its own input)
-    io.write(merged_nodes.localCheckpoint(eager=True), "nodes")
-    io.write(merged_edges.localCheckpoint(eager=True), "edges")
+    io.write(merged_nodes, f"nodes__v{k + 1}")
+    io.write(merged_edges, f"edges__v{k + 1}")
+    # single-file marker write = the atomic commit of BOTH tables
+    io.write_text(
+        COMMIT_MARKER,
+        json.dumps({"lineage": lineage, "epoch": int(epoch_id), "version": k + 1}),
+    )
     new_nodes.unpersist()
     new_edges.unpersist()
+    if k >= 1:  # GC a superseded version; correctness never depends on it
+        for name in (f"nodes__v{k - 1}", f"edges__v{k - 1}"):
+            try:
+                io.delete(name)
+            except Exception:
+                pass
 
 
 def run_incremental(
@@ -79,15 +130,14 @@ def run_incremental(
     """Start (and with available_now=True, drain) the incremental fold."""
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     stream = stream_transcripts(spark, input_dir)
-    writer = (
-        stream.writeStream.foreachBatch(lambda df, _epoch: fold_batch(io, df, cfg))
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        if available_now
-        else stream.writeStream.foreachBatch(lambda df, _epoch: fold_batch(io, df, cfg)).option(
-            "checkpointLocation", checkpoint_dir
-        )
+    # the checkpoint location IS the batch-id lineage (batch ids are
+    # persisted there), so it doubles as the idempotence app-id
+    fold = lambda df, epoch: fold_batch(io, df, cfg, epoch, lineage=checkpoint_dir)  # noqa: E731
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     q = writer.start()
     if available_now:
         q.awaitTermination()

@@ -132,6 +132,39 @@ def test_lsh_neardup_finds_planted_pair(vectors):
     assert got <= exact  # verification removes all false positives
 
 
+def test_neardup_pairs_fast_matches_exact(vectors):
+    """Distributed block-matmul (no driver collect) reproduces the exact
+    fold variant's pair set; sims may differ in the last micro-ulp (BLAS
+    pairwise vs sequential sum), so compare pairs and sim within 1."""
+    df, _ = vectors
+    exact = {
+        (r.id_a, r.id_b): r.sim_micro
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.9).collect()
+    }
+    # rows_per_block small → exercises a real multi-cell block grid
+    fast = {
+        (r.id_a, r.id_b): r.sim_micro
+        for r in similarity.neardup_pairs_fast(df, threshold=0.9, rows_per_block=16).collect()
+    }
+    assert set(fast) == set(exact)
+    for pair in exact:
+        assert abs(fast[pair] - exact[pair]) <= 1
+
+
+def test_cosine_topk_fast_matches_exact(vectors):
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in similarity.cosine_topk(df, q, k=3).collect()
+    }
+    fast = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in similarity.cosine_topk_fast(df, q, k=3, rows_per_block=16).collect()
+    }
+    assert fast == exact
+
+
 def test_media_meta_stub_and_frame_plan(spark, docs):
     media = multimodal.attach_payload(docs.filter(F.col("text") != ""))
     meta = multimodal.extract_media_meta(media)

@@ -28,10 +28,11 @@ def test_incremental_union_nodes(node_frames):
     assert set(got) == {"A", "B", "C"}
     assert got["A"].description == "old A" and got["A"].source_id == ["u1"]
     # collision: framed description (reference utils/graph.py:85-92),
-    # source ids concatenated old-first, non-empty new type wins
+    # source ids concatenated old-first; type keeps the OLD value —
+    # graph.py:88-91 updates only source_id/description
     assert got["B"].description == "Old Information---\nold B\nNew Information---\nnew B"
     assert got["B"].source_id == ["u2", "u3"]
-    assert got["B"].type == "GEO"
+    assert got["B"].type == ""
     assert got["C"].description == "new C"
 
 
@@ -46,8 +47,8 @@ def test_incremental_union_edges(spark):
     )
     got = {(r.source, r.target): r for r in M.incremental_union_edges(old, new).collect()}
     ab = got[("A", "B")]
-    assert ab.weight == 5.0  # new attribute value wins
-    assert ab.description.startswith("Old Information---\nab old")
+    assert ab.weight == 2.0  # old value kept (reference graph.py:104-108)
+    assert ab.description == "Old---\nab old\nNew---\nab new"
     assert ab.text_unit_ids == ["u1", "u2"]
     assert got[("B", "C")].description == "bc"
 

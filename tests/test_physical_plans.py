@@ -130,6 +130,24 @@ def test_merge_strategies_plans_and_equality(spark):
     assert capped["A"] == ["s1"]  # first K of the sorted provenance set
 
 
+def test_global_index_has_no_single_partition_exchange(spark):
+    """Two-phase id assignment: the big-table side must be range-
+    partitioned (parallel), never funneled through SinglePartition; only
+    the #partitions-row offset table may use a single-partition window."""
+    from knowledge_graph_spark.operators.graphops import with_edge_ids, with_node_ids
+
+    nodes = spark.createDataFrame([("A", "T")], "title string, type string")
+    edges = spark.createDataFrame([("A", "B")], "source string, target string")
+    for df in (with_node_ids(nodes), with_edge_ids(edges)):
+        p = plan(df)
+        assert "rangepartitioning" in p.lower()
+        # the only SinglePartition exchange allowed is under the broadcast
+        # (offset) subtree — the main table side is range-partitioned, so
+        # the plan has at most one, feeding a BroadcastExchange
+        assert p.count("SinglePartition") <= 1
+        assert "BroadcastHashJoin" in p
+
+
 def test_native_extraction_no_python_and_matches_rule_backend(spark):
     from knowledge_graph_spark.operators.extract import (
         RuleBackend,

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from knowledge_graph_spark.io import TableIO
 from knowledge_graph_spark.pipeline import PipelineConfig
 from knowledge_graph_spark.streaming.incremental import (
+    COMMIT_MARKER,
     TRANSCRIPT_DDL,
+    fold_batch,
+    read_current,
     run_incremental,
     turn_counts,
 )
@@ -35,13 +38,13 @@ def test_incremental_fold_two_batches(spark, tmp_path):
 
     _batch(spark, "c1", ["ALPHA", "BETA"]).write.mode("append").parquet(inp)
     run_incremental(spark, inp, io, ckpt, cfg)
-    nodes1 = {r.title for r in io.read("nodes").collect()}
+    nodes1 = {r.title for r in read_current(io, "nodes").collect()}
     assert {"ALPHA", "BETA"} <= nodes1
 
     # second file: overlapping entity ALPHA + new GAMMA
     _batch(spark, "c2", ["ALPHA", "GAMMA"]).write.mode("append").parquet(inp)
     run_incremental(spark, inp, io, ckpt, cfg)
-    nodes2 = {r.title: r for r in io.read("nodes").collect()}
+    nodes2 = {r.title: r for r in read_current(io, "nodes").collect()}
     assert {"ALPHA", "BETA", "GAMMA"} <= set(nodes2)
     # collided node carries the G5 framed description from the union
     assert "Old Information---" in nodes2["ALPHA"].description
@@ -50,10 +53,25 @@ def test_incremental_fold_two_batches(spark, tmp_path):
     assert "Old Information---" not in nodes2["GAMMA"].description
 
     # re-running with no new files is a no-op (offset log dedups inputs)
-    before = {r.title: r.description for r in io.read("nodes").collect()}
+    before = {r.title: r.description for r in read_current(io, "nodes").collect()}
     run_incremental(spark, inp, io, ckpt, cfg)
-    after = {r.title: r.description for r in io.read("nodes").collect()}
+    after = {r.title: r.description for r in read_current(io, "nodes").collect()}
     assert before == after
+
+    # crash-replay idempotence: re-folding an already-committed epoch is
+    # a no-op (offset committed, fold replayed — the marker's epoch check
+    # catches it), and a replay of a PARTIALLY-committed fold redoes the
+    # batch from the last committed version as a unit
+    committed_epoch = __import__("json").loads(io.read_text(COMMIT_MARKER))["epoch"]
+    fold_batch(io, _batch(spark, "c2", ["ALPHA", "GAMMA"]), cfg, committed_epoch, lineage=ckpt)
+    assert {r.title: r.description for r in read_current(io, "nodes").collect()} == before
+    # uncommitted-epoch replay (as after a crash before the marker write):
+    # applied once, exactly
+    fold_batch(io, _batch(spark, "c3", ["DELTA"]), cfg, committed_epoch + 1, lineage=ckpt)
+    fold_batch(io, _batch(spark, "c3", ["DELTA"]), cfg, committed_epoch + 1, lineage=ckpt)
+    nodes3 = {r.title: r for r in read_current(io, "nodes").collect()}
+    assert "DELTA" in nodes3
+    assert "Old Information---" not in nodes3["DELTA"].description  # folded once
 
 
 def test_turn_counts_watermarked_aggregate(spark, tmp_path):
