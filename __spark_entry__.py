@@ -8,10 +8,13 @@ from the driver's ``events`` table via one shared SQL statement
 (knowledge_graph_spark.synth.TRANSCRIPTS_SQL) executed verbatim by BOTH
 engines, so every pipeline stage is value-hash comparable end-to-end.
 
-Non-SQL-expressible ops (iterative LPA, MinHash-LSH canonicalization,
-SimHash/MinHash dedup) have queries() entries only — the driver records
-the weaker rows-only check; their semantics are pytest-verified against
-vendored sequential oracles instead (tests/).
+The probabilistic operators (MinHash/SimHash dedup, hyperplane-LSH
+near-dup, feature-hash entity search) run on the SQL-expressible
+deterministic hash family (knowledge_graph_spark/functions/hashing.py),
+so they are FULLY hash-checked against DuckDB.  Only the iterative ops
+(LPA communities, MinHash+CC canonicalization, hierarchical LPA) stay
+rows-only; their semantics are pytest-verified against vendored
+sequential oracles instead (tests/).
 """
 
 from __future__ import annotations
@@ -34,6 +37,12 @@ from knowledge_graph_spark.operators.linking import (
     minhash_candidate_pairs,
 )
 from knowledge_graph_spark.functions import textqc
+from knowledge_graph_spark.functions.hashing import (
+    HASH_A,
+    HASH_B,
+    HASH_C,
+    HASH_M31,
+)
 from knowledge_graph_spark.operators import claims as claims_ops
 from knowledge_graph_spark.operators import dedup, multimodal, reports, similarity
 from knowledge_graph_spark.operators import query as query_ops
@@ -204,6 +213,13 @@ def q_text_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 sentence chunker over the assembled conversation documents."""
+    from knowledge_graph_spark.operators.chunk import split_sentence_units
+
+    return split_sentence_units(_stages(spark, sf_dir)["conv_docs"])
+
+
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = _stages(spark, sf_dir)["text_units"]
     return extract_mentions(units).select("text_unit_id", "conv_id", "mention")
@@ -315,12 +331,34 @@ def q_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 vector path: feature-hash name embeddings + cosine top-k for a
-    fixed query string (rows-only: crc32 feature hashing is not
-    SQL-expressible; ranking behavior is pytest-verified)."""
+    fixed query string — hash-checked (the polynomial feature hashing and
+    both normalize/dot folds are mirrored in the DuckDB oracle)."""
     from knowledge_graph_spark.operators.embedding import map_query_to_entities
 
     s = _stages(spark, sf_dir)
     return map_query_to_entities(s["nodes"], "user zero activity", k=5)
+
+
+def q_text_unit_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-unit backlinks (reference models/text_unit.py): entity /
+    relationship / covariate ids per unit, inverted from stage
+    provenance.  Arrays projected as comma-joined strings for the
+    cross-engine hash compare."""
+    s = _stages(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir)
+    c = claims_ops.extract_claims(t, alias_dict=_alias_df(spark))
+    links = query_ops.text_unit_backlinks(
+        s["text_units"], s["nodes"], s["edges"], claims=c
+    )
+    return links.select(
+        "text_unit_id",
+        "doc_id",
+        "conv_id",
+        "n_tokens",
+        F.concat_ws(",", "entity_ids").alias("entity_ids"),
+        F.concat_ws(",", "relationship_ids").alias("relationship_ids"),
+        F.concat_ws(",", "covariate_ids").alias("covariate_ids"),
+    )
 
 
 def q_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,13 +397,18 @@ def q_community_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     nctx = reports.node_context(s["nodes"], s["degrees"], comm)
     ectx = reports.edge_context(with_edge_rank(s["edges"], s["degrees"]), comm)
     ctx = reports.community_local_context(nctx, ectx, top_k=10)
+    # typed findings[] excluded from the gate projection (array<struct>
+    # hashes differently across engines); full_content_json carries the
+    # identical serialization and IS hash-checked
     return reports.render_reports(ctx).select(
         "id",
         "community",
         "title",
         "summary",
         "full_content",
+        "full_content_json",
         "rank",
+        "rank_explanation",
         "level",
         "human_readable_id",
     )
@@ -632,6 +675,211 @@ scored AS (
 SELECT * FROM scored WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
 """
 
+# ---------------------------------------------------------------------------
+# SQL mirrors of the deterministic hash family (functions/hashing.py):
+# poly string hash + (a_i*x + b_i) mod 2^31-1 permutations.  All int64-safe.
+# ---------------------------------------------------------------------------
+
+_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({s}) + 1), "
+    "i -> CAST(ord(substr({s}, CAST(i AS INT), 1)) AS BIGINT))), "
+    f"(a, b) -> (a * {textqc.FP_BASE} + b) % {textqc.FP_MOD})"
+)
+
+
+def _perm(x: str, i: str) -> str:
+    """perm_i(x) SQL: (a_i*x + b_i) % M31 with derived coefficients."""
+    a = f"(({HASH_A} * (({i}) + 1)) % {HASH_M31})"
+    b = f"(({HASH_B} * (({i}) + 1) + {HASH_C}) % {HASH_M31})"
+    return f"(({a} * ({x}) + {b}) % {HASH_M31})"
+
+
+_MINHASH_DEDUP_SQL = f"""
+WITH dn AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS title
+  FROM documents
+),
+names AS (SELECT DISTINCT title FROM dn WHERE title <> ''),
+nn AS (SELECT title, regexp_replace(upper(trim(title)), '\\s+', ' ', 'g') AS s FROM names),
+sh AS (
+  SELECT DISTINCT title,
+         CASE WHEN length(s) <= 9 THEN s ELSE substr(s, CAST(ci AS INT), 9) END AS g
+  FROM nn, LATERAL unnest(range(1, CASE WHEN length(s) <= 9 THEN 2
+                                       ELSE length(s) - 9 + 2 END)) AS u(ci)
+),
+shx AS (SELECT title, g, {_POLY.format(s="g")} AS x FROM sh),
+perms AS (
+  SELECT title, pi, min({_perm("x", "pi")}) AS mh
+  FROM shx, LATERAL unnest(range(0, 64)) AS p(pi)
+  GROUP BY title, pi
+),
+bkeys AS (
+  SELECT title, CAST(pi // 4 AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bh
+  FROM perms GROUP BY title, CAST(pi // 4 AS INT)
+),
+bsizes AS (SELECT band, bh, count(*) AS n FROM bkeys GROUP BY band, bh),
+cap AS (
+  SELECT k.* FROM bkeys k JOIN bsizes z USING (band, bh) WHERE z.n <= 50
+),
+cand AS (
+  SELECT DISTINCT a.title AS name_a, b.title AS name_b
+  FROM cap a JOIN cap b ON a.band = b.band AND a.bh = b.bh AND a.title < b.title
+),
+ssz AS (SELECT title, count(*) AS n FROM sh GROUP BY title),
+cint AS (
+  SELECT c.name_a, c.name_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.title = c.name_a
+  JOIN sh sb ON sb.title = c.name_b AND sa.g = sb.g
+  GROUP BY c.name_a, c.name_b
+),
+ver AS (
+  SELECT i.name_a, i.name_b,
+         CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) AS jaccard
+  FROM cint i JOIN ssz za ON i.name_a = za.title JOIN ssz zb ON i.name_b = zb.title
+  WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE)
+        >= {NGRAM_THRESHOLD}
+)
+SELECT least(da.doc_id, db.doc_id) AS id_a,
+       greatest(da.doc_id, db.doc_id) AS id_b, v.jaccard
+FROM ver v JOIN dn da ON da.title = v.name_a JOIN dn db ON db.title = v.name_b
+"""
+
+_SIMHASH_DEDUP_SQL = f"""
+WITH stoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+stx AS (SELECT doc_id, {_POLY.format(s="tok")} AS x FROM stoks),
+sbits AS (
+  SELECT doc_id, bi,
+         sum(CASE WHEN {_perm("x", "bi")} % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM stx, LATERAL unnest(range(0, 64)) AS b(bi)
+  GROUP BY doc_id, bi
+),
+ssig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 AND bi < 63 THEN (CAST(1 AS BIGINT) << CAST(bi AS INT))
+                  WHEN v > 0 AND bi = 63 THEN -9223372036854775807 - 1
+                  ELSE 0 END) AS sig
+  FROM sbits GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+  FROM documents d LEFT JOIN ssig s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+# hyperplane sign s(d, j) for the LSH signature: parity of a perm hash of
+# the flattened (d, j) index — d is the 0-based dimension, via list index i
+_SIGN = (
+    f"(CASE WHEN (({HASH_A} * ((CAST(i AS BIGINT) - 1) * 16 + pj + 1) + {HASH_C})"
+    f" % {HASH_M31}) % 2 = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+)
+_RAW_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(a.e) + 1), i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)])), "
+    "(x, y) -> x + y)"
+)
+_RAW_NORM_A = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(a.e) + 1), i -> a.e[CAST(i AS INT)] * a.e[CAST(i AS INT)])), "
+    "(x, y) -> x + y))"
+)
+_RAW_NORM_B = _RAW_NORM_A.replace("a.e", "b.e")
+
+_EMB_NEARDUP_LSH_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bits AS (
+  SELECT vec_id, pj,
+         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, len(e) + 1),
+                  i -> e[CAST(i AS INT)] * {_SIGN})),
+                (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS bit
+  FROM emb, LATERAL unnest(range(0, 16)) AS p(pj)
+),
+keys AS (
+  SELECT vec_id, CAST(pj // 4 AS INT) AS band,
+         CAST(sum(bit << CAST(pj % 4 AS INT)) AS INT) AS key
+  FROM bits GROUP BY vec_id, CAST(pj // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor({_RAW_DOT} / ({_RAW_NORM_A} * {_RAW_NORM_B})
+              * {similarity.SIM_SCALE}) AS BIGINT) AS sim_micro
+  FROM cand c JOIN emb a ON a.vec_id = c.id_a JOIN emb b ON b.vec_id = c.id_b
+)
+SELECT * FROM scored WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
+"""
+
+_ENTITY_SEARCH_BODY = f"""
+, enames AS (
+  SELECT title AS name FROM kg_nodes
+  UNION ALL SELECT '__query__' AS name
+),
+epad AS (
+  SELECT name,
+         '  ' || regexp_replace(upper(trim(
+             CASE WHEN name = '__query__' THEN 'user zero activity' ELSE name END
+         )), '\\s+', ' ', 'g') || '  ' AS s
+  FROM enames
+),
+egrams AS (
+  SELECT name, {_POLY.format(s="substr(s, CAST(ci AS INT), 3)")} % 64 AS idx
+  FROM epad, LATERAL unnest(range(1, length(s) - 1)) AS u(ci)
+),
+egcnt AS (SELECT name, idx, CAST(count(*) AS DOUBLE) AS c FROM egrams GROUP BY name, idx),
+edims AS (
+  SELECT e.name, dj FROM (SELECT DISTINCT name FROM epad) e,
+       LATERAL unnest(range(0, 64)) AS d(dj)
+),
+evec0 AS (
+  SELECT d.name, d.dj, coalesce(g.c, 0.0) AS c
+  FROM edims d LEFT JOIN egcnt g ON d.name = g.name AND d.dj = g.idx
+),
+enrm AS (SELECT name, sqrt(sum(c * c)) AS n FROM evec0 GROUP BY name),
+-- fp32 roundtrip mirrors the array<float> embedding column exactly
+eunit AS (
+  SELECT v.name, v.dj,
+         CAST(CAST(v.c / r.n AS REAL) AS DOUBLE) AS u
+  FROM evec0 v JOIN enrm r USING (name) WHERE r.n > 0
+),
+elist AS (SELECT name, list(u ORDER BY dj) AS e FROM eunit GROUP BY name),
+-- cosine_topk re-normalizes with a sequential fold, then sequential dot
+en2 AS (
+  SELECT name, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(e) + 1),
+             i -> e[CAST(i AS INT)] * e[CAST(i AS INT)])),
+         (x, y) -> x + y)) AS nrm
+  FROM elist
+),
+eu2 AS (
+  SELECT l.name, list_transform(l.e, x -> x / n.nrm) AS e
+  FROM elist l JOIN en2 n USING (name)
+),
+escored AS (
+  SELECT a.name AS title,
+         CAST(floor({_RAW_DOT} * {similarity.SIM_SCALE}) AS BIGINT) AS sim_micro
+  FROM eu2 a JOIN eu2 b ON b.name = '__query__' AND a.name <> '__query__'
+)
+SELECT title, sim_micro,
+       CAST(row_number() OVER (ORDER BY sim_micro DESC, title) AS INT) AS rk
+FROM escored QUALIFY rk <= 5
+"""
+
 _HEX = "md5(text)"
 _MEDIA_META_SQL = f"""
 WITH m AS (
@@ -794,6 +1042,50 @@ SELECT sha256(subject_id) AS id, subject_id, object_id, claim_type, status,
 FROM cmerged
 """
 
+_TEXT_UNIT_LINKS_BODY = f"""
+, tue AS (
+  SELECT title, unnest(string_split(source_ids, ',')) AS text_unit_id FROM kg_nodes
+),
+teids AS (
+  SELECT text_unit_id,
+         string_agg(DISTINCT sha256(title), ',' ORDER BY sha256(title)) AS entity_ids
+  FROM tue GROUP BY text_unit_id
+),
+tre AS (
+  SELECT sha256(source || '->' || target) AS rid,
+         unnest(string_split(text_unit_ids, ',')) AS text_unit_id
+  FROM kg_edges
+),
+trids AS (
+  SELECT text_unit_id,
+         string_agg(DISTINCT rid, ',' ORDER BY rid) AS relationship_ids
+  FROM tre GROUP BY text_unit_id
+),
+csubj AS (
+  SELECT DISTINCT coalesce(sa.canonical_name,
+                           regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 1))
+         AS subject_id
+  FROM transcripts LEFT JOIN alias_dict sa
+    ON upper(regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 1)) = upper(sa.alias)
+  WHERE regexp_extract(text, '{claims_ops.CLAIM_SUBJECT_RE}', 1) <> ''
+),
+tcov AS (
+  SELECT u.text_unit_id,
+         string_agg(DISTINCT sha256(c.subject_id), ',' ORDER BY sha256(c.subject_id))
+           AS covariate_ids
+  FROM tue u JOIN csubj c ON u.title = c.subject_id
+  GROUP BY u.text_unit_id
+)
+SELECT t.id AS text_unit_id, t.doc_id, t.conv_id, t.n_tokens,
+       coalesce(e.entity_ids, '') AS entity_ids,
+       coalesce(r.relationship_ids, '') AS relationship_ids,
+       coalesce(c.covariate_ids, '') AS covariate_ids
+FROM text_units t
+LEFT JOIN teids e ON t.id = e.text_unit_id
+LEFT JOIN trids r ON t.id = r.text_unit_id
+LEFT JOIN tcov c ON t.id = c.text_unit_id
+"""
+
 _SUMMARIZED_EDGES_BODY = """
 , ed AS (
   SELECT source, target, description,
@@ -876,10 +1168,21 @@ cmass AS (
          CAST(count(*) AS INT) AS n_edges
   FROM ectx GROUP BY community
 ),
+tops AS (
+  SELECT community, title AS top_entity, degree AS top_entity_degree
+  FROM topn WHERE rk = 1
+),
+topse AS (
+  SELECT community, source AS top_edge_source, target AS top_edge_target,
+         rank AS top_edge_rank
+  FROM tope WHERE rk = 1
+),
 cctx AS (
   SELECT s.community, s.n_entities,
          coalesce(m.n_edges, 0) AS n_edges,
          coalesce(m.weight_mass, 0.0) AS weight_mass,
+         t.top_entity, coalesce(t.top_entity_degree, 0) AS top_entity_degree,
+         x.top_edge_source, x.top_edge_target, x.top_edge_rank,
          '-----Entities-----' || chr(10) || 'title,type,degree' || chr(10)
            || coalesce(e.entity_rows, '') || chr(10)
            || '-----Relationships-----' || chr(10) || 'source,target,rank'
@@ -888,17 +1191,57 @@ cctx AS (
   LEFT JOIN entb e USING (community)
   LEFT JOIN edgb g USING (community)
   LEFT JOIN cmass m USING (community)
+  LEFT JOIN tops t USING (community)
+  LEFT JOIN topse x USING (community)
+),
+-- report pieces (esc = JSON string-literal escaping, mirroring the
+-- Spark renderer byte-for-byte)
+rrend AS (
+  SELECT *,
+    'Community ' || community AS title,
+    'Community of ' || CAST(n_entities AS VARCHAR) || ' entities with '
+      || CAST(n_edges AS VARCHAR) || ' internal relationships (weight '
+      || CAST(weight_mass AS VARCHAR) || ')' AS summary,
+    'Rank ' || CAST(weight_mass AS VARCHAR)
+      || ' = sum of internal relationship weights' AS rank_explanation,
+    CASE WHEN top_entity IS NULL THEN NULL ELSE
+      '{"summary": "' ||
+      replace(replace(replace('Dominant entity: ' || top_entity,
+              '\', '\\'), '"', '\"'), chr(10), '\n')
+      || '", "explanation": "' ||
+      replace(replace(replace(top_entity || ' has the highest degree ('
+              || CAST(top_entity_degree AS VARCHAR) || ') among '
+              || CAST(n_entities AS VARCHAR) || ' community members',
+              '\', '\\'), '"', '\"'), chr(10), '\n')
+      || '"}' END AS f1,
+    CASE WHEN top_edge_source IS NULL THEN NULL ELSE
+      '{"summary": "' ||
+      replace(replace(replace('Strongest relationship: ' || top_edge_source
+              || ' -> ' || top_edge_target,
+              '\', '\\'), '"', '\"'), chr(10), '\n')
+      || '", "explanation": "' ||
+      replace(replace(replace('Combined endpoint degree '
+              || CAST(top_edge_rank AS VARCHAR) || ' tops the community''s '
+              || CAST(n_edges AS VARCHAR) || ' internal relationships',
+              '\', '\\'), '"', '\"'), chr(10), '\n')
+      || '"}' END AS f2
+  FROM cctx
 )
-SELECT sha256(community) AS id, community,
-       'Community ' || community AS title,
-       'Community of ' || CAST(n_entities AS VARCHAR) || ' entities with '
-         || CAST(n_edges AS VARCHAR) || ' internal relationships (weight '
-         || CAST(weight_mass AS VARCHAR) || ')' AS summary,
+SELECT sha256(community) AS id, community, title, summary,
        '# Community ' || community || chr(10) || chr(10) || context_string AS full_content,
-       weight_mass AS rank, 0 AS level,
+       '{"title": "' ||
+         replace(replace(replace(title, '\', '\\'), '"', '\"'), chr(10), '\n')
+       || '", "summary": "' ||
+         replace(replace(replace(summary, '\', '\\'), '"', '\"'), chr(10), '\n')
+       || '", "rating": ' || CAST(weight_mass AS VARCHAR)
+       || ', "rating_explanation": "' ||
+         replace(replace(replace(rank_explanation, '\', '\\'), '"', '\"'), chr(10), '\n')
+       || '", "findings": [' || coalesce(concat_ws(', ', f1, f2), '') || ']}'
+         AS full_content_json,
+       weight_mass AS rank, rank_explanation, 0 AS level,
        CAST(row_number() OVER (ORDER BY weight_mass DESC, community) - 1 AS BIGINT)
          AS human_readable_id
-FROM cctx
+FROM rrend
 """
 
 
@@ -922,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts": q_transcripts,
         "conv_docs": q_conv_docs,
         "text_units": q_text_units,
+        "sentence_units": q_sentence_units,
         "mentions": q_mentions,
         "kg_nodes": q_nodes,
         "kg_edges": q_edges,
@@ -938,7 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_entities": q_related_entities,
         "out_network": q_out_network,
         "community_weight": q_community_weight,
-        "entity_search": q_entity_search,  # rows-only: feature-hash ANN
+        "entity_search": q_entity_search,
+        "text_unit_links": q_text_unit_links,
         "claims": q_claims,
         "summarized_edges": q_summarized_edges,
         "community_reports": q_community_reports,
@@ -947,12 +1292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
         "dedup_clusters": q_dedup_clusters,
-        "minhash_dedup": q_minhash_dedup,  # rows-only: probabilistic LSH
-        "simhash_dedup": q_simhash_dedup,  # rows-only: probabilistic LSH
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_neardup": q_emb_neardup,
-        "emb_neardup_lsh": q_emb_neardup_lsh,  # rows-only: probabilistic LSH
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
     }
@@ -972,6 +1317,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, doc_id, conv_id, chunk_idx, chunk, n_tokens FROM text_units"
         ),
         "mentions": _oracle("SELECT text_unit_id, conv_id, mention FROM ment_occ"),
+        "sentence_units": _oracle(
+            """
+            SELECT sha256(doc_id || ':' || CAST(ci - 1 AS VARCHAR)) AS id,
+                   doc_id, conv_id, CAST(ci - 1 AS INT) AS chunk_idx,
+                   trim(s) AS chunk,
+                   CAST(len(list_filter(regexp_split_to_array(trim(s), '\\s+'),
+                        x -> x <> '')) AS INT) AS n_tokens
+            FROM (
+              SELECT doc_id, conv_id,
+                     unnest(regexp_extract_all(text, '[^.!?]+[.!?]*')) AS s,
+                     generate_subscripts(regexp_extract_all(text, '[^.!?]+[.!?]*'), 1) AS ci
+              FROM conv_docs
+            ) WHERE trim(s) <> ''
+            """
+        ),
         "kg_nodes": _oracle(
             "SELECT title, type, description, source_ids FROM kg_nodes"
         ),
@@ -1155,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
             FROM wgt
             """
         ),
+        "text_unit_links": _oracle(_TEXT_UNIT_LINKS_BODY),
         "claims": _oracle(_CLAIMS_BODY),
         "summarized_edges": _oracle(_SUMMARIZED_EDGES_BODY),
         "community_reports": _oracle(_REPORTS_BODY),
@@ -1202,6 +1563,10 @@ SELECT CAST(node AS BIGINT) AS doc_id,
        node <> min(r) AS is_duplicate
 FROM dreach GROUP BY node
 """,
+        "entity_search": _oracle(_ENTITY_SEARCH_BODY),
+        "minhash_dedup": _MINHASH_DEDUP_SQL,
+        "simhash_dedup": _SIMHASH_DEDUP_SQL,
+        "emb_neardup_lsh": _EMB_NEARDUP_LSH_SQL,
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,

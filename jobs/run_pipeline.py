@@ -53,12 +53,8 @@ from knowledge_graph_spark.operators.graphops import (  # noqa: E402
 )
 from knowledge_graph_spark.operators.parse import parse_and_merge  # noqa: E402
 from knowledge_graph_spark.operators.reports import (  # noqa: E402
-    claim_context,
     community_hierarchy,
-    community_local_context,
-    edge_context,
-    node_context,
-    render_reports,
+    leveled_reports,
 )
 from knowledge_graph_spark.operators.summarize import summarize_descriptions  # noqa: E402
 from knowledge_graph_spark.session import get_spark  # noqa: E402
@@ -115,12 +111,28 @@ def main(argv=None) -> dict:
         "raw_records", lambda: emit_records(text_units), inputs=["text_units"]
     )
 
-    def _graph():
-        nodes, edges = parse_and_merge(raw_records)
-        return nodes, edges
+    # parse once: both outputs branch from one persisted record explode
+    # (persist_intermediate), so the nodes and edges stage actions share
+    # the parse work instead of re-running it
+    _parsed: dict = {}
 
-    nodes = runner.run("nodes", lambda: _graph()[0], inputs=["raw_records"])
-    edges = runner.run("edges", lambda: _graph()[1], inputs=["raw_records"])
+    def _graph(which: str):
+        if not _parsed:
+            _parsed["nodes"], _parsed["edges"] = parse_and_merge(
+                raw_records, persist_intermediate=True
+            )
+        return _parsed[which]
+
+    # nodes/edges are bucketed on their join keys: every later title-keyed
+    # equi-join (degrees, communities, canonicalization) against another
+    # bucketed table — including after a fresh-session resume — skips its
+    # Exchange (asserted in tests/test_physical_plans.py)
+    nodes = runner.run(
+        "nodes", lambda: _graph("nodes"), inputs=["raw_records"], bucket_by=["title"]
+    )
+    edges = runner.run(
+        "edges", lambda: _graph("edges"), inputs=["raw_records"], bucket_by=["source"]
+    )
     degrees = runner.run("degrees", lambda: node_degrees(edges), inputs=["edges"])
     nodes_final = runner.run(
         "nodes_final",
@@ -159,17 +171,19 @@ def main(argv=None) -> dict:
     claims = runner.run(
         "claims", lambda: extract_claims(transcripts), inputs=[]
     )
-    comm_flat = communities.select("title", "community")
+    # hierarchical reports: level-ordered, deepest first, oversized
+    # parents substituting sub-community report summaries (R11/R12) —
+    # the reference's headline flow (pre_community_report_context.py)
     reports = runner.run(
         "community_reports",
-        lambda: render_reports(
-            community_local_context(
-                node_context(nodes, degrees, comm_flat),
-                edge_context(with_edge_rank(edges, degrees), comm_flat),
-                claims_ctx=claim_context(claims, comm_flat),
-            )
+        lambda: leveled_reports(
+            nodes,
+            degrees,
+            with_edge_rank(edges, degrees),
+            communities_leveled,
+            claims=claims,
         ),
-        inputs=["nodes", "edges", "degrees", "communities", "claims"],
+        inputs=["nodes", "edges", "degrees", "communities_leveled", "claims"],
     )
 
     summary = {

@@ -94,13 +94,28 @@ class StageRunner:
         make: "callable[[], DataFrame]",
         inputs: list[str] | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 64,
     ) -> DataFrame:
         if self.is_done(name, inputs):
             self.skipped.append(name)
+            m = self.manifest(name) or {}
+            if m.get("bucket_by"):
+                # fresh-session resume: re-register the bucket spec so
+                # downstream equi-joins on the bucket key stay
+                # exchange-free (the in-memory catalog forgot it)
+                self.io.ensure_bucketed(
+                    name, m["schema_json"], m["bucket_by"], m["n_buckets"]
+                )
+                return self.io.read_bucketed(name)
             return self.io.read(name)
         df = make()
-        self.io.write(df, name, partition_by=partition_by)
-        out = self.io.read(name)
+        if bucket_by:
+            self.io.write_bucketed(df, name, bucket_by, n_buckets=n_buckets)
+            out = self.io.read_bucketed(name)
+        else:
+            self.io.write(df, name, partition_by=partition_by)
+            out = self.io.read(name)
         manifest = {
             "stage": name,
             "rows": out.count(),
@@ -110,6 +125,9 @@ class StageRunner:
             },
             "fingerprint": content_fingerprint(out) if self.fingerprint else None,
             "schema": out.schema.simpleString(),
+            "schema_json": out.schema.json(),
+            "bucket_by": bucket_by,
+            "n_buckets": n_buckets if bucket_by else None,
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self.io.write_text(self._manifest_rel(name), json.dumps(manifest, indent=1))

@@ -18,9 +18,16 @@ and `checkpoint.py` layers marker files + lineage manifests on top.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _schema_from_json(schema_json: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_json))
 
 
 @dataclass
@@ -85,11 +92,41 @@ class TableIO:
         w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *bucket_cols)
         if sort_cols:
             w = w.sortBy(*sort_cols)
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        # external table: DROP leaves files — clear the path so stale
+        # bucket files from a previous run never mix into the new table
+        self.delete(name)
         w.option("path", self.path(name)).saveAsTable(name)
 
     def read_bucketed(self, name: str) -> DataFrame:
         return self.spark.table(name) if not self.catalog else self.read(name)
+
+    def ensure_bucketed(
+        self,
+        name: str,
+        schema_json: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Re-register a bucketed table in a FRESH session (resume path):
+        the default in-memory catalog forgets table metadata across
+        sessions, and without the bucket spec a plain parquet read loses
+        the exchange-free join property the bucketing bought.  Registers
+        an external bucketed table over the existing files (bucket ids
+        are recovered from the bucketed file names)."""
+        if self.catalog or self.spark.catalog.tableExists(name):
+            return
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in _schema_from_json(schema_json).fields
+        )
+        sorted_clause = f" SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+        self.spark.sql(
+            f"CREATE TABLE `{name}` ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}){sorted_clause} "
+            f"INTO {n_buckets} BUCKETS LOCATION '{self.path(name)}'"
+        )
 
     def exists(self, name: str) -> bool:
         if self.catalog:

@@ -80,3 +80,38 @@ def split_text_units(
             F.col("c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+# Sentence segmentation: maximal runs of non-terminators plus their
+# trailing terminators.  Deliberately lookaround-free so the IDENTICAL
+# pattern runs under Java regex (Spark) and RE2 (DuckDB oracle).
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentence_units(conv_docs: DataFrame) -> DataFrame:
+    """C3 sentence chunker (reference text/chunk/strategies/sentence.py:
+    10-20 — one TextChunk per nltk.sent_tokenize sentence).  nltk is
+    absent in this environment, so segmentation is a deterministic
+    punctuation-run regex behind the same output shape as
+    ``split_text_units``; a model-based segmenter would plug into the
+    tokenizer seam (functions/tokens.py) instead.
+
+    Pure Column algebra — regexp_extract_all + posexplode, no UDF, no
+    shuffle."""
+    sentences = F.regexp_extract_all(F.col("text"), F.lit(SENTENCE_RE), F.lit(0))
+    ws_tokens = F.filter(F.split(F.col("chunk"), r"\s+"), lambda x: x != "")
+    return (
+        conv_docs.select(
+            "doc_id", "conv_id", F.posexplode(sentences).alias("chunk_idx", "s")
+        )
+        .withColumn("chunk", F.trim("s"))
+        .filter(F.col("chunk") != "")
+        .select(
+            F.sha2(F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")), 256).alias("id"),
+            "doc_id",
+            "conv_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "chunk",
+            F.size(ws_tokens).cast("int").alias("n_tokens"),
+        )
+    )

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.textqc import content_hash, normalized_text, ws_tokens_col
-from .linking import MERSENNE_P, jaccard_verify, minhash_candidate_pairs
+from ..functions.hashing import HASH_M31, perm_ab
+from .linking import jaccard_verify, minhash_candidate_pairs
 
 DEFAULT_NGRAM = 5
 
@@ -190,25 +191,25 @@ def minhash_doc_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_kernel(tokens_list: list[list[str]], seed: int = 42) -> list[int]:
+def simhash_kernel(tokens_list: list[list[str]], seed: int = 0) -> list[int]:
     """64-bit SimHash per token list (pure kernel, unit-testable).
 
-    Per-token 64-bit hashes via the same (a*x+b) mod p family as MinHash;
-    bit i of the signature = sign of the sum over tokens of (+1 if hash
-    bit i else -1)."""
-    import zlib
+    SQL-expressible family (functions/hashing.py): per-token base hash =
+    polynomial fold; bit i of the signature = sign of the sum over tokens
+    of ±1, where the token's vote for bit i is the PARITY of permutation
+    hash perm_i(x) — 64 independent int64-safe hashes, so a DuckDB
+    oracle reproduces every signature exactly.  ``seed`` retained for API
+    compatibility; coefficients are fixed by the family."""
+    from ..functions.hashing import poly_hash
 
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, dtype=np.int64)
-    b = rng.randint(0, MERSENNE_P, dtype=np.int64)
+    a, b = perm_ab(64)
     out = []
     for toks in tokens_list:
         if not toks:
             out.append(0)
             continue
-        x = np.array([zlib.crc32(t.encode()) for t in toks], dtype=np.int64)
-        h = (a * x + b) % MERSENNE_P
-        bits = ((h[:, None] >> np.arange(64)[None, :]) & 1).astype(np.int32)
+        x = np.array([poly_hash(t) for t in toks], dtype=np.int64)
+        bits = (((a[None, :] * x[:, None] + b[None, :]) % HASH_M31) & 1).astype(np.int32)
         v = np.where(bits > 0, 1, -1).sum(axis=0)
         sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
         out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)

@@ -8,18 +8,18 @@ char-trigram feature-hashing vector (no model, no network — the same
 seam a real encoder plugs into), and the store is just an embedding
 column: ANN search is `operators/similarity.py` over that column.
 
-Kernel: one numpy pass per Arrow batch — v[crc32(gram) % dim] += 1 over
-char 3-grams of the normalized name, then L2-normalize.  Feature hashing
-is the standard trick when no trained encoder is available; similar
-surface forms share trigram mass, so alias-like names rank close.
+Kernel: one numpy pass per Arrow batch — v[poly_hash(gram) % dim] += 1
+over char 3-grams of the normalized name, then L2-normalize.  Feature
+hashing is the standard trick when no trained encoder is available;
+similar surface forms share trigram mass, so alias-like names rank
+close.  The gram hash is the SQL-expressible polynomial family
+(functions/hashing.py), so a DuckDB oracle rebuilds identical vectors.
 
 Scale: embedding is a narrow map; top-k delegates to the broadcast /
 bucketed ANN operators.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -33,10 +33,12 @@ DEFAULT_DIM = 64
 def _trigram_vec(name: str, dim: int) -> np.ndarray:
     if not name or not name.strip():
         return np.zeros(dim, dtype=np.float64)
+    from ..functions.hashing import poly_hash_kgrams
+
     s = f"  {name.strip().upper()}  "
     v = np.zeros(dim, dtype=np.float64)
-    for i in range(len(s) - 2):
-        v[zlib.crc32(s[i : i + 3].encode()) % dim] += 1.0
+    for h in poly_hash_kgrams(s, 3):
+        v[int(h) % dim] += 1.0
     n = np.linalg.norm(v)
     return v / n if n else v
 

@@ -104,13 +104,98 @@ class RuleBackend:
 
 class LLMBackend:
     """Batched LLM extraction seam (prompt/gleaning loop of reference
-    graph_extractor.py:102-176).  Stubbed: no network in this sandbox."""
+    graph_extractor.py:102-176).  Stubbed: no network in this sandbox.
+    The round structure itself is implemented deterministically in
+    ``GleaningBackend``."""
 
     def __init__(self, *_, **__):
         raise NotImplementedError(
             "LLM extraction backend requires an inference endpoint; use "
-            "RuleBackend for deterministic runs (see SURVEY.md §2.3 E2)."
+            "RuleBackend / GleaningBackend for deterministic runs "
+            "(see SURVEY.md §2.3 E2)."
         )
+
+
+# Weaker surface form the primary pattern misses (2-char uppercase
+# tokens) — the deterministic stand-in for entities the first LLM pass
+# overlooks and a CONTINUE round recovers.
+GLEAN_MENTION_PATTERN = r"\b[A-Z][A-Z0-9]\b"
+
+
+class GleaningBackend:
+    """Deterministic CONTINUE/LOOP gleaning rounds (reference
+    graph_extractor.py:140-176; max_gleanings default 1, config.py:21).
+
+    Round 0 is RuleBackend's primary extraction.  Each CONTINUE round
+    re-reads the chunk WITH the results so far (the reference feeds
+    ``text + results`` back to the model) and appends records only for
+    mentions earlier rounds missed — here, matches of a weaker secondary
+    pattern.  New mentions connect to every previously-known mention and
+    to later new ones (the model sees the full accumulated context).
+    The LOOP check (reference: YES/NO logit-biased probe) becomes
+    "continue while the last round found anything new"; like the
+    reference, the final round skips the probe.
+
+    With max_gleanings=0 the output is byte-identical to RuleBackend —
+    gleaning only APPENDS records, which is what makes the downstream
+    merge gleaning-closed (tested in tests/test_parse_parity.py)."""
+
+    def __init__(
+        self,
+        max_gleanings: int = 1,
+        pattern: str = MENTION_PATTERN,
+        glean_pattern: str = GLEAN_MENTION_PATTERN,
+    ):
+        self._re = re.compile(pattern)
+        self._glean_re = re.compile(glean_pattern)
+        self._max_gleanings = max_gleanings
+
+    def _one(self, text: str) -> str:
+        if not text:
+            return COMPLETION
+        known: dict[str, None] = {}
+        for m in self._re.findall(text):
+            known.setdefault(m)
+        names = list(known)
+        records = [
+            f'("entity"{TUPLE_DELIM}{n}{TUPLE_DELIM}{mention_type(n)}'
+            f"{TUPLE_DELIM}MENTION OF {n})"
+            for n in names
+        ]
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                a, b = names[i], names[j]
+                records.append(
+                    f'("relationship"{TUPLE_DELIM}{a}{TUPLE_DELIM}{b}'
+                    f"{TUPLE_DELIM}{a} -> {b}{TUPLE_DELIM}1)"
+                )
+        for round_idx in range(self._max_gleanings):
+            new: dict[str, None] = {}
+            for m in self._glean_re.findall(text):
+                if m not in known:
+                    new.setdefault(m)
+            new_names = list(new)
+            prior = list(known)
+            for idx, n in enumerate(new_names):
+                records.append(
+                    f'("entity"{TUPLE_DELIM}{n}{TUPLE_DELIM}{mention_type(n)}'
+                    f"{TUPLE_DELIM}MENTION OF {n})"
+                )
+                for a in prior + new_names[:idx]:
+                    records.append(
+                        f'("relationship"{TUPLE_DELIM}{a}{TUPLE_DELIM}{n}'
+                        f"{TUPLE_DELIM}{a} -> {n}{TUPLE_DELIM}1)"
+                    )
+            for n in new_names:
+                known.setdefault(n)
+            if round_idx >= self._max_gleanings - 1:
+                break  # reference: final round skips the LOOP probe
+            if not new_names:
+                break  # LOOP probe answered NO
+        return RECORD_DELIM.join([*records, COMPLETION])
+
+    def extract(self, chunks: pd.Series) -> pd.Series:
+        return chunks.map(self._one, na_action="ignore")
 
 
 def _type_case(m):

@@ -24,16 +24,14 @@ Scale design:
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import HASH_M31, perm_ab, poly_hash
 from .community import connected_components
-
-MERSENNE_P = (1 << 61) - 1
 
 
 def link_aliases(
@@ -73,19 +71,23 @@ def _shingles(name: str, k: int) -> set[str]:
     return {s[i : i + k] for i in range(len(s) - k + 1)}
 
 
-def make_minhash_udf(num_perm: int, k: int, seed: int):
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.int64)
+def make_minhash_udf(num_perm: int, k: int, seed: int = 0):
+    """Signature UDF on the SQL-expressible hash family
+    (functions/hashing.py): base hash = polynomial fold of each shingle,
+    permutations = (a_i*x + b_i) mod 2^31-1 with derived coefficients —
+    so a DuckDB oracle can recompute every signature bit-for-bit.  The
+    ``seed`` parameter is retained for API compatibility; coefficients
+    are fixed by the family."""
+    a, b = perm_ab(num_perm)
 
     def sig(name: str) -> list[int]:
         sh = _shingles(name or "", k)
         if not sh:
             return [0] * num_perm
-        # deterministic 32-bit base hashes (crc32 — process-independent)
-        x = np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.int64)
-        # permutation hashes via (a*x + b) mod p, min over shingles
-        m = (a[None, :] * x[:, None] + b[None, :]) % MERSENNE_P
+        x = np.array([poly_hash(s) for s in sh], dtype=np.int64)
+        # permutation hashes via (a*x + b) mod M31, min over shingles;
+        # a < 2^31, x < 2^30 → products < 2^61, no int64 overflow
+        m = (a[None, :] * x[:, None] + b[None, :]) % HASH_M31
         return m.min(axis=0).astype(np.int64).tolist()
 
     @F.pandas_udf("array<long>")
@@ -126,7 +128,14 @@ def minhash_candidate_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("name", F.col("bb.band").alias("band"), F.hash("bb.bh").alias("bh"))
+    ).select(
+        "name",
+        F.col("bb.band").alias("band"),
+        # 64-bit key of the signature slice: bucket identity == slice
+        # equality (collision odds ~2^-64 per pair), so a SQL oracle
+        # grouping by the literal slice forms the same buckets
+        F.xxhash64(F.concat_ws(",", F.col("bb.bh"))).alias("bh"),
+    )
 
     # cap hot buckets before the self-join
     sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("n"))

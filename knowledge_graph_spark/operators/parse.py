@@ -236,9 +236,18 @@ def auto_endpoint_nodes(relationships: DataFrame) -> DataFrame:
     )
 
 
-def parse_and_merge(raw_records: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """RAW_RECORDS → (nodes, edges) with full reference merge semantics."""
+def parse_and_merge(
+    raw_records: DataFrame, persist_intermediate: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """RAW_RECORDS → (nodes, edges) with full reference merge semantics.
+
+    ``persist_intermediate=True`` caches the exploded record table that
+    BOTH outputs branch from, so a caller that materializes nodes and
+    edges as separate actions (the checkpointed job driver) parses the
+    record stream once instead of twice."""
     records = split_records(raw_records)
+    if persist_intermediate:
+        records = records.persist()
     entities = parse_entities(records)
     rels = parse_relationships(records)
     auto = auto_endpoint_nodes(rels)

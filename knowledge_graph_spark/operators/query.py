@@ -118,6 +118,78 @@ def community_weight(
     )
 
 
+def text_unit_entity_pairs(nodes: DataFrame) -> DataFrame:
+    """(text_unit_id, title) membership pairs by inverting node
+    provenance — the input ``rank_text_units`` consumes."""
+    return nodes.select(
+        "title", F.explode("source_id").alias("text_unit_id")
+    )
+
+
+def text_unit_backlinks(
+    text_units: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    claims: DataFrame | None = None,
+) -> DataFrame:
+    """Text-unit backlinks (reference models/text_unit.py: entity_ids /
+    relationship_ids / covariate_ids per unit), derived by INVERTING the
+    provenance the construction stages already emit — node.source_id,
+    edge.text_unit_ids, and claim-subject membership.  Ids are the same
+    deterministic content hashes G8 stamps on the final tables.
+
+    covariate linkage deviation (documented): reference claims carry
+    per-unit provenance; this pipeline's merged covariates are
+    conversation-grained, so a unit links to the covariates of the
+    entities it mentions (unit → entity → claims with that subject).
+
+    Shape: three explode→groupBy inversions keyed on text_unit_id — at
+    scale each is one shuffle of (unit, id) pairs; no UDFs, no windows."""
+    ent = nodes.select(
+        "title",
+        F.sha2(F.col("title"), 256).alias("eid"),
+        F.explode("source_id").alias("text_unit_id"),
+    )
+    e_agg = ent.groupBy("text_unit_id").agg(
+        F.array_sort(F.collect_set("eid")).alias("entity_ids")
+    )
+    rel = edges.select(
+        F.sha2(F.concat_ws("->", "source", "target"), 256).alias("rid"),
+        F.explode("text_unit_ids").alias("text_unit_id"),
+    )
+    r_agg = rel.groupBy("text_unit_id").agg(
+        F.array_sort(F.collect_set("rid")).alias("relationship_ids")
+    )
+    out = (
+        text_units.select(
+            F.col("id").alias("text_unit_id"), "doc_id", "conv_id", "n_tokens"
+        )
+        .join(e_agg, "text_unit_id", "left")
+        .join(r_agg, "text_unit_id", "left")
+    )
+    empty = F.array().cast("array<string>")
+    if claims is not None:
+        cov = (
+            ent.join(
+                claims.select(
+                    F.col("subject_id").alias("title"),
+                    F.sha2(F.col("subject_id"), 256).alias("cid"),
+                ),
+                "title",
+            )
+            .groupBy("text_unit_id")
+            .agg(F.array_sort(F.collect_set("cid")).alias("covariate_ids"))
+        )
+        out = out.join(cov, "text_unit_id", "left")
+    else:
+        out = out.withColumn("covariate_ids", empty)
+    return (
+        out.withColumn("entity_ids", F.coalesce("entity_ids", empty))
+        .withColumn("relationship_ids", F.coalesce("relationship_ids", empty))
+        .withColumn("covariate_ids", F.coalesce("covariate_ids", empty))
+    )
+
+
 def rank_text_units(
     text_unit_entities: DataFrame, entity_order: DataFrame
 ) -> DataFrame:

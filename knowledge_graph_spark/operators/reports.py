@@ -107,6 +107,8 @@ def community_local_context(
             ),
         ).alias("entity_rows"),
         F.count("*").cast("int").alias("n_top_entities"),
+        F.min_by("title", "rk").alias("top_entity"),
+        F.min_by("degree", "rk").cast("int").alias("top_entity_degree"),
     )
     we = Window.partitionBy("community").orderBy(F.desc("rank"), F.asc("source"), F.asc("target"))
     top_edges = edges_ctx.withColumn("rk", F.row_number().over(we)).filter(F.col("rk") <= top_k)
@@ -123,6 +125,9 @@ def community_local_context(
             ),
         ).alias("edge_rows"),
         F.count("*").cast("int").alias("n_top_edges"),
+        F.min_by("source", "rk").alias("top_edge_source"),
+        F.min_by("target", "rk").alias("top_edge_target"),
+        F.min_by("rank", "rk").cast("int").alias("top_edge_rank"),
     )
     sizes = nodes_ctx.groupBy("community").agg(F.count("*").cast("int").alias("n_entities"))
     mass = edges_ctx.groupBy("community").agg(
@@ -172,6 +177,11 @@ def community_local_context(
         "n_entities",
         F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
         F.coalesce("weight_mass", F.lit(0.0)).alias("weight_mass"),
+        "top_entity",
+        F.coalesce("top_entity_degree", F.lit(0)).alias("top_entity_degree"),
+        "top_edge_source",
+        "top_edge_target",
+        "top_edge_rank",
         F.concat(
             F.lit("-----Entities-----\ntitle,type,degree\n"),
             F.coalesce("entity_rows", F.lit("")),
@@ -183,35 +193,119 @@ def community_local_context(
     return ctx
 
 
-def render_reports(context: DataFrame, level: int = 0) -> DataFrame:
-    """R13 (deterministic replacement): one report row per community.
+def _json_esc(c) -> F.Column:
+    """Escape a string column for embedding in a JSON string literal.
+    Backslash, quote, newline are the only specials the deterministic
+    renderer can produce; mirrored verbatim in the SQL oracle."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.replace(c, F.lit("\n"), F.lit("\\n"))
 
-    rank = weight_mass (edge-weight salience); title/summary rendered
-    from the context.  An LLM backend would map ``context_string`` →
-    {title, summary, findings} here instead (reference
-    community_reports_extractor.py:45-79)."""
+
+def render_reports(context: DataFrame, level: int = 0) -> DataFrame:
+    """R13 (deterministic replacement): one report row per community with
+    the reference's FULL record shape (reference
+    verbs/community_summarization/typing.py:8-18): id, community, title,
+    summary, full_content, full_content_json, rank, rank_explanation,
+    findings[{summary, explanation}], level, human_readable_id.
+
+    rank = weight_mass (edge-weight salience); findings are derived
+    deterministically from the context's top entity and top edge.  An
+    LLM backend would map ``context_string`` → {title, summary, rating,
+    rating_explanation, findings} here instead
+    (community_reports_extractor.py:45-79; graph_intelligence/run.py:46-56
+    assembles the record, full_content_json = json.dumps(report))."""
     from .graphops import with_global_index
 
+    rank_col = F.col("weight_mass")
+    title_col = F.concat(F.lit("Community "), F.col("community"))
+    summary_col = F.concat(
+        F.lit("Community of "),
+        F.col("n_entities").cast("string"),
+        F.lit(" entities with "),
+        F.col("n_edges").cast("string"),
+        F.lit(" internal relationships (weight "),
+        F.col("weight_mass").cast("string"),
+        F.lit(")"),
+    )
+    rank_expl_col = F.concat(
+        F.lit("Rank "),
+        F.col("weight_mass").cast("string"),
+        F.lit(" = sum of internal relationship weights"),
+    )
+    f1 = F.when(
+        F.col("top_entity").isNotNull(),
+        F.struct(
+            F.concat(F.lit("Dominant entity: "), F.col("top_entity")).alias("summary"),
+            F.concat(
+                F.col("top_entity"),
+                F.lit(" has the highest degree ("),
+                F.col("top_entity_degree").cast("string"),
+                F.lit(") among "),
+                F.col("n_entities").cast("string"),
+                F.lit(" community members"),
+            ).alias("explanation"),
+        ),
+    )
+    f2 = F.when(
+        F.col("top_edge_source").isNotNull(),
+        F.struct(
+            F.concat(
+                F.lit("Strongest relationship: "),
+                F.col("top_edge_source"),
+                F.lit(" -> "),
+                F.col("top_edge_target"),
+            ).alias("summary"),
+            F.concat(
+                F.lit("Combined endpoint degree "),
+                F.col("top_edge_rank").cast("string"),
+                F.lit(" tops the community's "),
+                F.col("n_edges").cast("string"),
+                F.lit(" internal relationships"),
+            ).alias("explanation"),
+        ),
+    )
+    findings_col = F.array_compact(F.array(f1, f2))
+    findings_json = F.concat_ws(
+        ", ",
+        F.transform(
+            findings_col,
+            lambda f: F.concat(
+                F.lit('{"summary": "'),
+                _json_esc(f["summary"]),
+                F.lit('", "explanation": "'),
+                _json_esc(f["explanation"]),
+                F.lit('"}'),
+            ),
+        ),
+    )
     rendered = context.select(
         F.sha2(F.col("community"), 256).alias("id"),
         "community",
-        F.concat(F.lit("Community "), F.col("community")).alias("title"),
-        F.concat(
-            F.lit("Community of "),
-            F.col("n_entities").cast("string"),
-            F.lit(" entities with "),
-            F.col("n_edges").cast("string"),
-            F.lit(" internal relationships (weight "),
-            F.col("weight_mass").cast("string"),
-            F.lit(")"),
-        ).alias("summary"),
+        title_col.alias("title"),
+        summary_col.alias("summary"),
         F.concat(
             F.lit("# Community "),
             F.col("community"),
             F.lit("\n\n"),
             F.col("context_string"),
         ).alias("full_content"),
-        F.col("weight_mass").alias("rank"),
+        F.concat(
+            F.lit('{"title": "'),
+            _json_esc(title_col),
+            F.lit('", "summary": "'),
+            _json_esc(summary_col),
+            F.lit('", "rating": '),
+            rank_col.cast("string"),
+            F.lit(', "rating_explanation": "'),
+            _json_esc(rank_expl_col),
+            F.lit('", "findings": ['),
+            findings_json,
+            F.lit("]}"),
+        ).alias("full_content_json"),
+        rank_col.alias("rank"),
+        rank_expl_col.alias("rank_explanation"),
+        findings_col.alias("findings"),
         F.lit(level).alias("level"),
     )
     return with_global_index(rendered, [F.desc("rank"), F.asc("community")])
@@ -335,6 +429,86 @@ def build_mixed_context(
         F.col("m.exceeds_budget").alias("exceeds_budget"),
         F.col("m.n_substituted").alias("n_substituted"),
     )
+
+
+def leveled_reports(
+    nodes: DataFrame,
+    degrees: DataFrame,
+    edges_ranked: DataFrame,
+    communities_leveled: DataFrame,
+    claims: DataFrame | None = None,
+    max_tokens: int = 8000,
+    top_k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Level-ordered report generation, deepest first, with mixed-context
+    substitution — the reference's headline hierarchical flow (reference
+    verbs/community_summarization/summarization.py level loop +
+    pre_community_report_context.py:22-74): generate the deepest level's
+    reports from local context, then for each shallower level substitute
+    oversized parents' context with their largest sub-communities'
+    report summaries via ``build_mixed_context``.
+
+    Output: one report row per community per level (render_reports shape
+    + mixed-context diagnostics context_tokens / exceeds_budget /
+    n_substituted; 0-defaults at the deepest level).  Community ids are
+    globally unique across levels (deeper labels are parent-qualified),
+    so per-level frames union cleanly.
+    """
+    levels = get_levels(communities_leveled)  # deepest first (R5)
+    hier = community_hierarchy(communities_leveled)
+    sub_ctx: DataFrame | None = None
+    sub_reports: DataFrame | None = None
+    out: DataFrame | None = None
+    for lvl in levels:
+        comm = communities_leveled.filter(F.col("level") == lvl).select(
+            "title", "community"
+        )
+        nctx = node_context(nodes, degrees, comm).filter(F.col("community").isNotNull())
+        ectx = edge_context(edges_ranked, comm)
+        cctx = community_local_context(
+            nctx,
+            ectx,
+            top_k=top_k,
+            claims_ctx=claim_context(claims, comm) if claims is not None else None,
+        )
+        if sub_reports is not None:
+            mixed = build_mixed_context(
+                cctx, hier.filter(F.col("level") == lvl), sub_ctx, sub_reports,
+                max_tokens=max_tokens,
+            )
+            render_in = (
+                cctx.join(mixed.select(
+                    "community", "mixed_context", "context_tokens",
+                    "exceeds_budget", "n_substituted",
+                ), "community", "left")
+                .withColumn(
+                    "context_string",
+                    F.coalesce("mixed_context", "context_string"),
+                )
+                .drop("mixed_context")
+            )
+        else:
+            # deepest level: no sub-reports to substitute (reference
+            # trims; our top-K context is budget-bounded by construction)
+            render_in = (
+                cctx.withColumn(
+                    "context_tokens",
+                    F.size(F.split("context_string", r"\s+")).cast("int"),
+                )
+                .withColumn("exceeds_budget", F.col("context_tokens") > max_tokens)
+                .withColumn("n_substituted", F.lit(0).cast("int"))
+            )
+        rep = render_reports(render_in, level=lvl).join(
+            render_in.select(
+                "community", "context_tokens", "exceeds_budget", "n_substituted"
+            ),
+            "community",
+        )
+        out = rep if out is None else out.unionByName(rep)
+        sub_ctx, sub_reports = cctx, rep
+    if out is None:
+        raise ValueError("communities_leveled has no levels")
+    return out
 
 
 def community_hierarchy(communities_leveled: DataFrame) -> DataFrame:

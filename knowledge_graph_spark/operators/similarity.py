@@ -331,20 +331,19 @@ def cosine_topk_fast(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
 
 
-def make_hyperplane_udf(dim: int, n_planes: int, seed: int):
-    """Random-hyperplane signature (SimHash for vectors): bit j = sign of
-    <v, r_j>.  One numpy matmul per Arrow batch."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, n_planes)
+def hyperplane_sig_bit(vec: F.Column, dim: int, n_planes: int, j: int) -> F.Column:
+    """Bit j of the Rademacher-hyperplane signature: sign of the
+    SEQUENTIAL fold of sum_d vec[d] * s(d, j) with s ∈ {±1} derived from
+    the deterministic hash family (functions/hashing.py) — no RNG, no
+    BLAS sum-order ambiguity, so a SQL oracle evaluating the same fold
+    gets the identical bit even when the projection is near zero."""
+    from ..functions.hashing import sign_plane
 
-    @F.pandas_udf(T.LongType())
-    def sig_udf(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())
-        bits = (m @ planes) > 0
-        weights = (1 << np.arange(n_planes, dtype=np.uint64))
-        return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
-
-    return sig_udf
+    plane = F.array(*[F.lit(float(sign_plane(d, j, n_planes))) for d in range(dim)])
+    proj = F.aggregate(
+        F.zip_with(vec, plane, lambda x, s: x * s), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (proj > 0).cast("int")
 
 
 def lsh_neardup_pairs(
@@ -353,19 +352,30 @@ def lsh_neardup_pairs(
     n_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
-    seed: int = 42,
+    seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Hyperplane-LSH near-dup: candidates share one band of the
-    signature; exact cosine verifies.  Probabilistic recall → rows-only at
-    the gate, pytest-verified against the exact variant."""
+    signature; exact cosine verifies.  Signature bits come from native
+    sequential folds of deterministic ±1 planes, so the whole operator —
+    blocking included — is SQL-expressible and hash-checked against the
+    DuckDB oracle (``seed`` retained for API compatibility)."""
     rows_per_band = n_planes // bands
-    sig = make_hyperplane_udf(dim, n_planes, seed)
     c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), sig(F.col(vec_col)).alias("sig")
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
     )
-    mask = (1 << rows_per_band) - 1
+    band_keys = [
+        sum(
+            (
+                hyperplane_sig_bit(F.col("vec"), dim, n_planes, b * rows_per_band + r)
+                * F.lit(1 << r)
+                for r in range(rows_per_band)
+            ),
+            start=F.lit(0),
+        )
+        for b in range(bands)
+    ]
     banded = c.select(
         "doc_id",
         "vec",
@@ -374,9 +384,7 @@ def lsh_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(i).cast("int").alias("band"),
-                        F.shiftright("sig", i * rows_per_band)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
+                        band_keys[i].cast("int").alias("key"),
                     )
                     for i in range(bands)
                 ]

@@ -85,10 +85,35 @@ def test_job_driver_end_to_end_and_resume(spark, tmp_path):
     assert s1["rows"]["claims"] > 0 and s1["rows"]["community_reports"] >= 1
     assert not s1["skipped"]
 
+    # leveled reports carry the full reference record shape (typing.py:8-18)
+    # plus the mixed-context diagnostics
+    rep = spark.read.parquet(f"{out}/community_reports")
+    assert {
+        "id", "community", "title", "summary", "full_content",
+        "full_content_json", "rank", "rank_explanation", "findings", "level",
+        "human_readable_id", "context_tokens", "exceeds_budget", "n_substituted",
+    } <= set(rep.columns)
+    assert rep.filter(F.col("level") == 0).count() >= 1
+    one = rep.filter(F.col("level") == 0).orderBy("community").first()
+    assert json.loads(one.full_content_json)["title"] == one.title
+    assert len(one.findings) >= 1 and one.findings[0].summary
+
     s2 = job.main(argv)  # resume: everything checkpointed
     assert not s2["computed"]
     assert set(s2["skipped"]) == set(s1["computed"])
     assert s2["rows"] == s1["rows"]
+
+    # post-resume bucketed join: nodes came back through the bucket-aware
+    # read path, so a merge join against a co-bucketed table needs no
+    # Exchange on the nodes side
+    io2 = TableIO(spark, base=out)
+    nodes_resumed = io2.read_bucketed("nodes")
+    probe = nodes_resumed.select("title", "type")
+    io2.write_bucketed(probe, "probe_nodes", ["title"], n_buckets=64)
+    j = nodes_resumed.hint("merge").join(io2.read_bucketed("probe_nodes"), "title")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "Exchange hashpartitioning" not in plan
+    spark.sql("DROP TABLE IF EXISTS probe_nodes")
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

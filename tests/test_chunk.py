@@ -56,3 +56,27 @@ def test_ids_stable_across_runs(spark):
     a = {r.id for r in split_text_units(docs, size=2, overlap=0).collect()}
     b = {r.id for r in split_text_units(docs, size=2, overlap=0).collect()}
     assert a == b
+
+
+def test_sentence_units(spark):
+    from knowledge_graph_spark.operators.chunk import split_sentence_units
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "c1", "Alpha met Beta. Gamma left!  Did Delta stay? yes", 1),
+            ("d2", "c2", "no terminators here", 1),
+            ("d3", "c3", "...", 1),  # punctuation-only → no sentences
+        ],
+        "doc_id string, conv_id string, text string, n_turns int",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk, r.n_tokens)
+        for r in split_sentence_units(docs).collect()
+    )
+    assert rows == [
+        ("d1", 0, "Alpha met Beta.", 3),
+        ("d1", 1, "Gamma left!", 2),
+        ("d1", 2, "Did Delta stay?", 3),
+        ("d1", 3, "yes", 1),
+        ("d2", 0, "no terminators here", 3),
+    ]

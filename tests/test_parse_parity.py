@@ -3,7 +3,10 @@ on the F4 micro-fixture (FIXTURES.md): exact triple-set equality (P/R = 1.0)
 plus node merge equality, including every edge case the reference parser
 handles (reference graph/extractors/graph_extractor.py:180-292)."""
 
+import pandas as pd
+
 from knowledge_graph_spark import oracle as orc
+from knowledge_graph_spark.operators.extract import GleaningBackend, RuleBackend
 from knowledge_graph_spark.operators.parse import parse_and_merge
 
 # F4 fixture: delimiter-format records with deliberate edge cases.
@@ -120,3 +123,54 @@ def test_edge_merge_parity(spark):
     # non-numeric weight fell back to 1.0; control char stripped from desc
     assert s_edges[("ACME & CO", "BOB")][0] == 1.0
     assert s_edges[("ACME & CO", "BOB")][1] == "works with"
+
+
+# ---------------------------------------------------------------------------
+# Gleaning rounds (E2 round structure, reference graph_extractor.py:140-176)
+# ---------------------------------------------------------------------------
+
+GLEAN_TEXT = "AB met USER_1 and CD near CITY_2"
+
+
+def test_gleaning_round0_is_rule_backend():
+    s = pd.Series([GLEAN_TEXT, "", None, "nothing lower case"])
+    r0 = GleaningBackend(max_gleanings=0).extract(s)
+    rb = RuleBackend().extract(s)
+    assert list(r0.fillna("∅")) == list(rb.fillna("∅"))
+
+
+def test_gleaning_appends_missed_entities(spark):
+    """Round 1 (CONTINUE) recovers the 2-char mentions the primary
+    pattern misses and connects them to everything known; parse+merge of
+    the combined stream matches the sequential oracle (gleaning-closed),
+    and the round-1 graph strictly extends the round-0 graph."""
+    recs1 = GleaningBackend(max_gleanings=1).extract(pd.Series([GLEAN_TEXT]))[0]
+    recs0 = RuleBackend().extract(pd.Series([GLEAN_TEXT]))[0]
+    assert recs1.startswith(recs0.replace("##<|COMPLETE|>", ""))  # append-only
+
+    def graph(recs):
+        raw = spark.createDataFrame(
+            [("c0", "u0", recs)], "conv_id string, text_unit_id string, records string"
+        )
+        nodes, edges = parse_and_merge(raw)
+        return (
+            {r.title for r in nodes.collect()},
+            {(r.source, r.target): r.weight for r in edges.collect()},
+        )
+
+    n0, e0 = graph(recs0)
+    n1, e1 = graph(recs1)
+    assert n0 == {"USER_1", "CITY_2"}
+    assert n1 == {"USER_1", "CITY_2", "AB", "CD"}
+    assert set(e0) < set(e1)  # strict extension
+    # every old+new mention pair exists exactly once (weight 1)
+    assert e1[("AB", "USER_1")] == 1.0 and e1[("AB", "CD")] == 1.0
+
+    # gleaning-closed: the distributed merge of the 2-round stream equals
+    # the vendored sequential oracle on the same records
+    o_nodes, o_edges = orc.parse_records_oracle([("u0", recs1)])
+    assert {row["title"] for row in orc.oracle_node_rows(o_nodes)} == n1
+    assert {
+        (row["source"], row["target"]): row["weight"]
+        for row in orc.oracle_edge_rows(o_edges)
+    } == e1
