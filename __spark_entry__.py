@@ -11,10 +11,11 @@ engines, so every pipeline stage is value-hash comparable end-to-end.
 The probabilistic operators (MinHash/SimHash dedup, hyperplane-LSH
 near-dup, feature-hash entity search) run on the SQL-expressible
 deterministic hash family (knowledge_graph_spark/functions/hashing.py),
-so they are FULLY hash-checked against DuckDB.  Only the iterative ops
-(LPA communities, MinHash+CC canonicalization, hierarchical LPA) stay
+so they are FULLY hash-checked against DuckDB — as is MinHash+CC
+canonicalization (recursive-CTE reachability oracle).  Only the
+vote-based iterative ops (LPA communities, hierarchical LPA) stay
 rows-only; their semantics are pytest-verified against vendored
-sequential oracles instead (tests/).
+sequential fixpoint oracles instead (tests/).
 """
 
 from __future__ import annotations
@@ -1042,6 +1043,67 @@ SELECT sha256(subject_id) AS id, subject_id, object_id, claim_type, status,
 FROM cmerged
 """
 
+# Canonicalization: SQL MinHash-LSH (num_perm=32, bands=8, k=3 shingles,
+# bucket cap 50) + jaccard>=0.5 verify + alias edges + recursive-CTE CC
+# with min-label canonical — the full q_canonicalization dataflow.
+_CANONICALIZATION_BODY = f"""
+, nnm AS (
+  SELECT title, regexp_replace(upper(trim(title)), '\\s+', ' ', 'g') AS s
+  FROM kg_nodes
+),
+csh AS (
+  SELECT DISTINCT title,
+         CASE WHEN length(s) <= 3 THEN s ELSE substr(s, CAST(ci AS INT), 3) END AS g
+  FROM nnm, LATERAL unnest(range(1, CASE WHEN length(s) <= 3 THEN 2
+                                        ELSE length(s) - 3 + 2 END)) AS u(ci)
+  WHERE s <> ''
+),
+cshx AS (SELECT title, g, {_POLY.format(s="g")} AS x FROM csh),
+cperms AS (
+  SELECT title, pi, min({_perm("x", "pi")}) AS mh
+  FROM cshx, LATERAL unnest(range(0, 32)) AS p(pi)
+  GROUP BY title, pi
+),
+cbk AS (
+  SELECT title, CAST(pi // 4 AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bh
+  FROM cperms GROUP BY title, CAST(pi // 4 AS INT)
+),
+cbsz AS (SELECT band, bh, count(*) AS n FROM cbk GROUP BY band, bh),
+ccap AS (SELECT k.* FROM cbk k JOIN cbsz z USING (band, bh) WHERE z.n <= 50),
+ccand AS (
+  SELECT DISTINCT a.title AS name_a, b.title AS name_b
+  FROM ccap a JOIN ccap b ON a.band = b.band AND a.bh = b.bh AND a.title < b.title
+),
+cssz AS (SELECT title, count(*) AS n FROM csh GROUP BY title),
+ccint AS (
+  SELECT c.name_a, c.name_b, count(*) AS inter
+  FROM ccand c
+  JOIN csh sa ON sa.title = c.name_a
+  JOIN csh sb ON sb.title = c.name_b AND sa.g = sb.g
+  GROUP BY c.name_a, c.name_b
+),
+cver AS (
+  SELECT i.name_a, i.name_b
+  FROM ccint i JOIN cssz za ON i.name_a = za.title JOIN cssz zb ON i.name_b = zb.title
+  WHERE CAST(i.inter AS DOUBLE) / CAST(za.n + zb.n - i.inter AS DOUBLE) >= 0.5
+),
+cedges AS (
+  SELECT name_a AS a, name_b AS b FROM cver
+  UNION SELECT upper(alias) AS a, upper(canonical_name) AS b FROM alias_dict
+),
+ccsym AS (SELECT a, b FROM cedges UNION SELECT b AS a, a AS b FROM cedges),
+cctouched AS (SELECT DISTINCT a AS node FROM ccsym),
+ccreach(node, r) AS (
+  SELECT node, node FROM cctouched
+  UNION
+  SELECT s.a, ccreach.r FROM ccsym s JOIN ccreach ON s.b = ccreach.node
+),
+cccomp AS (SELECT node, min(r) AS comp FROM ccreach GROUP BY node)
+SELECT n.title, coalesce(c.comp, n.title) AS canonical
+FROM kg_nodes n LEFT JOIN cccomp c ON n.title = c.node
+"""
+
 _TEXT_UNIT_LINKS_BODY = f"""
 , tue AS (
   SELECT title, unnest(string_split(source_ids, ',')) AS text_unit_id FROM kg_nodes
@@ -1275,7 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "largest_component": q_largest_component,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
-        "canonicalization": q_canonicalization,  # rows-only: MinHash-LSH + CC
+        "canonicalization": q_canonicalization,
         "canonical_nodes": q_canonical_nodes,
         "canonical_edges": q_canonical_edges,
         "top_entities": q_top_entities,
@@ -1391,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.title, c.component FROM comp c JOIN top USING (component)
             """
         ),
+        "canonicalization": _oracle(_CANONICALIZATION_BODY),
         "canonical_nodes": _oracle(_CANON_CTE + """
             SELECT t.title, t.type, d.description, s.source_ids
             FROM ctype t JOIN cdesc_agg d USING (title) JOIN csrc_agg s USING (title)

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASH_M31, perm_ab, poly_hash
+from ..functions.hashing import HASH_M31, perm_ab, poly_hash, poly_hash_kgrams
 from .community import connected_components
 
 
@@ -81,10 +81,15 @@ def make_minhash_udf(num_perm: int, k: int, seed: int = 0):
     a, b = perm_ab(num_perm)
 
     def sig(name: str) -> list[int]:
-        sh = _shingles(name or "", k)
-        if not sh:
+        s = re.sub(r"\s+", " ", (name or "").strip().upper())
+        if not s:
             return [0] * num_perm
-        x = np.array([poly_hash(s) for s in sh], dtype=np.int64)
+        if len(s) <= k:
+            x = np.array([poly_hash(s)], dtype=np.int64)
+        else:
+            # all k-gram hashes in one vectorized sliding-window pass;
+            # min over the unique-hash set == min over the shingle set
+            x = np.unique(poly_hash_kgrams(s, k))
         # permutation hashes via (a*x + b) mod M31, min over shingles;
         # a < 2^31, x < 2^30 → products < 2^61, no int64 overflow
         m = (a[None, :] * x[:, None] + b[None, :]) % HASH_M31

@@ -181,12 +181,21 @@ def cosine_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _num_blocks(df: DataFrame, rows_per_block: int) -> int:
+def _num_blocks(df: DataFrame, rows_per_block: int, fill_cluster: bool = False) -> int:
     """Block count from the corpus cardinality.  The count is one narrow
     scan of the id column; on a real deployment this comes free from table
-    metadata (Iceberg snapshot row count)."""
+    metadata (Iceberg snapshot row count).
+
+    ``fill_cluster``: raise B so the B(B+1)/2 pair-grid cells cover the
+    cluster's task slots even on small corpora — otherwise a 2-block
+    corpus yields a 3-task stage that idles the rest of the executors."""
     n = df.count()
-    return max(1, -(-n // rows_per_block))
+    b = max(1, -(-n // rows_per_block))
+    if fill_cluster:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        b_fill = int((2 * par) ** 0.5) + 1
+        b = max(b, min(b_fill, n))  # never more blocks than rows
+    return b
 
 
 def _to_matrix(pdf, vec_col: str):
@@ -216,7 +225,7 @@ def neardup_pairs_fast(
 
     Sum order is BLAS pairwise, so use the exact fold variant when
     bit-parity with a sequential oracle matters."""
-    B = _num_blocks(corpus, rows_per_block)
+    B = _num_blocks(corpus, rows_per_block, fill_cluster=True)
     tau = threshold
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
@@ -227,11 +236,14 @@ def neardup_pairs_fast(
         "vid",
         "vec",
     )
+    # right-side columns get DISTINCT names: with identical attribute
+    # lineage on both cogroup sides, Spark's attribute dedup prunes the
+    # right group frame down to the grouping key (observed on 4.1)
     right = c.select(
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
         F.col("blk").alias("bj"),
-        "vid",
-        "vec",
+        F.col("vid").alias("vid_r"),
+        F.col("vec").alias("vec_r"),
     )
 
     def cell(key, lpdf, rpdf):
@@ -239,17 +251,28 @@ def neardup_pairs_fast(
             return pd.DataFrame({"id_a": [], "id_b": [], "sim_micro": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "sim_micro": "int64"}
             )
-        lm, rm = _to_matrix(lpdf, "vec"), _to_matrix(rpdf, "vec")
-        lid, rid = lpdf["vid"].to_numpy(), rpdf["vid"].to_numpy()
+        lm, rm = _to_matrix(lpdf, "vec"), _to_matrix(rpdf, "vec_r")
+        lid, rid = lpdf["vid"].to_numpy(), rpdf["vid_r"].to_numpy()
         sims = lm @ rm.T
         ii, jj = np.nonzero(sims >= tau)
         a, b = lid[ii], rid[jj]
-        keep = a < b  # dedups the diagonal cell and orients pairs
+        if key[0] == key[1]:
+            # diagonal cell: every pair appears in BOTH orientations —
+            # a<b both dedups and orients
+            keep = a < b
+            a, b, s = a[keep], b[keep], sims[ii, jj][keep]
+        else:
+            # off-diagonal: each cross-block pair appears exactly once,
+            # in arbitrary id order — orient, never filter (filtering
+            # here silently dropped pairs whose id order opposed the
+            # block order)
+            s = sims[ii, jj]
+            a, b = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
             {
-                "id_a": a[keep].astype("int64"),
-                "id_b": b[keep].astype("int64"),
-                "sim_micro": np.floor(sims[ii, jj][keep] * SIM_SCALE).astype("int64"),
+                "id_a": a.astype("int64"),
+                "id_b": b.astype("int64"),
+                "sim_micro": np.floor(s * SIM_SCALE).astype("int64"),
             }
         )
 
@@ -275,7 +298,7 @@ def cosine_topk_fast(
     (sim desc, id asc) window as the exact variant.  No driver collect;
     per-task memory bounded by one query block + one corpus block."""
     QB = _num_blocks(queries, rows_per_block)
-    CB = _num_blocks(corpus, rows_per_block)
+    CB = _num_blocks(corpus, rows_per_block, fill_cluster=True)
     q = queries.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).withColumn("qb", F.pmod(F.xxhash64(F.col("vid")), F.lit(QB)).cast("int"))
@@ -285,11 +308,13 @@ def cosine_topk_fast(
         "vid",
         "vec",
     )
+    # distinct corpus-side names: same attribute-dedup hazard as in
+    # neardup_pairs_fast when queries and corpus share a lineage
     c = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
-    ).withColumn("cb", F.pmod(F.xxhash64(F.col("vid")), F.lit(CB)).cast("int"))
+        F.col(id_col).alias("vid_c"), F.col(vec_col).alias("vec_c")
+    ).withColumn("cb", F.pmod(F.xxhash64(F.col("vid_c")), F.lit(CB)).cast("int"))
     cx = c.select(
-        F.explode(F.sequence(F.lit(0), F.lit(QB - 1))).alias("qb"), "cb", "vid", "vec"
+        F.explode(F.sequence(F.lit(0), F.lit(QB - 1))).alias("qb"), "cb", "vid_c", "vec_c"
     )
 
     def cell(key, qpdf, cpdf):
@@ -298,8 +323,8 @@ def cosine_topk_fast(
         )
         if len(qpdf) == 0 or len(cpdf) == 0:
             return empty
-        qm, cm = _to_matrix(qpdf, "vec"), _to_matrix(cpdf, "vec")
-        qid, cid = qpdf["vid"].to_numpy(), cpdf["vid"].to_numpy()
+        qm, cm = _to_matrix(qpdf, "vec"), _to_matrix(cpdf, "vec_c")
+        qid, cid = qpdf["vid"].to_numpy(), cpdf["vid_c"].to_numpy()
         sims = qm @ cm.T
         sims_mi = np.floor(sims * SIM_SCALE).astype("int64")
         frames = []
