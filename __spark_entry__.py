@@ -340,16 +340,29 @@ def q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_query_to_entities(s["nodes"], "user zero activity", k=5)
 
 
+_CLAIMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finalized claims, memoized per (session, sf_dir) like _stages —
+    q_claims and q_text_unit_links share one persisted plan."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLAIMS_CACHE:
+        t = transcripts_from_events(spark, sf_dir)
+        _CLAIMS_CACHE[key] = claims_ops.extract_claims(
+            t, alias_dict=_alias_df(spark)
+        ).persist()
+    return _CLAIMS_CACHE[key]
+
+
 def q_text_unit_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-unit backlinks (reference models/text_unit.py): entity /
     relationship / covariate ids per unit, inverted from stage
     provenance.  Arrays projected as comma-joined strings for the
     cross-engine hash compare."""
     s = _stages(spark, sf_dir)
-    t = transcripts_from_events(spark, sf_dir)
-    c = claims_ops.extract_claims(t, alias_dict=_alias_df(spark))
     links = query_ops.text_unit_backlinks(
-        s["text_units"], s["nodes"], s["edges"], claims=c
+        s["text_units"], s["nodes"], s["edges"], claims=_claims(spark, sf_dir)
     )
     return links.select(
         "text_unit_id",
@@ -363,8 +376,7 @@ def q_text_unit_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcripts_from_events(spark, sf_dir)
-    c = claims_ops.extract_claims(t, alias_dict=_alias_df(spark))
+    c = _claims(spark, sf_dir)
     return c.select(
         "id",
         "subject_id",

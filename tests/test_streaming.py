@@ -105,3 +105,60 @@ def test_turn_counts_watermarked_aggregate(spark, tmp_path):
     q2.awaitTermination()
     rows = spark.sql("select * from tc2").collect()
     assert len(rows) == 1 and rows[0].n_turns == 3 and rows[0].n_tool_turns == 0
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_conversation_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: turns for one conversation
+    arrive across TWO micro-batches; per-key state accumulates counts +
+    rolling fingerprint, and the session row is emitted exactly once
+    after the processing-time gap."""
+    import time
+
+    from knowledge_graph_spark.streaming.stateful import (
+        _fold_fp,
+        conversation_sessions,
+    )
+
+    inp = str(tmp_path / "sess_in")
+    b1 = _batch(spark, "c1", ["ALPHA", "BETA"])
+    # one file per logical batch: the fold fingerprint is arrival-order
+    # sensitive, and each file becomes its own micro-batch here
+    b1.coalesce(1).write.mode("append").parquet(inp)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        conversation_sessions(stream, gap_ms=1500)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(2)
+        # late turns for the SAME conversation — state must carry over
+        rows = [
+            ("c1", 2, "user", "GAMMA arrived late", "", TS + datetime.timedelta(minutes=2))
+        ]
+        spark.createDataFrame(rows, TRANSCRIPT_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        got = []
+        for _ in range(60):  # ≤30s: drain both files, then gap, then emit
+            got = spark.sql("select * from sess").collect()
+            if got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert r.conv_id == "c1" and r.n_turns == 3
+    texts = [t.text for t in b1.orderBy("turn_idx").collect()] + ["GAMMA arrived late"]
+    assert r.text_fp == _fold_fp(0, texts)
+    assert r.first_ts < r.last_ts
