@@ -26,14 +26,20 @@ SF_DIR = "/root/testdata/sf0.001"
 CHECK = [
     "conv_docs",
     "text_units",
+    "sentence_units",
     "kg_nodes",
     "kg_edges",
     "edge_rank",
     "connected_components",
     "claims",
     "canonical_nodes",
+    "canonicalization",
+    "community_reports",
+    "text_unit_links",
     "dedup_clusters",
+    "minhash_dedup",
     "emb_topk",
+    "emb_neardup_lsh",
 ]
 
 
@@ -77,7 +83,5 @@ def test_every_query_has_oracle_or_is_declared_iterative():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     rows_only = set(qs) - set(os_)
-    # iterative / probabilistic ops are the only permitted rows-only checks
-    assert rows_only <= {"communities_lpa", "canonicalization", "minhash_dedup",
-                         "simhash_dedup", "emb_neardup_lsh", "community_hierarchy",
-                         "entity_search"}
+    # vote-based iterative ops are the ONLY permitted rows-only checks
+    assert rows_only <= {"communities_lpa", "community_hierarchy"}

@@ -130,6 +130,32 @@ def test_merge_strategies_plans_and_equality(spark):
     assert capped["A"] == ["s1"]  # first K of the sorted provenance set
 
 
+def test_backlinks_and_sentence_chunker_stay_native(spark):
+    """text_unit_backlinks is pure explode→groupBy inversion and the
+    sentence chunker is pure Column algebra — no Python anywhere."""
+    from knowledge_graph_spark.operators.chunk import split_sentence_units
+    from knowledge_graph_spark.operators.query import text_unit_backlinks
+
+    units = spark.createDataFrame(
+        [("u1", "d1", "c1", 3)], "id string, doc_id string, conv_id string, n_tokens int"
+    )
+    nodes = spark.createDataFrame(
+        [("A", ["u1"])], "title string, source_id array<string>"
+    )
+    edges = spark.createDataFrame(
+        [("A", "B", ["u1"])], "source string, target string, text_unit_ids array<string>"
+    )
+    p = plan(text_unit_backlinks(units, nodes, edges))
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+    docs = spark.createDataFrame(
+        [("d1", "c1", "One. Two.", 1)],
+        "doc_id string, conv_id string, text string, n_turns int",
+    )
+    p2 = plan(split_sentence_units(docs))
+    assert "PythonUDF" not in p2 and "ArrowEval" not in p2
+
+
 def test_global_index_has_no_single_partition_exchange(spark):
     """Two-phase id assignment: the big-table side must be range-
     partitioned (parallel), never funneled through SinglePartition; only
