@@ -68,12 +68,22 @@ def with_global_index(
     key, independent of where the range boundaries fall, so the output is
     hash-stable across runs and cluster sizes — but no stage funnels the
     whole table through one task (asserted in test_physical_plans.py).
+
+    The ranked frame is persisted: the offsets subtree re-reads it, and
+    WITHOUT pinning, each subtree would re-evaluate repartitionByRange
+    with an independently-sampled partitioner — partition ids then
+    disagree between rank and offset computation and the inner join
+    silently DROPS rows (observed at sf0.1: 19 nodes → 3).  The persist
+    is bounded by the table being indexed (nodes/claims/reports —
+    ~|entities|, not |turns|).
     """
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
-    local = ranged.withColumn("__local", F.row_number().over(w_local).cast("long"))
+    local = ranged.withColumn(
+        "__local", F.row_number().over(w_local).cast("long")
+    ).persist()
     counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

@@ -130,6 +130,25 @@ def test_merge_strategies_plans_and_equality(spark):
     assert capped["A"] == ["s1"]  # first K of the sorted provenance set
 
 
+def test_global_index_complete_at_high_partition_counts(spark):
+    """Regression: with 64 shuffle partitions + AQE, the offsets subtree
+    once re-evaluated repartitionByRange with a different sampled
+    partitioner, mismatching partition ids and silently dropping rows
+    (19 nodes → 3 at sf0.1).  The ranked frame is persisted now; the
+    index must stay complete and contiguous."""
+    from knowledge_graph_spark.operators.graphops import with_global_index
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        df = spark.range(5000).selectExpr("concat('K', lpad(cast(id as string), 6, '0')) AS title")
+        out = with_global_index(df, ["title"]).collect()
+        assert len(out) == 5000
+        assert sorted(r.human_readable_id for r in out) == list(range(5000))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_backlinks_and_sentence_chunker_stay_native(spark):
     """text_unit_backlinks is pure explode→groupBy inversion and the
     sentence chunker is pure Column algebra — no Python anywhere."""
