@@ -375,6 +375,52 @@ def q_text_unit_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOCAL_QUERY = "user zero activity"
+GLOBAL_QUERY = "entities relationships weight"
+
+
+def _cc_reports(spark: SparkSession, sf_dir: str):
+    """Shared CC-community report pipeline for the search gates (same
+    construction as q_community_reports)."""
+    s = _stages(spark, sf_dir)
+    comm = connected_components(s["nodes"], s["edges"]).select(
+        "title", F.col("component").alias("community")
+    )
+    nctx = reports.node_context(s["nodes"], s["degrees"], comm)
+    ectx = reports.edge_context(with_edge_rank(s["edges"], s["degrees"]), comm)
+    ctx = reports.community_local_context(nctx, ectx, top_k=10)
+    return s, comm, reports.render_reports(ctx)
+
+
+def q_local_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 local-search context dataflow: entity mapping → reports →
+    entity/relationship tables → claims → budget-packed sources, as one
+    deterministic context row (reference combine_context.py:80-224)."""
+    from knowledge_graph_spark.operators.search import local_search_context
+
+    s, comm, reps = _cc_reports(spark, sf_dir)
+    return local_search_context(
+        LOCAL_QUERY,
+        s["nodes"],
+        s["degrees"],
+        with_edge_rank(s["edges"], s["degrees"]),
+        comm,
+        reps,
+        s["text_units"],
+        claims=_claims(spark, sf_dir),
+        top_k_entities=5,  # matches the entity-search oracle's k
+    )
+
+
+def q_global_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 global-search map-reduce over community reports (reference
+    global_search/search.py), deterministic rating."""
+    from knowledge_graph_spark.operators.search import global_search_context
+
+    _, _, reps = _cc_reports(spark, sf_dir)
+    return global_search_context(GLOBAL_QUERY, reps)
+
+
 def q_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _claims(spark, sf_dir)
     return c.select(
@@ -1116,6 +1162,185 @@ SELECT n.title, coalesce(c.comp, n.title) AS canonical
 FROM kg_nodes n LEFT JOIN cccomp c ON n.title = c.node
 """
 
+# ---------------------------------------------------------------------------
+# Q7/Q8 search-context oracles.  Existing oracle bodies are EMBEDDED as
+# nested-WITH subqueries (outer prelude CTEs stay in scope; inner names
+# are scoped, so reuse is collision-free).
+# ---------------------------------------------------------------------------
+
+
+def _embed(body: str) -> str:
+    return "(WITH RECURSIVE __e AS (SELECT 1)" + body + ")"
+
+
+_WSC = (
+    "len(list_filter(regexp_split_to_array({s}, '\\s+'), x -> x <> ''))"
+)
+
+_LS_BUDGET_COMMUNITY = 2000  # 8000 * 0.25
+_LS_BUDGET_TEXT = 4000  # 8000 * 0.5
+
+
+def _local_search_body() -> str:
+    return f"""
+, esel AS {_embed(_ENTITY_SEARCH_BODY)},
+sel AS (SELECT title, rk AS entity_order FROM esel),
+reps AS {_embed(_REPORTS_BODY)},
+lcomm AS {_embed('''
+, sym AS (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION SELECT target AS a, source AS b FROM kg_edges
+),
+reach(node, r) AS (
+  SELECT title, title FROM kg_nodes
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+)
+SELECT node AS title, min(r) AS community FROM reach GROUP BY node
+''')},
+lclaims AS {_embed(_CLAIMS_BODY)},
+sel_comms AS (
+  SELECT DISTINCT c.community FROM lcomm c JOIN sel USING (title)
+),
+rep_rows AS (
+  SELECT r.rank, r.community, r.full_content AS line,
+         CAST({_WSC.format(s='r.full_content')} AS BIGINT) AS t
+  FROM reps r JOIN sel_comms USING (community)
+),
+rep_packed AS (
+  SELECT *, sum(t) OVER (ORDER BY rank DESC, community
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM rep_rows QUALIFY run <= {_LS_BUDGET_COMMUNITY}
+),
+rep_block AS (
+  SELECT '-----Reports-----' || chr(10)
+           || coalesce(string_agg(line, chr(10) ORDER BY rank DESC, community), '')
+           AS block,
+         CAST(count(*) AS INT) AS n
+  FROM rep_packed
+),
+ent_block AS (
+  SELECT '-----Entities-----' || chr(10) || 'title,degree' || chr(10)
+           || coalesce(string_agg(
+                s.title || ',' || CAST(coalesce(d.degree, 0) AS VARCHAR),
+                chr(10) ORDER BY s.entity_order), '') AS block,
+         CAST(count(*) AS INT) AS n
+  FROM sel s LEFT JOIN degrees d USING (title)
+),
+er2 AS (
+  SELECT e.source, e.target, e.weight,
+         CAST(coalesce(ds.degree, 0) + coalesce(dt.degree, 0) AS INT) AS rank
+  FROM kg_edges e
+  LEFT JOIN degrees ds ON e.source = ds.title
+  LEFT JOIN degrees dt ON e.target = dt.title
+),
+flag2 AS (
+  SELECT er2.*,
+         CASE WHEN ss.title IS NULL THEN 0 ELSE 1 END AS s_in,
+         CASE WHEN st.title IS NULL THEN 0 ELSE 1 END AS t_in
+  FROM er2 LEFT JOIN sel ss ON er2.source = ss.title
+           LEFT JOIN sel st ON er2.target = st.title
+),
+out2 AS (
+  SELECT source, target, rank,
+         CASE WHEN s_in = 0 THEN source ELSE target END AS external
+  FROM flag2 WHERE s_in + t_in = 1
+),
+rel_all AS (
+  SELECT 0 AS grp, 0 AS links, rank, source, target
+  FROM flag2 WHERE s_in + t_in = 2
+  UNION ALL
+  SELECT 1 AS grp, CAST(l.links AS INT) AS links, o.rank, o.source, o.target
+  FROM out2 o JOIN (SELECT external, count(*) AS links FROM out2 GROUP BY external) l
+    USING (external)
+),
+rel_rows AS (
+  SELECT row_number() OVER (ORDER BY grp, links DESC, rank DESC, source, target)
+           AS rel_rk,
+         source || ',' || target || ',' || CAST(rank AS VARCHAR) AS line
+  FROM rel_all QUALIFY rel_rk <= 10
+),
+rel_block AS (
+  SELECT '-----Relationships-----' || chr(10) || 'source,target,rank' || chr(10)
+           || coalesce(string_agg(line, chr(10) ORDER BY rel_rk), '') AS block,
+         CAST(count(*) AS INT) AS n
+  FROM rel_rows
+),
+cl_block AS (
+  SELECT '-----Claims-----' || chr(10) || 'subject,type,object' || chr(10)
+           || coalesce(string_agg(
+                c.subject_id || ',' || c.claim_type || ',' || c.object_id,
+                chr(10) ORDER BY c.subject_id), '') AS block,
+         CAST(count(*) AS INT) AS n
+  FROM lclaims c JOIN sel s ON c.subject_id = s.title
+),
+tue2 AS (
+  SELECT title, unnest(string_split(source_ids, ',')) AS text_unit_id FROM kg_nodes
+),
+unit_sel AS (
+  SELECT u.text_unit_id, min(s.entity_order) AS entity_order,
+         count(*) AS n_rel
+  FROM tue2 u JOIN sel s USING (title)
+  GROUP BY u.text_unit_id
+),
+unit_rows AS (
+  SELECT us.entity_order, us.n_rel, us.text_unit_id, t.chunk AS line,
+         CAST({_WSC.format(s='t.chunk')} AS BIGINT) AS t
+  FROM unit_sel us JOIN text_units t ON t.id = us.text_unit_id
+),
+unit_packed AS (
+  SELECT *, sum(t) OVER (ORDER BY entity_order, n_rel DESC, text_unit_id
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM unit_rows QUALIFY run <= {_LS_BUDGET_TEXT}
+),
+src_block AS (
+  SELECT '-----Sources-----' || chr(10)
+           || coalesce(string_agg(line, chr(10)
+                ORDER BY entity_order, n_rel DESC, text_unit_id), '') AS block,
+         CAST(count(*) AS INT) AS n
+  FROM unit_packed
+),
+ctx AS (
+  SELECT r.block || chr(10) || chr(10) || e.block || chr(10) || chr(10)
+           || x.block || chr(10) || chr(10) || c.block || chr(10) || chr(10)
+           || s.block AS context_string,
+         r.n AS n_reports, e.n AS n_entities, x.n AS n_relationships,
+         c.n AS n_claims, s.n AS n_sources
+  FROM rep_block r, ent_block e, rel_block x, cl_block c, src_block s
+)
+SELECT '{LOCAL_QUERY}' AS query, n_reports, n_entities, n_relationships,
+       n_claims, n_sources, context_string,
+       CAST({_WSC.format(s='context_string')} AS INT) AS context_tokens
+FROM ctx
+"""
+
+
+def _global_search_body() -> str:
+    terms = sorted({w.upper() for w in GLOBAL_QUERY.split()})
+    score = " + ".join(
+        f"(CASE WHEN contains(upper(r.full_content), '{t}') THEN 1 ELSE 0 END)"
+        for t in terms
+    )
+    return f"""
+, reps AS {_embed(_REPORTS_BODY)},
+scored AS (
+  SELECT r.community, r.rank, r.summary,
+         CAST({score} AS INT) AS score,
+         CAST({_WSC.format(s='r.summary')} AS BIGINT) AS t
+  FROM reps r
+  WHERE ({score}) >= 1
+),
+packed AS (
+  SELECT *, sum(t) OVER (ORDER BY score DESC, rank DESC, community
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM scored
+)
+SELECT '{GLOBAL_QUERY}' AS query, community, score, rank, summary,
+       run <= 8000 AS in_context
+FROM packed
+"""
+
+
 _TEXT_UNIT_LINKS_BODY = f"""
 , tue AS (
   SELECT title, unnest(string_split(source_ids, ',')) AS text_unit_id FROM kg_nodes
@@ -1358,6 +1583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_weight": q_community_weight,
         "entity_search": q_entity_search,
         "text_unit_links": q_text_unit_links,
+        "local_search": q_local_search,
+        "global_search": q_global_search,
         "claims": q_claims,
         "summarized_edges": q_summarized_edges,
         "community_reports": q_community_reports,
@@ -1591,6 +1818,8 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "text_unit_links": _oracle(_TEXT_UNIT_LINKS_BODY),
+        "local_search": _oracle(_local_search_body()),
+        "global_search": _oracle(_global_search_body()),
         "claims": _oracle(_CLAIMS_BODY),
         "summarized_edges": _oracle(_SUMMARIZED_EDGES_BODY),
         "community_reports": _oracle(_REPORTS_BODY),

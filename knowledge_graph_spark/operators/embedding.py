@@ -81,3 +81,44 @@ def map_query_to_entities(
     return hits.filter(F.col("neighbor_id") != "__query__").select(
         F.col("neighbor_id").alias(name_col), "sim_micro", "rk"
     )
+
+# ---------------------------------------------------------------------------
+# S10 vector sink — Spark-idiomatic replacement for the reference's
+# LanceDB/FAISS/Weaviate stores (reference vectorstore/__init__.py:6-30):
+# a partitioned parquet/Iceberg table in the store layout (id, vector,
+# metadata map), queried by the ANN operators in operators/similarity.py.
+# ---------------------------------------------------------------------------
+
+VECTOR_STORE_COLUMNS = ("vec_id", "embedding", "metadata")
+
+
+def write_vector_store(
+    df: DataFrame,
+    io,
+    name: str,
+    id_col: str = "title",
+    vec_col: str = "name_embedding",
+    metadata_cols: list[str] | None = None,
+) -> None:
+    """Materialize an embedding column as a vector-store table.
+
+    ``io`` is a TableIO; metadata columns are packed into a string map so
+    the store schema is stable regardless of the source table."""
+    meta = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in (metadata_cols or [])]),
+        F.array(*[F.col(c).cast("string") for c in (metadata_cols or [])]),
+    )
+    io.write(
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<float>").alias("embedding"),
+            meta.alias("metadata"),
+        ),
+        name,
+    )
+
+
+def read_vector_store(io, name: str) -> DataFrame:
+    """Load a vector-store table for the ANN operators (vec_id,
+    embedding, metadata)."""
+    return io.read(name)

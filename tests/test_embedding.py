@@ -36,3 +36,31 @@ def test_map_query_to_entities_ranks_alias_first(spark):
     hits = map_query_to_entities(nodes, "acme corp", k=2).collect()
     assert hits[0].title == "ACME_CORPORATION" and hits[0].rk == 1
     assert len(hits) == 2
+
+
+def test_vector_store_roundtrip_and_ann(spark, tmp_path):
+    """S10 sink: embeddings round-trip through the store layout and feed
+    the ANN operators unchanged."""
+    from knowledge_graph_spark.io import TableIO
+    from knowledge_graph_spark.operators import similarity
+    from knowledge_graph_spark.operators.embedding import (
+        read_vector_store,
+        with_name_embedding,
+        write_vector_store,
+    )
+
+    io = TableIO(spark, base=str(tmp_path / "vs"))
+    nodes = spark.createDataFrame(
+        [("ACME", "ORG"), ("ACME CO", "ORG"), ("ZEBRA", "ANIMAL")],
+        "title string, type string",
+    )
+    emb = with_name_embedding(nodes)
+    write_vector_store(emb, io, "entity_vectors", metadata_cols=["type"])
+    back = read_vector_store(io, "entity_vectors")
+    assert set(back.columns) == {"vec_id", "embedding", "metadata"}
+    rows = {r.vec_id: r for r in back.collect()}
+    assert rows["ACME"].metadata["type"] == "ORG" and len(rows["ACME"].embedding) == 64
+    # ANN over the store: similar names rank closest
+    q = back.filter(back.vec_id == "ACME")
+    top = similarity.cosine_topk(back, q, k=1, id_col="vec_id").collect()
+    assert top[0].neighbor_id == "ACME CO"

@@ -130,8 +130,19 @@ def test_conversation_sessions_stateful(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(inp)
     )
+    # late turns for the SAME conversation, in a SECOND file — state must
+    # carry over (maxFilesPerTrigger=1 forces separate micro-batches, so
+    # no sleep is needed to split them; the generous gap means the
+    # timeout cannot fire between the two batches even under load)
+    time.sleep(1.1)  # distinct mtimes → deterministic file (= fold) order
+    rows = [
+        ("c1", 2, "user", "GAMMA arrived late", "", TS + datetime.timedelta(minutes=2))
+    ]
+    spark.createDataFrame(rows, TRANSCRIPT_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
     q = (
-        conversation_sessions(stream, gap_ms=1500)
+        conversation_sessions(stream, gap_ms=6000)
         .writeStream.format("memory")
         .queryName("sess")
         .outputMode("append")
@@ -140,16 +151,8 @@ def test_conversation_sessions_stateful(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(2)
-        # late turns for the SAME conversation — state must carry over
-        rows = [
-            ("c1", 2, "user", "GAMMA arrived late", "", TS + datetime.timedelta(minutes=2))
-        ]
-        spark.createDataFrame(rows, TRANSCRIPT_DDL).coalesce(1).write.mode(
-            "append"
-        ).parquet(inp)
         got = []
-        for _ in range(60):  # ≤30s: drain both files, then gap, then emit
+        for _ in range(120):  # ≤60s: drain both files, then gap, then emit
             got = spark.sql("select * from sess").collect()
             if got:
                 break
