@@ -375,6 +375,28 @@ def q_text_unit_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N2V_DIM = 16
+N2V_WALK_LENGTH = 6
+N2V_NUM_WALKS = 3
+N2V_WINDOW = 2
+
+
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 replacement: deterministic hash-walk graph embeddings in long
+    form (title, dim_idx, value_micro)."""
+    from knowledge_graph_spark.operators.graph_embedding import node2vec_embeddings
+
+    s = _stages(spark, sf_dir)
+    return node2vec_embeddings(
+        s["nodes"],
+        s["edges"],
+        dim=N2V_DIM,
+        walk_length=N2V_WALK_LENGTH,
+        num_walks=N2V_NUM_WALKS,
+        window=N2V_WINDOW,
+    )
+
+
 LOCAL_QUERY = "user zero activity"
 GLOBAL_QUERY = "entities relationships weight"
 
@@ -748,9 +770,11 @@ _POLY = (
 
 
 def _perm(x: str, i: str) -> str:
-    """perm_i(x) SQL: (a_i*x + b_i) % M31 with derived coefficients."""
-    a = f"(({HASH_A} * (({i}) + 1)) % {HASH_M31})"
-    b = f"(({HASH_B} * (({i}) + 1) + {HASH_C}) % {HASH_M31})"
+    """perm_i(x) SQL: (a_i*x + b_i) % M31 with derived coefficients.
+    The index is cast to BIGINT so INT32 inputs (e.g. a recursion step
+    counter) never overflow the coefficient product."""
+    a = f"(({HASH_A} * (CAST(({i}) AS BIGINT) + 1)) % {HASH_M31})"
+    b = f"(({HASH_B} * (CAST(({i}) AS BIGINT) + 1) + {HASH_C}) % {HASH_M31})"
     return f"(({a} * ({x}) + {b}) % {HASH_M31})"
 
 
@@ -1315,6 +1339,59 @@ FROM ctx
 """
 
 
+def _node2vec_body() -> str:
+    poly_seed = _POLY.format(s="(n.title || '#' || CAST(w.wid AS VARCHAR))")
+    poly_ctx = _POLY.format(s="ctx")
+    return f"""
+, gsym AS (
+  SELECT source AS node, target AS neighbor FROM kg_edges
+  UNION SELECT target AS node, source AS neighbor FROM kg_edges
+),
+gadj AS (
+  SELECT node, neighbor,
+         row_number() OVER (PARTITION BY node ORDER BY neighbor) - 1 AS neighbor_idx,
+         count(*) OVER (PARTITION BY node) AS degree
+  FROM gsym
+),
+gstarts AS (
+  SELECT n.title, CAST(w.wid AS INT) AS walk_id, {poly_seed} AS seed
+  FROM kg_nodes n, LATERAL unnest(range(0, {N2V_NUM_WALKS})) AS w(wid)
+),
+gwalk(title, walk_id, seed, step, node) AS (
+  SELECT title, walk_id, seed, 0 AS step, title AS node FROM gstarts
+  UNION ALL
+  SELECT g.title, g.walk_id, g.seed, g.step + 1, a.neighbor
+  FROM gwalk g JOIN gadj a ON a.node = g.node
+   AND a.neighbor_idx = {_perm("g.seed", "g.step + 1")} % a.degree
+  WHERE g.step < {N2V_WALK_LENGTH - 1}
+),
+gcooc AS (
+  SELECT a.node AS node, b.node AS ctx, count(*) AS cnt
+  FROM gwalk a JOIN gwalk b
+    ON a.title = b.title AND a.walk_id = b.walk_id
+   AND abs(a.step - b.step) <= {N2V_WINDOW}
+   AND a.step <> b.step AND a.node <> b.node
+  GROUP BY a.node, b.node
+),
+gcells AS (
+  SELECT node, CAST({poly_ctx} % {N2V_DIM} AS INT) AS dim_idx,
+         CAST(sum(cnt) AS DOUBLE) AS v
+  FROM gcooc GROUP BY node, CAST({poly_ctx} % {N2V_DIM} AS INT)
+),
+gnorm AS (SELECT node, sqrt(sum(v * v)) AS nrm FROM gcells GROUP BY node),
+gdims AS (
+  SELECT d.node, CAST(r.dj AS INT) AS dim_idx
+  FROM (SELECT DISTINCT node FROM gcooc) d,
+       LATERAL unnest(range(0, {N2V_DIM})) AS r(dj)
+)
+SELECT d.node AS title, d.dim_idx,
+       CAST(floor(coalesce(c.v, 0.0) / n.nrm * 1000000) AS BIGINT) AS value_micro
+FROM gdims d
+LEFT JOIN gcells c ON c.node = d.node AND c.dim_idx = d.dim_idx
+JOIN gnorm n ON n.node = d.node
+"""
+
+
 def _global_search_body() -> str:
     terms = sorted({w.upper() for w in GLOBAL_QUERY.split()})
     score = " + ".join(
@@ -1574,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "largest_component": q_largest_component,
         "communities_lpa": q_communities,  # rows-only: iterative LPA
+        "node2vec_emb": q_node2vec,
         "canonicalization": q_canonicalization,
         "canonical_nodes": q_canonical_nodes,
         "canonical_edges": q_canonical_edges,
@@ -1818,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "text_unit_links": _oracle(_TEXT_UNIT_LINKS_BODY),
+        "node2vec_emb": _oracle(_node2vec_body()),
         "local_search": _oracle(_local_search_body()),
         "global_search": _oracle(_global_search_body()),
         "claims": _oracle(_CLAIMS_BODY),
