@@ -536,8 +536,36 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textqc.stopword_hits(text).alias("en_stop_hits"),
         textqc.lang_id(text).alias("lang_pred"),
         textqc.quality_score(text).alias("quality"),
+        textqc.dup_line_fraction(text).alias("dup_line_frac"),
+        textqc.repeated_token_fraction(text).alias("rep_token_frac"),
         textqc.content_hash(text).alias("content_hash"),
         textqc.rolling_fingerprint(text).alias("rolling_fp"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup (multi-dimensional agg over the QC
+    profile): doc counts, token totals/extremes, distinct content hashes.
+    ROLLUP adds the grand-total row (lang=ALL) in one pass — Spark plans a
+    single Expand + hash aggregate, no second scan."""
+    p = q_text_profile(spark, sf_dir)
+    return (
+        p.rollup("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_ws_tokens").alias("min_tokens"),
+            F.max("n_ws_tokens").alias("max_tokens"),
+            F.countDistinct("content_hash").alias("distinct_docs"),
+        )
+        .select(
+            F.coalesce("lang_pred", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            "distinct_docs",
+        )
     )
 
 
@@ -607,6 +635,21 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(multimodal.extract_media_meta(media))
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_graph_spark.operators.sessions import session_stats
+
+    load_views(spark, sf_dir)
+    return session_stats(spark.table("events")).select(
+        "user_id",
+        "session_id",
+        "start_us",
+        "end_us",
+        "n_events",
+        "total_value",
+        "duration_us",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the documents/embeddings queries.
 # ---------------------------------------------------------------------------
@@ -637,6 +680,8 @@ WITH base AS (
       AS n_ws_tokens,
     CAST(len(regexp_extract_all(text, '{textqc.BPEISH_RE}')) AS INT) AS n_bpeish_tokens,
     CAST(len(regexp_extract_all(text, '{textqc.PUNCT_RE}')) AS INT) AS n_punct,
+    list_filter(regexp_split_to_array(text, '\\n'), x -> trim(x) <> '') AS doc_lines,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS low_toks,
     {", ".join(f"{_HITS[lang]} AS {lang}_hits" for lang in textqc.LANG_STOPWORDS)}
   FROM documents
 ),
@@ -650,6 +695,12 @@ SELECT doc_id, n_ws_tokens, n_bpeish_tokens, n_punct, en_hits AS en_stop_hits,
     + least((CAST(en_hits AS DOUBLE) / greatest(CAST(n_ws_tokens AS DOUBLE), 1.0)) / 0.5, 1.0) * 0.3
     + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.3
     AS quality,
+  CASE WHEN len(doc_lines) = 0 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(doc_lines)) AS DOUBLE)
+                  / CAST(len(doc_lines) AS DOUBLE) END AS dup_line_frac,
+  CASE WHEN len(low_toks) = 0 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(low_toks)) AS DOUBLE)
+                  / CAST(len(low_toks) AS DOUBLE) END AS rep_token_frac,
   sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
   list_reduce(
     list_prepend(CAST(0 AS BIGINT),
@@ -1187,6 +1238,134 @@ FROM kg_nodes n LEFT JOIN cccomp c ON n.title = c.node
 """
 
 # ---------------------------------------------------------------------------
+# LPA oracles (communities_lpa, community_hierarchy).  Synchronous weighted
+# LPA is vote-based, not reachability, so a recursive CTE can't express it —
+# but the round count is bounded (max_iter=10) and the update is a
+# deterministic function of the previous round's labels, so a FIXED
+# 10-round unroll agrees with the Spark loop in every case: once the
+# fixpoint is reached the update is the identity (extra unrolled rounds are
+# no-ops), and if it oscillates or never converges both engines report the
+# labels after exactly round 10.  Scores are sums of integer-valued double
+# weights (< 2^53), so cross-engine float equality in the argmax is exact.
+# ---------------------------------------------------------------------------
+
+LPA_MAX_ITER = 10  # community.label_propagation default; unroll must match
+
+
+def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
+                    rounds: int = LPA_MAX_ITER) -> str:
+    """Chained CTEs for ``rounds`` synchronous weighted-LPA rounds.
+
+    Mirrors community.label_propagation:199-231 exactly: per round every
+    node with neighbors adopts the lexicographic-min label among the
+    max-total-incident-weight neighbor labels; isolated nodes keep their
+    label.  ``nodes_cte`` must expose (node), ``sym_cte`` (a, b, w) with
+    both edge directions.  Final labels are in CTE ``{prefix}l{rounds}``.
+    """
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # labels CTE twice, so DuckDB's default CTE inlining would double the
+    # plan per round (2^rounds blowup).
+    parts = [f"{prefix}l0 AS MATERIALIZED (SELECT node, node AS label FROM {nodes_cte})"]
+    for k in range(1, rounds + 1):
+        prev = f"{prefix}l{k - 1}"
+        parts.append(
+            f"{prefix}s{k} AS MATERIALIZED (\n"
+            f"  SELECT e.a, l.label, sum(e.w) AS score\n"
+            f"  FROM {sym_cte} e JOIN {prev} l ON l.node = e.b\n"
+            f"  GROUP BY e.a, l.label\n)"
+        )
+        parts.append(
+            f"{prefix}b{k} AS MATERIALIZED (\n"
+            f"  SELECT a, min(label) AS nl FROM (\n"
+            f"    SELECT a, label, score, max(score) OVER (PARTITION BY a) AS mx\n"
+            f"    FROM {prefix}s{k}\n"
+            f"  ) WHERE score = mx GROUP BY a\n)"
+        )
+        parts.append(
+            f"{prefix}l{k} AS MATERIALIZED (\n"
+            f"  SELECT l.node, coalesce(b.nl, l.label) AS label\n"
+            f"  FROM {prev} l LEFT JOIN {prefix}b{k} b ON b.a = l.node\n)"
+        )
+    return ",\n".join(parts)
+
+
+def _lpa_body() -> str:
+    return f"""
+, lpa_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+lpa_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('lpa_nodes', 'lpa_sym', 'lpa_')}
+SELECT node AS title, label AS community FROM lpa_l{LPA_MAX_ITER}
+"""
+
+
+def _hierarchy_body(max_cluster_size: int = 5) -> str:
+    """hierarchical_lpa(max_cluster_size, max_levels=2) → R10 containment.
+
+    Level 0 = LPA on the full graph; every community larger than
+    ``max_cluster_size`` is re-clustered on its induced subgraph (both
+    endpoints in the SAME oversized community), labels qualified
+    parent/'​/'​/label so sibling re-clusters never merge
+    (community.hierarchical_lpa:235-288).  If nothing is oversized the
+    member set is empty and level 1 contributes no rows — the same early
+    exit the Spark loop takes.  Containment then follows
+    reports.community_hierarchy:514-541 (member-join count == sub size).
+    """
+    return f"""
+, h_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+h_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('h_nodes', 'h_sym', 'h0_')}
+, lvl0 AS MATERIALIZED (
+  SELECT node AS title, label AS community, 0 AS level FROM h0_l{LPA_MAX_ITER}
+),
+h_oversized AS (
+  SELECT community FROM lvl0 GROUP BY community
+  HAVING count(*) > {max_cluster_size}
+),
+h_member AS MATERIALIZED (
+  SELECT l.title, l.community AS parent FROM lvl0 l
+  JOIN h_oversized o ON l.community = o.community
+),
+h_sub_nodes AS (SELECT title AS node FROM h_member),
+h_sub_sym AS MATERIALIZED (
+  SELECT e.a, e.b, e.w FROM h_sym e
+  JOIN h_member ma ON e.a = ma.title
+  JOIN h_member mb ON e.b = mb.title AND ma.parent = mb.parent
+),
+{_lpa_rounds_sql('h_sub_nodes', 'h_sub_sym', 'h1_')}
+, lvl1 AS (
+  SELECT r.node AS title, m.parent || '/' || r.label AS community, 1 AS level
+  FROM h1_l{LPA_MAX_ITER} r JOIN h_member m ON r.node = m.title
+),
+leveled AS MATERIALIZED (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1),
+hc_joined AS (
+  SELECT a.community AS parent, a.level, b.community AS sub_community
+  FROM leveled a JOIN leveled b ON a.title = b.title
+  WHERE b.level = a.level + 1
+),
+hc_sub_sizes AS (
+  SELECT community AS sub_community, count(*) AS sub_size
+  FROM leveled GROUP BY community, level
+),
+hc_overlap AS (
+  SELECT parent, level, sub_community, count(*) AS overlap
+  FROM hc_joined GROUP BY parent, level, sub_community
+)
+SELECT o.parent AS community, o.level, o.sub_community,
+       CAST(s.sub_size AS INT) AS sub_community_size
+FROM hc_overlap o JOIN hc_sub_sizes s ON o.sub_community = s.sub_community
+WHERE o.overlap = s.sub_size
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q7/Q8 search-context oracles.  Existing oracle bodies are EMBEDDED as
 # nested-WITH subqueries (outer prelude CTEs stay in scope; inner names
 # are scoped, so reuse is collision-free).
@@ -1650,7 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_nodes": q_linked_nodes,
         "connected_components": q_components,
         "largest_component": q_largest_component,
-        "communities_lpa": q_communities,  # rows-only: iterative LPA
+        "communities_lpa": q_communities,
         "node2vec_emb": q_node2vec,
         "canonicalization": q_canonicalization,
         "canonical_nodes": q_canonical_nodes,
@@ -1666,8 +1845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claims": q_claims,
         "summarized_edges": q_summarized_edges,
         "community_reports": q_community_reports,
-        "community_hierarchy": q_community_hierarchy,  # rows-only: hierarchical LPA
+        "community_hierarchy": q_community_hierarchy,
         "text_profile": q_text_profile,
+        "corpus_stats": q_corpus_stats,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -1679,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
+        "sessions": q_sessions,
     }
 
 
@@ -1770,6 +1951,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.title, c.component FROM comp c JOIN top USING (component)
             """
         ),
+        "communities_lpa": _oracle(_lpa_body()),
+        "community_hierarchy": _oracle(_hierarchy_body()),
         "canonicalization": _oracle(_CANONICALIZATION_BODY),
         "canonical_nodes": _oracle(_CANON_CTE + """
             SELECT t.title, t.type, d.description, s.source_ids
@@ -1903,6 +2086,16 @@ def oracle_sql() -> dict[str, str]:
         "summarized_edges": _oracle(_SUMMARIZED_EDGES_BODY),
         "community_reports": _oracle(_REPORTS_BODY),
         "text_profile": _TEXT_PROFILE_SQL,
+        "corpus_stats": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL})
+SELECT coalesce(lang_pred, 'ALL') AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_ws_tokens) AS BIGINT) AS total_tokens,
+       min(n_ws_tokens) AS min_tokens,
+       max(n_ws_tokens) AS max_tokens,
+       CAST(count(DISTINCT content_hash) AS BIGINT) AS distinct_docs
+FROM prof GROUP BY ROLLUP(lang_pred)
+""",
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
         "dedup_clusters": f"""
@@ -1955,4 +2148,42 @@ FROM dreach GROUP BY node
         "emb_neardup": _EMB_NEARDUP_SQL,
         "media_meta": _MEDIA_META_SQL,
         "frame_plan": _FRAME_PLAN_SQL,
+        # Batch sessionization (gap 30 min): exact int64 micro timestamps
+        # and DECIMAL(18,2) value sums keep both engines bit-identical
+        # (double summation would be fold-order-dependent).
+        "sessions": _oracle(
+            """
+            , sev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CAST(value AS DECIMAL(18,2)) AS val
+              FROM events
+            ),
+            slag AS (
+              SELECT *, lag(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+              FROM sev
+            ),
+            sflag AS (
+              SELECT *, CASE WHEN prev_us IS NULL
+                              OR ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+              FROM slag
+            ),
+            sidx AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM sflag
+            )
+            SELECT user_id,
+                   CAST(user_id AS VARCHAR) || '-' ||
+                     CAST(session_idx AS VARCHAR) AS session_id,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us,
+                   count(*) AS n_events,
+                   CAST(sum(val) AS DOUBLE) AS total_value,
+                   max(ts_us) - min(ts_us) AS duration_us
+            FROM sidx GROUP BY user_id, session_idx
+            """
+        ),
     }

@@ -91,6 +91,33 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def lines_col(text: Column) -> Column:
+    """Non-blank line array (split on newline, whitespace-only dropped)."""
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of non-blank lines that
+    duplicate another line in the same document (arXiv 2112.11446 §A1.1,
+    'duplicate line fraction').  Native array algebra — no shuffle, no
+    explode; the per-row distinct is linear in the line count."""
+    lines = lines_col(text)
+    return F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / F.size(lines).cast("double")
+    )
+
+
+def repeated_token_fraction(text: Column) -> Column:
+    """Fraction of lowercased whitespace tokens that repeat an earlier
+    token — high values flag keyword-stuffed / degenerate documents."""
+    toks = ws_tokens_col(F.lower(text))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Dedup normalization: lowercase + whitespace collapse + trim."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -35,7 +35,11 @@ CHECK = [
     "canonical_nodes",
     "canonicalization",
     "community_reports",
+    "communities_lpa",
+    "community_hierarchy",
     "text_unit_links",
+    "text_profile",
+    "sessions",
     "dedup_clusters",
     "minhash_dedup",
     "emb_topk",
@@ -82,6 +86,5 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_is_declared_iterative():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    rows_only = set(qs) - set(os_)
-    # vote-based iterative ops are the ONLY permitted rows-only checks
-    assert rows_only <= {"communities_lpa", "community_hierarchy"}
+    # every gate is hash-checked — the LPA ops use the unrolled-round oracle
+    assert set(qs) == set(os_)
