@@ -635,6 +635,33 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(multimodal.extract_media_meta(media))
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the most recent
+    signup (<= its timestamp) for the same user.  The oracle uses DuckDB's
+    NATIVE ASOF LEFT JOIN — an independent implementation of the
+    semantics, not a mirror of the Spark union+window construction."""
+    from knowledge_graph_spark.operators.temporal import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    return asof_join(l, r, on="ts", by="user_id", right_cols=["value"]).select(
+        "event_id", "user_id", "value", "value_r", "ts_r"
+    )
+
+
+def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledge_graph_spark.operators.temporal import window_rollup
+
+    load_views(spark, sf_dir)
+    return window_rollup(spark.table("events"), "1 hour").select(
+        "window_start_us", "event_type", "n_events", "total_value"
+    )
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_graph_spark.operators.sessions import session_stats
 
@@ -1860,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
         "sessions": q_sessions,
+        "events_asof": q_events_asof,
+        "event_hourly": q_event_hourly,
     }
 
 
@@ -2184,6 +2213,39 @@ FROM dreach GROUP BY node
                    CAST(sum(val) AS DOUBLE) AS total_value,
                    max(ts_us) - min(ts_us) AS duration_us
             FROM sidx GROUP BY user_id, session_idx
+            """
+        ),
+        # Independent-implementation oracle: DuckDB's native ASOF LEFT
+        # JOIN vs the Spark union+window composition.  Right side deduped
+        # to one row per (user, ts) — max value — on both engines so the
+        # match is deterministic.
+        "events_asof": _oracle(
+            """
+            , al AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            ar0 AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value AS value_r,
+                     row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts)
+                       ORDER BY value DESC) AS rn
+              FROM events WHERE event_type = 'signup'
+            ),
+            ar AS (SELECT user_id, ts_us, value_r FROM ar0 WHERE rn = 1)
+            SELECT al.event_id, al.user_id, al.value,
+                   ar.value_r AS value_r, ar.ts_us AS ts_r
+            FROM al ASOF LEFT JOIN ar
+              ON al.user_id = ar.user_id AND al.ts_us >= ar.ts_us
+            """
+        ),
+        "event_hourly": _oracle(
+            """
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
             """
         ),
     }

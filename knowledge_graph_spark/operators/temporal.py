@@ -1,0 +1,127 @@
+"""Temporal operators: as-of join and tumbling-window rollups.
+
+Spark's DataFrame API has no native as-of join (pandas-on-Spark
+``merge_asof`` exists but drops to a different API family), so
+``asof_join`` implements the standard union+window composition:
+
+    tag side → unionByName → per-key sort by (ts, side) →
+    last_value(right payload, ignore nulls) over rows unbounded preceding →
+    keep left rows
+
+which Catalyst plans as ONE hash shuffle on the key plus one sort — the
+same physical shape as a co-partitioned merge join, with no Python in the
+path.  The DuckDB gate cross-checks it against DuckDB's NATIVE ``ASOF
+LEFT JOIN`` — an independent implementation, not a mirror of this
+construction — so the tie and miss semantics are verified, not assumed.
+
+Scale notes:
+- Shuffle is keyed on ``by``; skewed keys behave like any windowed agg
+  (AQE handles moderate skew; salt upstream for pathological keys).
+- The window is ROWS UNBOUNDED PRECEDING over a single sort — no
+  per-row join amplification, memory bounded by the run length of one
+  key within a partition (streamed by Spark's window operator).
+- ``window_rollup`` is a plain groupBy on (bucket, dims): map-side
+  partial aggregation applies; one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with
+    the greatest ``right.on <= left.on`` within the same ``by`` key.
+
+    Right payload columns are exposed with ``suffix`` appended, plus
+    ``{on}{suffix}`` (the matched right timestamp, int64 micros; NULL when
+    no right row precedes).  Right rows are first deduplicated to one per
+    (by, on) — the max-payload row — so the match is deterministic.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    ts_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    payload = {c: f"__p_{c}" for c in right_cols}
+    r = (
+        right.select(
+            F.col(by),
+            ts_us(on).alias("__ts_us"),
+            *[F.col(c).alias(p) for c, p in payload.items()],
+        )
+        # deterministic dedup: one right row per (by, ts)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(by, "__ts_us").orderBy(
+                    *[F.desc(p) for p in payload.values()]
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__side", F.lit(0))
+        .withColumn("__p_ts", F.col("__ts_us"))
+    )
+    l = left.withColumn("__ts_us", ts_us(on)).withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
+    # exact-ts right row is visible to the left row — matching ASOF's <=
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts_us", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attach = [
+        F.last(F.when(F.col("__side") == 0, F.col(p)), ignorenulls=True)
+        .over(w)
+        .alias(c + suffix)
+        for c, p in payload.items()
+    ] + [
+        F.last(F.when(F.col("__side") == 0, F.col("__p_ts")), ignorenulls=True)
+        .over(w)
+        .alias(on + suffix)
+    ]
+    out_cols = [c for c in left.columns] + [c + suffix for c in right_cols] + [on + suffix]
+    return (
+        u.select("*", *attach)
+        .filter(F.col("__side") == 1)
+        .selectExpr(*[f"`{c}`" for c in out_cols])
+    )
+
+
+def window_rollup(
+    events: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    dims: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window aggregate: (window_start_us, *dims, n_events,
+    total_value).  Buckets align to the epoch origin (UTC), matching
+    DuckDB's time_bucket; value sums are DECIMAL-exact then cast back to
+    double for a stable schema.  The same expression works under
+    Structured Streaming (F.window is the streaming group key)."""
+    dims = dims if dims is not None else ["event_type"]
+    return (
+        events.withColumn("_val", F.col(value_col).cast("decimal(18,2)"))
+        .groupBy(F.window(F.col(ts_col).cast("timestamp"), width).alias("__w"), *dims)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_val").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            *dims,
+            "n_events",
+            "total_value",
+        )
+    )

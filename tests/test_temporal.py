@@ -1,0 +1,82 @@
+"""As-of join + tumbling-window rollup (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.temporal import asof_join, window_rollup
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_backward_match_and_miss(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10), 100.0), (2, 7, _ts(30), 200.0), (3, 8, _ts(5), 300.0)],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(8), 1.0), (7, _ts(20), 2.0), (9, _ts(1), 9.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in asof_join(left, right).collect()}
+    assert out[1].value_r == 1.0  # most recent right at ts<=10 is ts=8
+    assert out[2].value_r == 2.0  # ts=20 supersedes ts=8
+    assert out[3].value_r is None and out[3].ts_r is None  # user 8: no right rows
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10), 0.0)], "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(10), 5.0)], "user_id bigint, ts timestamp, value double"
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.value_r == 5.0  # <= semantics: exact-ts right row is visible
+
+
+def test_asof_dedup_right_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10), 0.0)], "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(5), 1.0), (7, _ts(5), 3.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.value_r == 3.0  # max-payload row survives the (by, ts) dedup
+
+
+def test_window_rollup_buckets_and_sums(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 10), 7, "a", 1.10, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 50), 7, "a", 2.20, "{}"),
+            (3, dt.datetime(2024, 1, 1, 1, 5), 7, "a", 4.40, "{}"),
+            (4, dt.datetime(2024, 1, 1, 0, 30), 7, "b", 8.00, "{}"),
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    rows = {(r.window_start_us, r.event_type): r for r in window_rollup(ev).collect()}
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    h1 = h0 + 3600 * 1_000_000
+    assert rows[(h0, "a")].n_events == 2 and abs(rows[(h0, "a")].total_value - 3.30) < 1e-12
+    assert rows[(h1, "a")].n_events == 1
+    assert rows[(h0, "b")].total_value == 8.00
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(10), 0.0)], "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(5), 1.0)], "user_id bigint, ts timestamp, value double"
+    )
+    plan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    # dedup window (user_id, ts) + attach window (user_id) — both hash on
+    # user_id-rooted keys; no join operator should appear at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
