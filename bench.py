@@ -69,6 +69,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         lambda: similarity.neardup_pairs_fast(spark.table("embeddings"), threshold=0.35),
     )
     timed("media_meta", lambda: entry.q_media_meta(spark, sf_dir))
+    # round-2 additions: batch sessionization + tumbling-window rollup
+    # (new subsystems; documented in BASELINE.md — round-1 comparable
+    # subtotal = value minus these two entries)
+    timed("sessions", lambda: entry.q_sessions(spark, sf_dir))
+    timed("event_hourly", lambda: entry.q_event_hourly(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
