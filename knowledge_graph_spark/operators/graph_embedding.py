@@ -38,6 +38,12 @@ from ..functions.hashing import FP_BASE, FP_MOD, HASH_A, HASH_B, HASH_C, HASH_M3
 
 DEFAULT_DIM = 32
 
+# Adjacency row bound under which the walk-step join broadcasts the
+# (persisted) adjacency instead of shuffling it: each of the L−1 step
+# joins then becomes a narrow map stage.  Physical-plan choice only —
+# above the bound the shuffle path runs with identical semantics.
+BROADCAST_ADJ_LIMIT = 2_000_000
+
 
 def _poly_col(c) -> F.Column:
     """Native-Column mirror of hashing.poly_hash (sequential char fold)."""
@@ -85,6 +91,8 @@ def walks(
     # output union and the next step — persist both so the L-step chain
     # stays O(L) instead of O(L²) plan replays (frames are |V|-bounded)
     adj = indexed_adjacency(edges).persist()
+    small = adj.limit(BROADCAST_ADJ_LIMIT + 1).count() <= BROADCAST_ADJ_LIMIT
+    adj_j = F.broadcast(adj) if small else adj
     starts = nodes.select(F.col(node_col).alias("title")).crossJoin(
         F.broadcast(
             nodes.sparkSession.range(num_walks).select(F.col("id").cast("int").alias("walk_id"))
@@ -97,7 +105,7 @@ def walks(
     for step in range(1, walk_length):
         nxt = (
             cur.withColumn("__seed", seed)
-            .join(adj, "node")
+            .join(adj_j, "node")
             .filter(
                 F.col("neighbor_idx")
                 == F.pmod(_perm_col(F.col("__seed"), F.lit(step)), F.col("degree"))
@@ -130,8 +138,11 @@ def node2vec_embeddings(
     wk = walks(nodes, edges, walk_length=walk_length, num_walks=num_walks, node_col=node_col)
     a = wk.select("title", "walk_id", F.col("step").alias("sa"), F.col("node").alias("na"))
     b = wk.select("title", "walk_id", F.col("step").alias("sb"), F.col("node").alias("nb"))
+    # |walks| = |V|·num_walks·walk_length rows; broadcast the context side
+    # of the co-occurrence self-join for small graphs (physical only)
+    small = edges.limit(BROADCAST_ADJ_LIMIT + 1).count() <= BROADCAST_ADJ_LIMIT
     cooc = (
-        a.join(b, ["title", "walk_id"])
+        a.join(F.broadcast(b) if small else b, ["title", "walk_id"])
         .filter(
             (F.abs(F.col("sa") - F.col("sb")) <= window)
             & (F.col("sa") != F.col("sb"))
@@ -139,7 +150,7 @@ def node2vec_embeddings(
         )
         .groupBy(F.col("na").alias("node"), F.col("nb").alias("ctx"))
         .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    ).persist()  # consumed by cells AND the dims domain — compute once
     cells = cooc.groupBy(
         "node", F.pmod(_poly_col(F.col("ctx")), F.lit(dim)).alias("dim_idx")
     ).agg(F.sum("cnt").cast("double").alias("v"))

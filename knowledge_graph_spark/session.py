@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan partitioning under .persist(): without this,
+        # cached subtrees pin their pre-AQE partition count, so iterative
+        # operators over small cached frames (graph walks, hub tables at
+        # low SF) schedule full shuffle.partitions-width stages of
+        # near-empty tasks — pure scheduling overhead.  At scale AQE
+        # still sizes partitions by bytes, so this only ever removes
+        # degenerate tiny tasks.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
