@@ -37,6 +37,7 @@ from knowledge_graph_spark.operators.linking import (
     link_aliases,
     minhash_candidate_pairs,
 )
+from knowledge_graph_spark.functions import pii as pii_fns
 from knowledge_graph_spark.functions import textqc
 from knowledge_graph_spark.functions.hashing import (
     HASH_A,
@@ -540,6 +541,31 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         textqc.repeated_token_fraction(text).alias("rep_token_frac"),
         textqc.content_hash(text).alias("content_hash"),
         textqc.rolling_fingerprint(text).alias("rolling_fp"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counting + redaction.  The synthetic corpus contains no PII, so
+    the gate APPENDS deterministic PII (same expression in both engines)
+    to every document — the regex count/replace machinery is then
+    exercised for real, not vacuously matched on zero hits."""
+    from knowledge_graph_spark.functions import pii
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-123-4567 from host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 now"),
+    )
+    return d.select(
+        "doc_id",
+        pii.email_count(aug).alias("n_emails"),
+        pii.phone_count(aug).alias("n_phones"),
+        pii.ipv4_count(aug).alias("n_ips"),
+        F.sha2(pii.scrub_pii(aug), 256).alias("redacted_hash"),
     )
 
 
@@ -1874,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_reports": q_community_reports,
         "community_hierarchy": q_community_hierarchy,
         "text_profile": q_text_profile,
+        "pii_scrub": q_pii_scrub,
         "corpus_stats": q_corpus_stats,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
@@ -2115,6 +2142,29 @@ def oracle_sql() -> dict[str, str]:
         "summarized_edges": _oracle(_SUMMARIZED_EDGES_BODY),
         "community_reports": _oracle(_REPORTS_BODY),
         "text_profile": _TEXT_PROFILE_SQL,
+        # PII gate: pattern strings come from functions/pii.py verbatim
+        # (patterns stay in the Java-regex ∩ RE2 subset); PII is injected
+        # by the same expression both sides so redaction is non-vacuous
+        "pii_scrub": f"""
+WITH paug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-123-4567 from host 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{pii_fns.EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{pii_fns.PHONE_RE}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '{pii_fns.IPV4_RE}')) AS INT) AS n_ips,
+  sha256(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '{pii_fns.EMAIL_RE}', '{pii_fns.EMAIL_TOKEN}', 'g'),
+        '{pii_fns.PHONE_RE}', '{pii_fns.PHONE_TOKEN}', 'g'),
+      '{pii_fns.IPV4_RE}', '{pii_fns.IP_TOKEN}', 'g')) AS redacted_hash
+FROM paug
+""",
         "corpus_stats": f"""
 WITH prof AS ({_TEXT_PROFILE_SQL})
 SELECT coalesce(lang_pred, 'ALL') AS lang,
