@@ -69,6 +69,37 @@ def test_window_rollup_buckets_and_sums(spark):
     assert rows[(h0, "b")].total_value == 8.00
 
 
+def test_window_rollup_streaming(spark, tmp_path):
+    """The same window_rollup expression must run under Structured
+    Streaming (F.window as the streaming group key)."""
+    inp = str(tmp_path / "ev")
+    ddl = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 10), 7, "a", 1.10, "{}"),
+            (2, dt.datetime(2024, 1, 1, 1, 5), 7, "a", 4.40, "{}"),
+        ],
+        ddl,
+    ).write.parquet(inp)
+    stream = spark.readStream.schema(ddl).parquet(inp)
+    q = (
+        window_rollup(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName("wr_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.window_start_us, r.event_type): r for r in spark.sql("SELECT * FROM wr_test").collect()}
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert rows[(h0, "a")].n_events == 1
+    assert rows[(h0 + 3_600_000_000, "a")].total_value == 4.40
+
+
 def test_asof_single_shuffle(spark):
     left = spark.createDataFrame(
         [(1, 7, _ts(10), 0.0)], "event_id bigint, user_id bigint, ts timestamp, value double"
