@@ -1,0 +1,148 @@
+"""spark-submit entry point: training-data corpus pipeline over documents.
+
+The non-KG half of the engine as one checkpointed job: QC profiling →
+PII redaction → exact + MinHash-LSH dedup → cluster resolution → filtered
+corpus export.  This is the standard pretraining-data shape (C4/Gopher
+filter family + near-dup removal) expressed as resumable table stages.
+
+Cluster usage mirrors jobs/run_pipeline.py (--py-files zip, Iceberg
+catalog or parquet warehouse).  Sandbox:
+
+    python jobs/run_corpus_pipeline.py --input /root/testdata/sf0.01 \
+      --output /tmp/corpus_out
+
+Stages are checkpointed via knowledge_graph_spark.checkpoint.StageRunner:
+re-running with the same --output resumes; upstream recomputes invalidate
+downstream (manifest fingerprints).  Every stage is native Column algebra
+or bucketed equi-joins — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from knowledge_graph_spark.checkpoint import StageRunner  # noqa: E402
+from knowledge_graph_spark.functions import pii, textqc  # noqa: E402
+from knowledge_graph_spark.io import TableIO  # noqa: E402
+from knowledge_graph_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters,
+    exact_duplicates,
+    minhash_doc_pairs,
+)
+from knowledge_graph_spark.session import get_spark  # noqa: E402
+
+
+def profile_documents(docs):
+    """Per-document QC profile (all native; fused into the scan)."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textqc.ws_token_count(t).alias("n_tokens"),
+        textqc.lang_id(t).alias("lang"),
+        textqc.quality_score(t).alias("quality"),
+        textqc.dup_line_fraction(t).alias("dup_line_frac"),
+        textqc.repeated_token_fraction(t).alias("rep_token_frac"),
+        textqc.content_hash(t).alias("content_hash"),
+    )
+
+
+def scrub_documents(docs):
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        pii.scrub_pii(t).alias("text"),
+        (pii.email_count(t) + pii.phone_count(t) + pii.ipv4_count(t)).alias("n_pii"),
+    )
+
+
+def filtered_corpus(scrubbed, profile, resolution, min_quality, min_tokens, max_rep):
+    """Keep canonical (non-duplicate) documents passing the QC filters;
+    emit the redacted text.  All joins are doc_id equi-joins — broadcast
+    or bucketed at scale."""
+    keep = (
+        profile.filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("rep_token_frac") <= max_rep)
+        )
+        .join(resolution.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id")
+        .select("doc_id", "n_tokens", "lang", "quality")
+    )
+    return scrubbed.join(keep, "doc_id")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="dir containing documents.parquet")
+    p.add_argument("--output", required=True, help="output warehouse dir")
+    p.add_argument("--iceberg", default=None, help="Iceberg catalog name (omit for parquet)")
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-rep-frac", type=float, default=0.95)
+    p.add_argument("--minhash-threshold", type=float, default=0.5)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    spark = get_spark(app_name="corpus-pipeline", master=args.master)
+    io = TableIO(spark, base=args.output, catalog=args.iceberg)
+    if args.force:
+        import shutil
+
+        shutil.rmtree(os.path.join(args.output, "_manifests"), ignore_errors=True)
+    runner = StageRunner(io)
+
+    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
+
+    profile = runner.run("doc_profile", lambda: profile_documents(docs), inputs=[])
+    scrubbed = runner.run("doc_scrubbed", lambda: scrub_documents(docs), inputs=[])
+    exact = runner.run("exact_groups", lambda: exact_duplicates(docs), inputs=[])
+    pairs = runner.run(
+        "neardup_pairs",
+        lambda: minhash_doc_pairs(docs, threshold=args.minhash_threshold),
+        inputs=[],
+    )
+    resolution = runner.run(
+        "dedup_resolution",
+        lambda: dedup_clusters(docs, pairs),
+        inputs=["neardup_pairs"],
+    )
+    corpus = runner.run(
+        "corpus_filtered",
+        lambda: filtered_corpus(
+            scrubbed,
+            profile,
+            resolution,
+            args.min_quality,
+            args.min_tokens,
+            args.max_rep_frac,
+        ),
+        inputs=["doc_scrubbed", "doc_profile", "dedup_resolution"],
+    )
+
+    summary = {
+        "computed": runner.computed,
+        "skipped": runner.skipped,
+        "rows": {
+            "documents": docs.count(),
+            "exact_groups": exact.count(),
+            "neardup_pairs": pairs.count(),
+            "kept": corpus.count(),
+        },
+    }
+    print(summary)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

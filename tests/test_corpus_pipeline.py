@@ -1,0 +1,36 @@
+"""Corpus training-data job driver e2e + resume (jobs/run_corpus_pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
+    import jobs.run_corpus_pipeline as job
+
+    out = str(tmp_path / "corpus_out")
+    argv = [
+        "--input", "/root/testdata/sf0.001",
+        "--output", out, "--master", "local[4]",
+    ]
+    s1 = job.main(argv)
+    assert s1["rows"]["documents"] == 500
+    assert not s1["skipped"]
+    # dedup resolution must have dropped the near-duplicate cluster members
+    assert 0 < s1["rows"]["kept"] < 500
+
+    corpus = spark.read.parquet(f"{out}/corpus_filtered")
+    assert {"doc_id", "text", "n_pii", "n_tokens", "lang", "quality"} <= set(corpus.columns)
+    # every kept doc passes the filters
+    assert corpus.filter(F.col("quality") < 0.3).count() == 0
+    assert corpus.filter(F.col("n_tokens") < 10).count() == 0
+    # no kept doc is a duplicate cluster member
+    res = spark.read.parquet(f"{out}/dedup_resolution")
+    dupes = {r.doc_id for r in res.filter(F.col("is_duplicate")).collect()}
+    kept = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert not (kept & dupes)
+
+    s2 = job.main(argv)  # resume: everything checkpointed
+    assert not s2["computed"]
+    assert set(s2["skipped"]) == set(s1["computed"])
+    assert s2["rows"] == s1["rows"]
