@@ -514,6 +514,7 @@ NEARDUP_TAU = 0.35  # driver embeddings are near-orthogonal; P99.9 cosine ≈ 0.
 TOPK_K = 5
 TOPK_QUERY_LIMIT = 50
 IVF_BITS = 8
+IVF_NPROBE = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,6 +622,26 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_doc_pairs(_docs(spark, sf_dir), threshold=NGRAM_THRESHOLD)
 
 
+def q_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup folded over two interleaved batches
+    (doc_id parity split) against a growing band index; the pair union
+    must equal batch mode, so the BATCH oracle gates it — a non-vacuous
+    check that the index probe loses and invents nothing."""
+    from knowledge_graph_spark.functions.textqc import normalized_text
+
+    docs = _docs(spark, sf_dir)
+    p1, idx = dedup.minhash_incremental(
+        docs.filter(F.col("doc_id") % 2 == 0), None, threshold=NGRAM_THRESHOLD
+    )
+    p2, _ = dedup.minhash_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1), idx, threshold=NGRAM_THRESHOLD
+    )
+    named = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("title")
+    )
+    return dedup.pairs_to_ids(p1.unionByName(p2), named)
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
@@ -639,6 +660,17 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, queries_df, k=TOPK_K, bits=IVF_BITS).select(
         "query_id", "neighbor_id", "cell", "sim_micro", "rk"
     )
+
+
+def q_emb_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: each query probes its home cell plus the cells
+    one least-confident sign-bit flip away (deterministic perturbation
+    order → SQL-enumerable probe set)."""
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return similarity.ivf_topk_multiprobe(
+        embs, queries_df, k=TOPK_K, bits=IVF_BITS, nprobe=IVF_NPROBE
+    ).select("query_id", "neighbor_id", "cell", "sim_micro", "rk")
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +876,40 @@ scored AS (
          {_COS_MICRO} AS sim_micro
   FROM celled a JOIN celled b ON a.cell = b.cell
   WHERE b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cell, sim_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rk
+FROM scored QUALIFY rk <= {TOPK_K}
+"""
+
+# Multi-probe IVF: probes = home cell + flips of the (nprobe-1) smallest
+# |e[i]| dims among the first IVF_BITS (ties by dim index) — mirrors
+# similarity.ivf_probe_cells bit for bit (abs order on the raw doubles is
+# norm-invariant, so raw-vs-unit vector choice cannot diverge).
+_EMB_IVF_MP_SQL = f"""
+WITH {_UNIT_CTE},
+cells AS (SELECT vec_id, CAST({_IVF_CELL} AS BIGINT) AS cell FROM emb),
+flips AS (
+  SELECT vec_id, CAST(i AS INT) AS i,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY abs(e[CAST(i AS INT) + 1]), i) AS flip_rk
+  FROM emb, LATERAL unnest(range(0, {IVF_BITS})) AS d(i)
+  WHERE vec_id < {TOPK_QUERY_LIMIT}
+),
+qprobes AS (
+  SELECT vec_id, cell AS probe FROM cells WHERE vec_id < {TOPK_QUERY_LIMIT}
+  UNION ALL
+  SELECT f.vec_id, xor(c.cell, CAST(1 << f.i AS BIGINT)) AS probe
+  FROM flips f JOIN cells c USING (vec_id)
+  WHERE f.flip_rk <= {IVF_NPROBE - 1}
+),
+celled AS (SELECT u.vec_id, u.e, c.cell FROM uemb u JOIN cells c USING (vec_id)),
+qpe AS (SELECT p.vec_id, p.probe, u.e FROM qprobes p JOIN uemb u USING (vec_id)),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell AS cell,
+         {_COS_MICRO} AS sim_micro
+  FROM celled a JOIN qpe b ON a.cell = b.probe AND a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, cell, sim_micro,
        CAST(row_number() OVER (PARTITION BY query_id
@@ -1906,9 +1972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dedup": q_ngram_dedup,
         "dedup_clusters": q_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_incr": q_minhash_incr,
         "simhash_dedup": q_simhash_dedup,
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_mp": q_emb_ivf_mp,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "media_meta": q_media_meta,
@@ -2220,10 +2288,12 @@ FROM dreach GROUP BY node
 """,
         "entity_search": _oracle(_ENTITY_SEARCH_BODY),
         "minhash_dedup": _MINHASH_DEDUP_SQL,
+        "minhash_incr": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _SIMHASH_DEDUP_SQL,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_SQL,
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
+        "emb_ivf_mp": _EMB_IVF_MP_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,
         "media_meta": _MEDIA_META_SQL,
         "frame_plan": _FRAME_PLAN_SQL,

@@ -102,6 +102,42 @@ def make_minhash_udf(num_perm: int, k: int, seed: int = 0):
     return minhash_udf
 
 
+def banded_signatures(
+    names: DataFrame,
+    name_col: str = "title",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(name, band, bh): one row per (distinct name, LSH band).  ``bh`` is
+    a 64-bit key of the signature slice — bucket identity == slice
+    equality (collision odds ~2^-64 per pair), so a SQL oracle grouping by
+    the literal slice forms the same buckets.  This banded table IS the
+    persistable dedup index: incremental dedup (dedup.minhash_incremental)
+    probes new batches against it with one (band, bh) equi-join."""
+    rows_per_band = num_perm // bands
+    sig = make_minhash_udf(num_perm, shingle_k, seed)
+    n = names.select(F.col(name_col).alias("name")).distinct()
+    signed = n.select("name", sig("name").alias("sig"))
+    return signed.select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "name",
+        F.col("bb.band").alias("band"),
+        F.xxhash64(F.concat_ws(",", F.col("bb.bh"))).alias("bh"),
+    )
+
+
 def minhash_candidate_pairs(
     names: DataFrame,
     name_col: str = "title",
@@ -118,28 +154,9 @@ def minhash_candidate_pairs(
     ``max_bucket_size`` are dropped (hot-fragment skew guard — they
     produce O(n²) junk pairs and correspond to near-stopword shingle
     patterns)."""
-    rows_per_band = num_perm // bands
-    sig = make_minhash_udf(num_perm, shingle_k, seed)
-    n = names.select(F.col(name_col).alias("name")).distinct()
-    signed = n.select("name", sig("name").alias("sig"))
-    banded = signed.select(
-        "name",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.slice("sig", i * rows_per_band + 1, rows_per_band).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(
-        "name",
-        F.col("bb.band").alias("band"),
-        # 64-bit key of the signature slice: bucket identity == slice
-        # equality (collision odds ~2^-64 per pair), so a SQL oracle
-        # grouping by the literal slice forms the same buckets
-        F.xxhash64(F.concat_ws(",", F.col("bb.bh"))).alias("bh"),
+    banded = banded_signatures(
+        names, name_col=name_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, seed=seed,
     )
 
     # cap hot buckets before the self-join

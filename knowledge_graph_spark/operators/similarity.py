@@ -145,6 +145,79 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
 
 
+def ivf_probe_cells(vec: F.Column, bits: int = 8, nprobe: int = 1) -> F.Column:
+    """Multi-probe cell list for a query vector: the home cell plus the
+    cells reached by flipping the ``nprobe - 1`` LEAST-CONFIDENT sign
+    bits — the dimensions with the smallest |value| among the first
+    ``bits``, ties broken by dimension index.  This is the standard
+    multi-probe LSH recall lever (probe the buckets the vector almost
+    landed in) with a deterministic, closed-form perturbation order, so
+    a SQL oracle can enumerate the identical probe set.  All probes are
+    distinct by construction (each flips a different bit)."""
+    cell = ivf_cell(vec, bits)
+    if nprobe <= 1:
+        return F.array(cell)
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
+    flip_dims = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda i: F.struct(
+                        F.abs(F.element_at(vec, i + 1).cast("double")).alias("a"),
+                        i.cast("int").alias("i"),
+                    ),
+                )
+            ),
+            1,
+            nprobe - 1,
+        ),
+        lambda s: s["i"],
+    )
+    return F.concat(
+        F.array(cell),
+        F.transform(flip_dims, lambda i: cell.bitwiseXOR(F.element_at(pow2, i + 1))),
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN probing ``nprobe`` cells per query (home cell + least-
+    confident bit flips).  Same output shape as ivf_topk; recall rises
+    toward exact as nprobe grows while the scan stays an equi-join on
+    cell id — probe cost is nprobe/2^bits of the corpus per query, vs
+    the full corpus for cosine_topk.  nprobe=1 is exactly ivf_topk."""
+    c = _with_unit(_as_double(corpus, vec_col), vec_col, "u").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("u").alias("cvec"),
+        ivf_cell(F.col(vec_col), bits).alias("cell"),
+    )
+    q = _with_unit(_as_double(queries, vec_col), vec_col, "u").select(
+        F.col(id_col).alias("query_id"),
+        F.col("u").alias("qvec"),
+        F.explode(ivf_probe_cells(F.col(vec_col), bits, nprobe)).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cell",
+        F.floor(_dot(F.col("qvec"), F.col("cvec")) * SIM_SCALE)
+        .cast("bigint")
+        .alias("sim_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -72,6 +72,42 @@ def test_minhash_recall_vs_exact(spark, docs):
     assert all(pair in exact or {norm[pair[0]], norm[pair[1]]} <= set(norm.values()) for pair in got)
 
 
+def test_minhash_incremental_equals_batch(spark, docs):
+    """Folding three interleaved batches through the band index yields
+    exactly the batch-mode pair set (no bucket saturates here), and a
+    replayed batch (all names already indexed) contributes nothing."""
+    from knowledge_graph_spark.functions.textqc import normalized_text
+
+    batch = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_doc_pairs(docs, threshold=0.2).collect()
+    }
+    assert batch  # non-vacuous: the fixture has near-dups
+
+    idx = None
+    parts = []
+    for k in range(3):
+        p, idx = dedup.minhash_incremental(
+            docs.filter(F.col("doc_id") % 3 == k), idx, threshold=0.2
+        )
+        parts.append(p)
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    named = docs.select("doc_id", normalized_text(F.col("text")).alias("title"))
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.pairs_to_ids(union, named).collect()
+    }
+    assert got == batch
+
+    replay, idx2 = dedup.minhash_incremental(
+        docs.filter(F.col("doc_id") % 3 == 0), idx, threshold=0.2
+    )
+    assert replay.count() == 0
+    assert idx2.count() == idx.count()
+
+
 def test_simhash_kernel_properties():
     sig = dedup.simhash_kernel([["a", "b", "c"], ["a", "b", "c"], ["a", "b", "d"], []])
     assert sig[0] == sig[1]
@@ -118,6 +154,43 @@ def test_ivf_topk_is_subset_of_cell(vectors):
     cells = {r.vec_id: r.cell for r in df.select("vec_id", similarity.ivf_cell(F.col("embedding"), 4).alias("cell")).collect()}
     for r in got:
         assert cells[r.neighbor_id] == cells[r.query_id] == r.cell
+
+
+def test_ivf_multiprobe_nprobe1_equals_single(vectors):
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") < 5)
+    single = {tuple(r) for r in similarity.ivf_topk(df, q, k=3, bits=4).collect()}
+    mp1 = {tuple(r) for r in similarity.ivf_topk_multiprobe(df, q, k=3, bits=4, nprobe=1).collect()}
+    assert mp1 == single
+
+
+def test_ivf_multiprobe_improves_recall(vectors):
+    """Probing extra cells can only widen the candidate set: multi-probe
+    recall vs exact top-k is >= single-probe recall, and every probe is
+    the home cell or one bit-flip away."""
+    df, m = vectors
+    q = df.filter(F.col("vec_id") < 5)
+    m64 = m.astype("float64")
+    exact = {qi: set(_np_topk(m64, qi, 3)) for qi in range(5)}
+
+    def recall(rows):
+        by_q: dict[int, set[int]] = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(by_q.get(qi, set()) & exact[qi]) for qi in exact)
+
+    single = recall(similarity.ivf_topk(df, q, k=3, bits=4).collect())
+    multi_rows = similarity.ivf_topk_multiprobe(df, q, k=3, bits=4, nprobe=3).collect()
+    assert recall(multi_rows) >= single
+    cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", similarity.ivf_cell(F.col("embedding"), 4).alias("cell")
+        ).collect()
+    }
+    for r in multi_rows:
+        hamming = bin(cells[r.query_id] ^ r.cell).count("1")
+        assert hamming <= 1 and cells[r.neighbor_id] == r.cell
 
 
 def test_lsh_neardup_finds_planted_pair(vectors):

@@ -165,3 +165,52 @@ def test_conversation_sessions_stateful(spark, tmp_path):
     texts = [t.text for t in b1.orderBy("turn_idx").collect()] + ["GAMMA arrived late"]
     assert r.text_fp == _fold_fp(0, texts)
     assert r.first_ts < r.last_ts
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_streaming_dedup_two_waves_equals_batch(spark, tmp_path):
+    """Two document waves folded through the streaming band index yield
+    the same id-level pair set as batch minhash over the full corpus."""
+    from knowledge_graph_spark.functions.textqc import normalized_text
+    from knowledge_graph_spark.operators import dedup
+    from knowledge_graph_spark.streaming.dedup_stream import (
+        read_current_dedup,
+        run_dedup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows1 = [
+        (0, base),
+        (1, base.replace("dog", "cat")),
+        (2, "totally unrelated text about adaptive query execution plans"),
+    ]
+    rows2 = [
+        (3, base.replace("quick", "rapid")),  # cross-wave near-dup of 0/1
+        (4, base.upper()),                    # normalized-identical to 0: no pair
+        (5, "another unrelated document mentioning shuffle partitions"),
+    ]
+    ddl = "doc_id bigint, text string"
+    inp = str(tmp_path / "docs_in")
+    io = TableIO(spark, base=str(tmp_path / "dedup_wh"))
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(inp)
+    run_dedup_stream(spark, inp, io, ckpt, threshold=0.2)
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append").parquet(inp)
+    run_dedup_stream(spark, inp, io, ckpt, threshold=0.2)
+
+    full = spark.createDataFrame(rows1 + rows2, ddl)
+    named = full.select("doc_id", normalized_text(F.col("text")).alias("title"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.pairs_to_ids(
+            read_current_dedup(io, "mh_pairs"), named
+        ).collect()
+    }
+    batch = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_doc_pairs(full, threshold=0.2).collect()
+    }
+    assert got == batch
+    # the cross-wave near-dup was found by the index probe, not a rescan
+    assert any(3 in p for p in got)
