@@ -515,6 +515,7 @@ TOPK_K = 5
 TOPK_QUERY_LIMIT = 50
 IVF_BITS = 8
 IVF_NPROBE = 3
+QUANT_OVERSAMPLE = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +672,17 @@ def q_emb_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_multiprobe(
         embs, queries_df, k=TOPK_K, bits=IVF_BITS, nprobe=IVF_NPROBE
     ).select("query_id", "neighbor_id", "cell", "sim_micro", "rk")
+
+
+def q_emb_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass quantized ANN: int8 dot candidate pass (4× oversample) +
+    exact rerank.  The int pass is integer-only, so candidate sets are
+    bit-identical across engines; rerank reuses the exact fold."""
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return similarity.quantized_topk(
+        embs, queries_df, k=TOPK_K, oversample=QUANT_OVERSAMPLE
+    ).select("query_id", "neighbor_id", "sim_micro", "rk")
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,6 +927,44 @@ SELECT query_id, neighbor_id, cell, sim_micro,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rk
 FROM scored QUALIFY rk <= {TOPK_K}
+"""
+
+# int8 quantize → int-dot candidates → exact rerank.  The quantize and
+# candidate stages are integer-exact on both engines; the rerank reuses
+# the sequential-fold cosine, so sim_micro hash-matches.
+_MAXABS = (
+    "greatest(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(e, x -> abs(x))), (x, y) -> greatest(x, y)), 1e-12)"
+)
+_INT_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(a.q) + 1), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])), "
+    "(x, y) -> x + y)"
+)
+_EMB_QUANT_SQL = f"""
+WITH {_UNIT_CTE},
+qv AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * {similarity.QUANT_LEVELS} / s) AS BIGINT)) AS q
+  FROM (SELECT vec_id, e, {_MAXABS} AS s FROM emb)
+),
+cand AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY {_INT_DOT} DESC, a.vec_id) AS crk
+  FROM qv a JOIN qv b ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+  QUALIFY crk <= {TOPK_K * QUANT_OVERSAMPLE}
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, {_COS_MICRO} AS sim_micro
+  FROM cand c
+  JOIN uemb a ON a.vec_id = c.neighbor_id
+  JOIN uemb b ON b.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, sim_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rk
+FROM rer QUALIFY rk <= {TOPK_K}
 """
 
 _EMB_NEARDUP_SQL = f"""
@@ -1977,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_mp": q_emb_ivf_mp,
+        "emb_quant_topk": q_emb_quant_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "media_meta": q_media_meta,
@@ -2294,6 +2345,7 @@ FROM dreach GROUP BY node
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_ivf_mp": _EMB_IVF_MP_SQL,
+        "emb_quant_topk": _EMB_QUANT_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,
         "media_meta": _MEDIA_META_SQL,
         "frame_plan": _FRAME_PLAN_SQL,

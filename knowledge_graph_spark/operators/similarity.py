@@ -429,6 +429,85 @@ def cosine_topk_fast(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).filter(F.col("rk") <= k)
 
 
+QUANT_LEVELS = 127  # int8 symmetric quantization
+
+
+def with_int8(df: DataFrame, vec_col: str = "embedding", out_col: str = "q") -> DataFrame:
+    """Adds a per-vector symmetrically quantized int copy of the vector:
+    ``q_i = floor(v_i * 127 / max_j |v_j|)``.  At corpus scale the int8
+    codes are what sits in memory/storage for the first ANN pass — a 4×
+    cut vs fp32 (8× vs fp64) — while the float vectors are only touched
+    for the candidate rerank.  floor (not round-half-even) keeps the code
+    closed-form and bit-identical on every engine; the ≤½-level bias is
+    irrelevant to a candidate-generation pass."""
+    mx = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    return (
+        df.withColumn("__mx", F.greatest(mx, F.lit(1e-12)))
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.floor(v * QUANT_LEVELS / F.col("__mx")).cast("long"),
+            ),
+        )
+        .drop("__mx")
+    )
+
+
+def _int_dot(a: F.Column, b: F.Column) -> F.Column:
+    # exact int64 arithmetic: |q| <= 127, so d <= 16129·dim « 2^62
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-pass ANN: int8 dot product selects ``k * oversample``
+    candidates per query, exact unit-vector cosine reranks to the final
+    top-k.  Same output shape as cosine_topk; recall < 1 only where the
+    quantized ordering flips a pair that the oversample margin misses.
+    The approx pass is integer-only (SIMD-friendly, bit-stable across
+    engines); the rerank uses the same sequential fold as the exact
+    operator, so the emitted sim_micro values hash-match the oracle."""
+    c = with_int8(_with_unit(_as_double(corpus, vec_col), vec_col, "u"), vec_col, "q").select(
+        F.col(id_col).alias("neighbor_id"), F.col("u").alias("cvec"), F.col("q").alias("cq")
+    )
+    q = with_int8(_with_unit(_as_double(queries, vec_col), vec_col, "u"), vec_col, "q").select(
+        F.col(id_col).alias("query_id"), F.col("u").alias("qvec"), F.col("q").alias("qq")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        "cvec",
+        "qvec",
+        _int_dot(F.col("qq"), F.col("cq")).alias("qdot"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    cand = scored.withColumn("crk", F.row_number().over(w1)).filter(
+        F.col("crk") <= k * oversample
+    )
+    rer = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(_dot(F.col("qvec"), F.col("cvec")) * SIM_SCALE)
+        .cast("bigint")
+        .alias("sim_micro"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim_micro"), F.asc("neighbor_id"))
+    return rer.withColumn("rk", F.row_number().over(w2).cast("int")).filter(F.col("rk") <= k)
+
+
 def hyperplane_sig_bit(vec: F.Column, dim: int, n_planes: int, j: int) -> F.Column:
     """Bit j of the Rademacher-hyperplane signature: sign of the
     SEQUENTIAL fold of sum_d vec[d] * s(d, j) with s ∈ {±1} derived from

@@ -193,6 +193,24 @@ def test_ivf_multiprobe_improves_recall(vectors):
         assert hamming <= 1 and cells[r.neighbor_id] == r.cell
 
 
+def test_quantized_topk_rerank_is_exact(vectors):
+    """The int8 candidate pass may trade recall, but every returned
+    (pair, sim_micro) must carry the EXACT cosine, and recall vs exact
+    top-k stays high at 4x oversample on this corpus."""
+    df, m = vectors
+    q = df.filter(F.col("vec_id") < 5)
+    got = similarity.quantized_topk(df, q, k=3, oversample=4).collect()
+    m64 = m.astype("float64")
+    u = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    hits = 0
+    for r in got:
+        exact_sim = int(np.floor(np.dot(u[r.query_id], u[r.neighbor_id]) * 1e6))
+        assert abs(r.sim_micro - exact_sim) <= 1  # fold-order last-ulp only
+        if r.neighbor_id in _np_topk(m64, r.query_id, 3):
+            hits += 1
+    assert hits >= 12  # >= 80% of the 15 exact top-3 slots
+
+
 def test_lsh_neardup_finds_planted_pair(vectors):
     df, _ = vectors
     got = {(r.id_a, r.id_b) for r in similarity.lsh_neardup_pairs(df, threshold=0.9, dim=16).collect()}
