@@ -174,6 +174,59 @@ class TableIO:
         fs, p = self._fs_path(relpath)
         return fs.exists(p)
 
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite a table into size-targeted files.
+
+        Incremental/streaming commits accumulate one file set per
+        micro-batch; at corpus scale the listing and task-per-file costs
+        of thousands of small files dominate every later scan, so
+        compaction is a standing maintenance op (Iceberg calls it
+        rewrite_data_files — used verbatim on the catalog path).  The
+        parquet path sizes the output from the actual on-disk bytes
+        (ceil(bytes / target)), rewrites with coalesce — a narrow,
+        shuffle-free repack — and swaps directories via rename, keeping
+        the previous files until the new set is fully written.  The
+        parquet path assumes an unpartitioned layout (stage tables here
+        are unpartitioned); partition-aware rewrites go through the
+        Iceberg procedure.  Returns {files_before, files_after, bytes}."""
+        if self.catalog:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self.db}.{name}', "
+                f"options => map('target-file-size-bytes', '{target_file_bytes}'))"
+            )
+            return {}
+        fs, p = self._fs_path(name)
+
+        def data_files(path):
+            # only data files: skip committer markers (_SUCCESS) and
+            # hidden files
+            return [
+                st
+                for st in fs.listStatus(path)
+                if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+            ]
+
+        before = data_files(p)
+        total_bytes = sum(st.getLen() for st in before)
+        files_before = len(before)
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        df = self.spark.read.parquet(self.path(name))
+        tmp = f"{name}__compacting"
+        df.coalesce(int(n_files)).write.mode("overwrite").parquet(self.path(tmp))
+        old = f"{name}__precompact"
+        self.delete(old)
+        jvm = self.spark.sparkContext._jvm
+        fs.rename(p, jvm.org.apache.hadoop.fs.Path(self.path(old)))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(self.path(tmp)), p)
+        self.delete(old)
+        files_after = len(data_files(p))
+        return {
+            "files_before": int(files_before),
+            "files_after": int(files_after),
+            "bytes": int(total_bytes),
+        }
+
     def delete(self, name: str) -> None:
         """Drop a table (best-effort; used for version GC)."""
         if self.catalog:

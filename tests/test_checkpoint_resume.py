@@ -143,3 +143,18 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_nodes")
         spark.sql("DROP TABLE IF EXISTS bt_degrees")
+
+
+def test_compact_repacks_small_files(spark, tmp_path):
+    """A many-file table (streaming-commit shape) compacts to the
+    byte-targeted file count with identical contents."""
+    from knowledge_graph_spark.io import TableIO
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(32)
+    io.write(df, "t")
+    before = {(r.id, r.v) for r in io.read("t").collect()}
+    stats = io.compact("t", target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 32
+    assert stats["files_after"] == 1
+    assert {(r.id, r.v) for r in io.read("t").collect()} == before
