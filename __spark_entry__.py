@@ -546,6 +546,37 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = [("en", 0.5), ("unknown", 0.25)]
+PACK_TARGET = 512
+PACK_BUCKETS = 8
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing: per-language keep rates via
+    the closed-form sample key (no RNG — both engines derive the same
+    keep decision and margin)."""
+    from knowledge_graph_spark.operators.corpus import weighted_sample
+
+    p = q_text_profile(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("lang"), "n_ws_tokens"
+    )
+    rates = spark.createDataFrame(MIX_RATES, "lang string, rate double")
+    return weighted_sample(p, rates).select("doc_id", "lang", "n_ws_tokens", "key_micro")
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy offset sequence packing into token-budget training
+    sequences, hash-bucketed into independent packing streams."""
+    from knowledge_graph_spark.operators.corpus import pack_sequences
+
+    p = q_text_profile(spark, sf_dir).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        p, token_col="n_tokens", target_tokens=PACK_TARGET, buckets=PACK_BUCKETS
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII counting + redaction.  The synthetic corpus contains no PII, so
     the gate APPENDS deterministic PII (same expression in both engines)
@@ -2018,6 +2049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "pii_scrub": q_pii_scrub,
         "corpus_stats": q_corpus_stats,
+        "corpus_mix": q_corpus_mix,
+        "seq_pack": q_seq_pack,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -2293,6 +2326,39 @@ SELECT coalesce(lang_pred, 'ALL') AS lang,
        max(n_ws_tokens) AS max_tokens,
        CAST(count(DISTINCT content_hash) AS BIGINT) AS distinct_docs
 FROM prof GROUP BY ROLLUP(lang_pred)
+""",
+        "corpus_mix": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL}),
+p AS (SELECT doc_id, lang_pred AS lang, n_ws_tokens FROM prof),
+r(lang, rate) AS (VALUES {", ".join(f"('{lang}', {rate})" for lang, rate in MIX_RATES)}),
+j AS (
+  SELECT p.doc_id, p.lang, p.n_ws_tokens, coalesce(r.rate, 1.0) AS rate,
+         CAST(({HASH_A} * (p.doc_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS DOUBLE)
+           / {HASH_M31} AS key
+  FROM p LEFT JOIN r USING (lang)
+)
+SELECT doc_id, lang, n_ws_tokens,
+       CAST(floor(key * 1000000) AS BIGINT) AS key_micro
+FROM j WHERE key < rate
+""",
+        "seq_pack": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL}),
+p AS (SELECT doc_id, n_ws_tokens AS n_tokens FROM prof),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST((({HASH_A} * (doc_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31})
+              % {PACK_BUCKETS} AS INT) AS bucket
+  FROM p
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_TARGET}) AS BIGINT) AS seq_id,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset
+FROM c
 """,
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,

@@ -1,0 +1,95 @@
+"""Corpus assembly operators for training-data pipelines: deterministic
+weighted mixing and sequence packing.
+
+Pretraining corpora are BUILT, not just filtered: sources are re-weighted
+(sample web text down, books up; rebalance languages) and documents are
+packed into fixed-token-budget training sequences.  Both operators here
+are closed-form deterministic — no RNG state — so runs are reproducible,
+resumable shards agree, and a SQL oracle reproduces every row:
+
+- **weighted_sample**: per-document uniform key in [0, 1) from the
+  int64-safe affine hash family (functions/hashing.py) on the doc id;
+  keep iff key < the stratum's rate.  One broadcast join against the
+  tiny rates table + a narrow filter — fused into the scan, no shuffle.
+- **pack_sequences**: documents are hashed into ``buckets`` independent
+  packing streams; within a bucket (ordered by id) a running token sum
+  assigns ``seq_id = floor((cumsum - n_tokens) / target)`` — the
+  standard greedy offset packer (a document starting inside a sequence's
+  budget joins it; one doc may straddle the boundary, the streaming
+  packer's usual overflow rule).  One window per bucket — embarrassingly
+  parallel across buckets, so the packer scales with the corpus while
+  staying bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import FP_MOD, HASH_A, HASH_C, HASH_M31
+
+KEY_SCALE = 1_000_000  # sample keys reported as micro-units for exact compare
+
+
+def sample_key(id_col: F.Column) -> F.Column:
+    """Deterministic uniform key in [0, 1): affine hash of the id over
+    the Mersenne-31 modulus.  id is first reduced mod FP_MOD so the
+    product stays < 2^62 on every engine (int64-safe)."""
+    x = F.pmod(id_col.cast("long"), F.lit(FP_MOD))
+    h = F.pmod(F.lit(HASH_A).cast("long") * x + F.lit(HASH_C), F.lit(HASH_M31))
+    return h.cast("double") / F.lit(float(HASH_M31))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each document with its stratum's probability, deterministically.
+
+    ``rates``: (strata_col, rate) — small, broadcast.  Strata missing
+    from the table default to rate 1.0 (kept).  Adds ``key_micro``
+    (floor(key * 1e6)) so two engines can compare the decision margin
+    exactly."""
+    r = F.broadcast(rates.select(strata_col, "rate"))
+    key = sample_key(F.col(id_col))
+    return (
+        docs.join(r, strata_col, "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(1.0)))
+        .filter(key < F.col("rate"))
+        .withColumn("key_micro", F.floor(key * KEY_SCALE).cast("bigint"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    target_tokens: int = 2048,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to a training sequence:
+    (id, bucket, seq_id, start_offset).  ``buckets`` independent greedy
+    packing streams (hash-partitioned) — the window sort is per bucket,
+    never global, so the packer has no single-partition stage."""
+    x = F.pmod(F.col(id_col).cast("long"), F.lit(FP_MOD))
+    bucket = F.pmod(
+        F.pmod(F.lit(HASH_A).cast("long") * x + F.lit(HASH_C), F.lit(HASH_M31)),
+        F.lit(buckets),
+    ).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn("start_offset", (cum - F.col(token_col)).cast("bigint"))
+        .withColumn(
+            "seq_id",
+            F.floor(F.col("start_offset") / F.lit(target_tokens)).cast("bigint"),
+        )
+        .select(id_col, token_col, "bucket", "seq_id", "start_offset")
+    )

@@ -1,0 +1,73 @@
+"""Deterministic corpus mixing + sequence packing (operators/corpus.py)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.corpus import (
+    pack_sequences,
+    sample_key,
+    weighted_sample,
+)
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id bigint, lang string",
+    )
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("de", 0.0)], "lang string, rate double"
+    )
+    kept = weighted_sample(docs, rates).collect()
+    assert all(r.lang == "en" for r in kept)  # rate 0 drops everything
+    # keep fraction near the rate (deterministic, so exactly reproducible)
+    assert 0.4 < len(kept) / 1000 < 0.6
+    again = {r.doc_id for r in weighted_sample(docs, rates).collect()}
+    assert {r.doc_id for r in kept} == again
+    # stratum missing from the rates table defaults to keep-all
+    fr = spark.createDataFrame([(10_001, "fr")], "doc_id bigint, lang string")
+    assert weighted_sample(fr, rates).count() == 1
+
+
+def test_sample_key_uniform_bounds(spark):
+    keys = (
+        spark.range(5000)
+        .select(sample_key(F.col("id")).alias("k"))
+        .agg(F.min("k"), F.max("k"), F.avg("k"))
+        .first()
+    )
+    assert 0.0 <= keys[0] and keys[1] < 1.0
+    assert 0.45 < keys[2] < 0.55
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(1000)], "doc_id bigint, n_tokens int"
+    )
+    target = 256
+    out = pack_sequences(docs, target_tokens=target, buckets=4).collect()
+    assert len(out) == 1000  # every doc assigned exactly once
+    by_seq = defaultdict(list)
+    for r in out:
+        by_seq[(r.bucket, r.seq_id)].append(r)
+    max_doc = 99
+    for (_, seq_id), rows in by_seq.items():
+        total = sum(r.n_tokens for r in rows)
+        # a sequence only overflows by its straddling last doc
+        assert total <= target + max_doc
+        # every doc STARTS inside the sequence's budget window
+        for r in rows:
+            assert seq_id * target <= r.start_offset < (seq_id + 1) * target
+    # offsets are a contiguous running sum within each bucket
+    by_bucket = defaultdict(list)
+    for r in out:
+        by_bucket[r.bucket].append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.start_offset == cum
+            cum += r.n_tokens
