@@ -87,6 +87,12 @@ def parse_args(argv=None):
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--max-rep-frac", type=float, default=0.95)
     p.add_argument("--minhash-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=0,
+        help="if > 0, compact the exported corpus to files of ~this size",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -140,6 +146,10 @@ def main(argv=None) -> dict:
             "kept": corpus.count(),
         },
     }
+    if args.compact_target_mb > 0 and "corpus_filtered" in runner.computed:
+        summary["compaction"] = io.compact(
+            "corpus_filtered", target_file_bytes=args.compact_target_mb << 20
+        )
     print(summary)
     return summary
 

@@ -12,10 +12,14 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
     argv = [
         "--input", "/root/testdata/sf0.001",
         "--output", out, "--master", "local[4]",
+        "--compact-target-mb", "64",
     ]
     s1 = job.main(argv)
     assert s1["rows"]["documents"] == 500
     assert not s1["skipped"]
+    # export compacted to the byte-targeted file count; content-based
+    # manifest fingerprints mean the rewrite cannot invalidate resume
+    assert s1["compaction"]["files_after"] == 1
     # dedup resolution must have dropped the near-duplicate cluster members
     assert 0 < s1["rows"]["kept"] < 500
 
@@ -34,3 +38,4 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
     assert not s2["computed"]
     assert set(s2["skipped"]) == set(s1["computed"])
     assert s2["rows"] == s1["rows"]
+    assert "compaction" not in s2  # nothing recomputed -> nothing to repack
