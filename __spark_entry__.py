@@ -628,6 +628,90 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 29  # doc_id % EVAL_MOD == EVAL_RES seeds the synthetic benchmark
+EVAL_RES = 3
+EVAL_OFFSET = 100_000
+EVAL_TOKENS = 40  # benchmark prompt = first 40 normalized tokens
+DECONTAM_N = 8
+DECONTAM_TAU = 0.05
+SPAN_WINDOW = 20
+SPAN_STRIDE = 10
+PR_ITER = 10
+
+
+def _eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic benchmark set: every 29th document
+    contributes its first 40 normalized tokens as a 'benchmark prompt' —
+    guaranteeing real collisions (the seed docs and their near-dup cluster
+    members) next to clean docs, so the decontamination gate is
+    non-vacuous.  Same derivation runs verbatim in the oracle."""
+    d = _docs(spark, sf_dir)
+    toks = textqc.ws_tokens_col(textqc.normalized_text(F.col("text")))
+    return d.filter(F.col("doc_id") % EVAL_MOD == EVAL_RES).select(
+        (F.col("doc_id") + EVAL_OFFSET).alias("eval_id"),
+        F.concat_ws(" ", F.slice(toks, 1, EVAL_TOKENS)).alias("text"),
+    )
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination profile: n-gram collisions between every
+    corpus doc and the broadcast eval-set gram index."""
+    from knowledge_graph_spark.operators import decontam
+
+    return decontam.contamination_profile(
+        _docs(spark, sf_dir),
+        _eval_docs(spark, sf_dir),
+        n=DECONTAM_N,
+        threshold=DECONTAM_TAU,
+    )
+
+
+def q_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit trail: which benchmark item each contaminated doc collides
+    with, and how many distinct n-grams overlap."""
+    from knowledge_graph_spark.operators import decontam
+
+    return decontam.contamination_pairs(
+        _docs(spark, sf_dir), _eval_docs(spark, sf_dir), n=DECONTAM_N
+    )
+
+
+def q_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived unigram LM quality score (integer bit-length
+    arithmetic — exact on both engines)."""
+    from knowledge_graph_spark.operators.corpus import (
+        familiarity_profile,
+        unigram_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    return familiarity_profile(d, unigram_counts(d))
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring (boilerplate) detection via
+    strided fingerprinted token windows."""
+    return dedup.repeated_span_profile(
+        _docs(spark, sf_dir), window=SPAN_WINDOW, stride=SPAN_STRIDE
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning: IVF-cell blocking + within-cell cosine."""
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), threshold=NEARDUP_TAU, bits=IVF_BITS
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer PageRank over the merged KG edges (exact
+    arithmetic — unrolled-CTE oracle, same strategy as the LPA gates)."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    return pagerank_int(e, iterations=PR_ITER)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "canonical_id", "dup_count"
@@ -1005,6 +1089,154 @@ scored AS (
   FROM uemb a JOIN uemb b ON a.vec_id < b.vec_id
 )
 SELECT * FROM scored WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data quality oracles: decontamination, unigram familiarity,
+# repeated spans, semantic dedup.  All-integer outputs (plus floor'd
+# micro-fractions of exact small-int divisions) — bit-exact across engines
+# by construction.
+# ---------------------------------------------------------------------------
+
+_DTOKS_CTE = """
+dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+_EVAL_CTE = f"""
+ev AS (
+  SELECT doc_id + {EVAL_OFFSET} AS eval_id, t[1:{EVAL_TOKENS}] AS et
+  FROM dtoks WHERE doc_id % {EVAL_MOD} = {EVAL_RES}
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[ci+1 : ci+{DECONTAM_N}], ' ') AS gram
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {DECONTAM_N} THEN 0
+                                           ELSE len(t) - {DECONTAM_N} + 1 END)) u(ci)
+)
+"""
+
+_DECONTAM_SQL = f"""
+WITH {_DTOKS_CTE}, {_EVAL_CTE},
+egrams AS (
+  SELECT DISTINCT array_to_string(et[ci+1 : ci+{DECONTAM_N}], ' ') AS gram
+  FROM ev, LATERAL unnest(range(0, CASE WHEN len(et) < {DECONTAM_N} THEN 0
+                                        ELSE len(et) - {DECONTAM_N} + 1 END)) u(ci)
+),
+cnt AS (
+  SELECT d.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM dgrams d LEFT JOIN egrams e ON d.gram = e.gram
+  GROUP BY d.doc_id
+),
+prof AS (
+  SELECT doc.doc_id,
+         CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(coalesce(c.n_hit, 0) AS BIGINT) AS n_hit,
+         CAST(CASE WHEN coalesce(c.n_grams, 0) = 0 THEN 0
+                   ELSE floor(CAST(c.n_hit AS DOUBLE) * 1000000
+                              / CAST(c.n_grams AS DOUBLE)) END AS BIGINT) AS contam_micro
+  FROM documents doc LEFT JOIN cnt c ON doc.doc_id = c.doc_id
+)
+SELECT doc_id, n_grams, n_hit, contam_micro,
+       contam_micro >= {int(DECONTAM_TAU * 1_000_000)} AS is_contaminated
+FROM prof
+"""
+
+_DECONTAM_PAIRS_SQL = f"""
+WITH {_DTOKS_CTE}, {_EVAL_CTE},
+egrams_id AS (
+  SELECT DISTINCT eval_id, array_to_string(et[ci+1 : ci+{DECONTAM_N}], ' ') AS gram
+  FROM ev, LATERAL unnest(range(0, CASE WHEN len(et) < {DECONTAM_N} THEN 0
+                                        ELSE len(et) - {DECONTAM_N} + 1 END)) u(ci)
+)
+SELECT d.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_hit
+FROM dgrams d JOIN egrams_id e ON d.gram = e.gram
+GROUP BY d.doc_id, e.eval_id
+"""
+
+_FAMILIARITY_SQL = f"""
+WITH {_DTOKS_CTE},
+toks AS (SELECT doc_id, unnest(t) AS tok FROM dtoks),
+occ AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+j AS (
+  SELECT o.doc_id, o.c, v.cnt,
+         CAST(length(bin(v.cnt)) - 1 AS BIGINT) AS bits
+  FROM occ o JOIN vocab v ON o.tok = v.tok
+),
+prof AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN cnt = 1 THEN c ELSE 0 END) AS BIGINT) AS n_rare,
+         CAST(sum(c * bits) AS BIGINT) AS familiarity_bits
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare,
+       CAST(coalesce(p.familiarity_bits, 0) AS BIGINT) AS familiarity_bits,
+       CAST(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+                 ELSE floor(CAST(p.familiarity_bits AS DOUBLE) * 1000000
+                            / CAST(p.n_tokens AS DOUBLE)) END AS BIGINT) AS mean_bits_micro
+FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id
+"""
+
+_SPAN_FP = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(span) + 1), "
+    "i -> CAST(ord(substr(span, CAST(i AS INT), 1)) AS BIGINT))), "
+    f"(a, b) -> (a * {textqc.FP_BASE} + b) % {textqc.FP_MOD})"
+)
+
+_REPEATED_SPANS_SQL = f"""
+WITH {_DTOKS_CTE},
+wins AS (
+  SELECT doc_id, {_SPAN_FP} AS fp
+  FROM (
+    SELECT doc_id,
+           array_to_string(t[wi*{SPAN_STRIDE}+1 : wi*{SPAN_STRIDE}+{SPAN_WINDOW}], ' ') AS span
+    FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {SPAN_WINDOW} THEN 0
+                                             ELSE (len(t) - {SPAN_WINDOW}) // {SPAN_STRIDE} + 1 END)) u(wi)
+  )
+),
+rep AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+cnt AS (
+  SELECT w.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN r.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+  FROM wins w LEFT JOIN rep r ON w.fp = r.fp
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(c.n_repeated, 0) AS BIGINT) AS n_repeated,
+       CAST(CASE WHEN coalesce(c.n_windows, 0) = 0 THEN 0
+                 ELSE floor(CAST(c.n_repeated AS DOUBLE) * 1000000
+                            / CAST(c.n_windows AS DOUBLE)) END AS BIGINT) AS rep_micro
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH {_UNIT_CTE},
+cells AS (SELECT vec_id, CAST({_IVF_CELL} AS BIGINT) AS cell FROM emb),
+celled AS (SELECT u.vec_id, u.e, c.cell FROM uemb u JOIN cells c USING (vec_id)),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO} AS sim_micro
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+nearest AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM prs
+  WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)} GROUP BY id_b
+)
+SELECT c.vec_id, c.cell,
+       coalesce(n.dup_of, c.vec_id) AS canonical_id,
+       n.dup_of IS NOT NULL AS is_pruned
+FROM cells c LEFT JOIN nearest n ON c.vec_id = n.vec_id
 """
 
 # ---------------------------------------------------------------------------
@@ -1487,6 +1719,57 @@ def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
             f"  FROM {prev} l LEFT JOIN {prefix}b{k} b ON b.a = l.node\n)"
         )
     return ",\n".join(parts)
+
+
+def _pr_body(rounds: int = PR_ITER) -> str:
+    """Unrolled fixed-round integer PageRank over kg_edges — mirrors
+    graphops.pagerank_int bit-for-bit (all-BIGINT arithmetic, `//` ≡
+    Spark's DIV on positives).  AS MATERIALIZED for the same reason as
+    the LPA unroll: each round references the previous twice."""
+    from knowledge_graph_spark.operators.graphops import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    parts = [
+        f"""
+, pr_sym AS MATERIALIZED (
+  SELECT source AS u, target AS v FROM kg_edges
+  UNION ALL
+  SELECT target AS u, source AS v FROM kg_edges
+),
+pr_nodes AS MATERIALIZED (SELECT DISTINCT u AS title FROM pr_sym),
+pr_n AS (SELECT count(*) AS n FROM pr_nodes),
+pr_adj AS MATERIALIZED (
+  SELECT e.u, e.v, o.outdeg
+  FROM pr_sym e JOIN (SELECT u, CAST(count(*) AS BIGINT) AS outdeg
+                      FROM pr_sym GROUP BY u) o ON e.u = o.u
+),
+pr_r0 AS MATERIALIZED (
+  SELECT title, CAST((SELECT {PR_SCALE} // n FROM pr_n) AS BIGINT) AS rank_scaled
+  FROM pr_nodes
+)"""
+    ]
+    base = (
+        f"(SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) "
+        f"// ({PR_DAMP_DEN} * n) FROM pr_n)"
+    )
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+pr_c{k} AS MATERIALIZED (
+  SELECT a.v, CAST(sum((r.rank_scaled * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * a.outdeg))
+                   AS BIGINT) AS inflow
+  FROM pr_adj a JOIN pr_r{k - 1} r ON r.title = a.u GROUP BY a.v
+),
+pr_r{k} AS MATERIALIZED (
+  SELECT n.title, CAST({base} + coalesce(c.inflow, 0) AS BIGINT) AS rank_scaled
+  FROM pr_nodes n LEFT JOIN pr_c{k} c ON c.v = n.title
+)"""
+        )
+    parts.append(f"\nSELECT title, rank_scaled FROM pr_r{rounds}\n")
+    return "".join(parts)
 
 
 def _lpa_body() -> str:
@@ -2051,6 +2334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "corpus_mix": q_corpus_mix,
         "seq_pack": q_seq_pack,
+        "decontam": q_decontam,
+        "decontam_pairs": q_decontam_pairs,
+        "familiarity": q_familiarity,
+        "repeated_spans": q_repeated_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "pagerank": q_pagerank,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -2360,6 +2649,12 @@ SELECT doc_id, n_tokens, bucket,
        CAST(cum - n_tokens AS BIGINT) AS start_offset
 FROM c
 """,
+        "decontam": _DECONTAM_SQL,
+        "decontam_pairs": _DECONTAM_PAIRS_SQL,
+        "familiarity": _FAMILIARITY_SQL,
+        "repeated_spans": _REPEATED_SPANS_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "pagerank": _oracle(_pr_body()),
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
         "dedup_clusters": f"""

@@ -93,3 +93,94 @@ def pack_sequences(
         )
         .select(id_col, token_col, "bucket", "seq_id", "start_offset")
     )
+
+
+def unigram_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram table: (token, cnt) over normalized whitespace
+    tokens.  One explode + one groupBy; partial aggregation collapses the
+    hot head of the Zipf curve map-side, so the shuffle carries roughly
+    |vocab| rows per input partition, not |corpus| rows."""
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    return (
+        docs.select(
+            F.explode(ws_tokens_col(normalized_text(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def familiarity_profile(
+    docs: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-derived unigram language-model score per document — the
+    classic pretraining quality signal (CCNet / Gopher style) computed
+    WITHOUT an external model: documents made of corpus-frequent tokens
+    score high, documents of corpus-singletons score low.
+
+    All outputs are exact integers so the DuckDB oracle matches
+    bit-for-bit: per token occurrence the score contribution is
+    floor(log2(cnt)) computed as ``length(bin(cnt)) - 1`` (pure integer
+    bit-length — no libm, no cross-engine log rounding), summed over the
+    document.
+
+    Returns (doc_id, n_tokens, n_distinct, n_rare, familiarity_bits,
+    mean_bits_micro):
+      - n_rare: occurrences of corpus-singleton tokens (cnt == 1),
+      - familiarity_bits: sum of floor(log2(cnt)) over occurrences,
+      - mean_bits_micro: floor(1e6 * familiarity_bits / n_tokens).
+
+    Scale shape: per-(doc, token) occurrence counts are reduced FIRST
+    (shuffle key includes doc_id — no hot-token skew), then joined to the
+    vocab table on token.  The vocab is Zipf-bounded (millions of rows at
+    100 TB, not billions) — broadcast by default; ``broadcast_vocab=
+    False`` falls back to a shuffled join where AQE's skew split handles
+    the stop-word head."""
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    vocab = counts.select("token", "cnt")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    occ = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(
+                ws_tokens_col(normalized_text(F.col(text_col)))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.col("token")).cast("bigint").alias("c"))
+    )
+    bits = (F.length(F.bin(F.col("cnt"))) - 1).cast("bigint")
+    scored = occ.join(vocab, "token", "left").groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+        F.sum(F.coalesce(F.col("c") * bits, F.lit(0)))
+        .cast("bigint")
+        .alias("familiarity_bits"),
+    )
+    mean = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("familiarity_bits").cast("double")
+        * 1_000_000
+        / F.col("n_tokens").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "n_distinct",
+        "n_rare",
+        "familiarity_bits",
+        F.floor(mean).cast("bigint").alias("mean_bits_micro"),
+    )

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.textqc import content_hash, normalized_text, ws_tokens_col
+from ..functions.textqc import (
+    content_hash,
+    normalized_text,
+    rolling_fingerprint,
+    ws_tokens_col,
+)
 from ..functions.hashing import HASH_M31, perm_ab
 from .linking import banded_signatures, jaccard_verify, minhash_candidate_pairs
 
@@ -379,3 +384,74 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def token_windows(text: F.Column, window: int, stride: int) -> F.Column:
+    """Space-joined token windows of the normalized text: positions 0,
+    stride, 2·stride, … while a full ``window`` tokens remain (shorter
+    tails are not emitted — a partial window is not comparable evidence)."""
+    toks = ws_tokens_col(normalized_text(text))
+    return F.when(F.size(toks) < window, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window, F.lit(stride)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+        )
+    )
+
+
+def repeated_span_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 30,
+    stride: int = 15,
+) -> DataFrame:
+    """Cross-document repeated-substring detection (the signal behind
+    suffix-array substring dedup, Lee et al. 2022, arXiv:2107.06499 —
+    approximated with strided fixed-width windows, which is the shape that
+    distributes): a window instance is "repeated" when its exact token
+    span occurs in ≥ 2 distinct documents.
+
+    Returns one row per document: (doc_id, n_windows, n_repeated,
+    rep_micro = floor(1e6 · n_repeated / n_windows); 0 windows → 0).
+    Boilerplate headers/footers/licenses light up here long before
+    whole-doc dedup fires.
+
+    Scale shape: windows are keyed by their Rabin-Karp fingerprint
+    (`rolling_fingerprint` — native fold, shared verbatim with the SQL
+    oracle), so the span shuffle carries an int64 per window instead of a
+    ~200-byte string.  One groupBy fingerprint for distinct-doc counts,
+    one join back, one per-doc groupBy — partial aggregation applies to
+    all three.  Fingerprint space is 1e9+7: collisions are noise at gate
+    scale; at 100 TB stack a second modulus (same family) to push the
+    collision rate below one per corpus.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(token_windows(F.col(text_col), window, stride)).alias("span"),
+    ).withColumn("fp", rolling_fingerprint(F.col("span")))
+    spans = spans.persist()
+    span_df = (
+        spans.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("ddf"))
+        .filter(F.col("ddf") >= 2)
+        .select("fp")
+    )
+    out = (
+        spans.join(span_df.withColumn("_rep", F.lit(1)), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("span").cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).cast("bigint").alias("n_repeated"),
+        )
+    )
+    frac = F.when(F.col("n_windows") == 0, F.lit(0.0)).otherwise(
+        F.col("n_repeated").cast("double") * 1_000_000 / F.col("n_windows").cast("double")
+    )
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_repeated",
+        F.floor(frac).cast("bigint").alias("rep_micro"),
+    )

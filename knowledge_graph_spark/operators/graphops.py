@@ -122,3 +122,88 @@ def stabilize_nodes(nodes: DataFrame) -> DataFrame:
 def stabilize_edges(edges: DataFrame) -> DataFrame:
     """Canonical (min,max) endpoints then sort (reference utils/graph.py:45-56)."""
     return edges.orderBy("source", "target")
+
+
+PR_SCALE = 10**12
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damping_num: int = PR_DAMP_NUM,
+    damping_den: int = PR_DAMP_DEN,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fixed-round PageRank in exact integer arithmetic → (title,
+    rank_scaled) with rank as units of 1/``scale`` (default 1e-12).
+
+    Entity salience beyond raw degree: the reference ranks entities by
+    degree only (compute_edge_degree.py); PageRank is the standard
+    upgrade and is a pure relational loop in Spark.  All arithmetic is
+    integer (`DIV`, no libm, no float accumulation), so a fixed-round
+    unrolled SQL oracle reproduces every value bit-for-bit — same
+    strategy as the unrolled-LPA gates.  Quantization: each contribution
+    floors away < 1 unit of 1e-12 mass; dangling nodes drop their mass
+    (documented, mirrored in the oracle).
+
+    Per round: rank'(v) = floor(scale*(1-d)/n) +
+    Σ_{u→v} (rank(u)*85) DIV (100*outdeg(u)).
+
+    Scale shape: ranks live on node rows; each round is one shuffle join
+    (ranks ⋈ edges on src — edges pre-partitioned by src stay co-located
+    across rounds) + one groupBy dst with map-side partial sums, then a
+    left join back onto the node set.  localCheckpoint per round truncates
+    the lineage so round k's plan does not replay rounds 1..k-1.
+    ``symmetric=True`` mirrors the undirected KG (each edge contributes
+    both ways), matching node_degrees' undirected convention.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if symmetric:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+    e = e.persist()
+    nodes = (
+        e.select(F.col("u").alias("title"))
+        .unionByName(e.select(F.col("v").alias("title")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("outdeg"))
+    adj = e.join(outdeg, "u").persist()
+    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    init = scale // n
+    ranks = nodes.select("title", F.lit(init).cast("bigint").alias("rank_scaled"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks.select(F.col("title").alias("u"), "rank_scaled"), "u")
+            .select(
+                F.col("v"),
+                F.expr(
+                    f"(rank_scaled * {damping_num}) DIV ({damping_den} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["title"] == contrib["v"], "left")
+            .select(
+                "title",
+                (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    adj.unpersist()
+    nodes.unpersist()
+    return ranks

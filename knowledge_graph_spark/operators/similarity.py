@@ -585,3 +585,62 @@ def lsh_neardup_pairs(
         "id_b",
         F.floor(cosine_sim(F.col("va"), F.col("vb")) * SIM_SCALE).cast("bigint").alias("sim_micro"),
     ).filter(F.col("sim_micro") >= int(threshold * SIM_SCALE))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into coarse clusters,
+    then prune documents whose cosine similarity to a LOWER-ID member of
+    the same cluster exceeds ``threshold``.
+
+    Clustering here is the deterministic sign-bit coarse quantizer
+    (`ivf_cell`) rather than k-means — same blocking role, zero training
+    state, and the SQL oracle reproduces it exactly.  Pair scan is a
+    WITHIN-CELL self equi-join: each cell's pair block is independent, so
+    the O(n²) term is bounded per cell, never global.  (At 100 TB raise
+    ``bits`` so cells stay small; skewed cells show up in the Spark UI as
+    stragglers and are the signal to add bits — same knob as IVF.)
+
+    Output: (vec_id, cell, canonical_id, is_pruned) — one row per corpus
+    vector; pruned rows point at their smallest same-cell near-duplicate,
+    keepers at themselves.
+    """
+    c = _with_unit(_as_double(corpus, vec_col), vec_col, "u").select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell(F.col(vec_col), bits).alias("cell"),
+        F.col("u"),
+    )
+    a = c.select(F.col("vec_id").alias("id_a"), F.col("cell"), F.col("u").alias("va"))
+    b = c.select(F.col("vec_id").alias("id_b"), F.col("cell"), F.col("u").alias("vb"))
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.floor(_dot(F.col("va"), F.col("vb")) * SIM_SCALE)
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+        .filter(F.col("sim_micro") >= int(threshold * SIM_SCALE))
+    )
+    nearest = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        c.select("vec_id", "cell")
+        .join(nearest, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dup_of", "vec_id").alias("canonical_id"),
+            F.col("dup_of").isNotNull().alias("is_pruned"),
+        )
+    )
