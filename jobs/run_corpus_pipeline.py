@@ -1,9 +1,12 @@
 """spark-submit entry point: training-data corpus pipeline over documents.
 
 The non-KG half of the engine as one checkpointed job: QC profiling →
-PII redaction → exact + MinHash-LSH dedup → cluster resolution → filtered
-corpus export.  This is the standard pretraining-data shape (C4/Gopher
-filter family + near-dup removal) expressed as resumable table stages.
+PII redaction → exact + MinHash-LSH dedup → cluster resolution →
+repeated-span boilerplate scoring → unigram familiarity scoring →
+(optional) benchmark decontamination → filtered corpus export.  This is
+the standard pretraining-data shape (C4/Gopher filter family + near-dup
+removal + GPT-3-style decontamination) expressed as resumable table
+stages.
 
 Cluster usage mirrors jobs/run_pipeline.py (--py-files zip, Iceberg
 catalog or parquet warehouse).  Sandbox:
@@ -31,10 +34,18 @@ from pyspark.sql import functions as F  # noqa: E402
 from knowledge_graph_spark.checkpoint import StageRunner  # noqa: E402
 from knowledge_graph_spark.functions import pii, textqc  # noqa: E402
 from knowledge_graph_spark.io import TableIO  # noqa: E402
+from knowledge_graph_spark.operators.corpus import (  # noqa: E402
+    familiarity_profile,
+    unigram_counts,
+)
+from knowledge_graph_spark.operators.decontam import (  # noqa: E402
+    contamination_profile,
+)
 from knowledge_graph_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
     exact_duplicates,
     minhash_doc_pairs,
+    repeated_span_profile,
 )
 from knowledge_graph_spark.session import get_spark  # noqa: E402
 
@@ -62,10 +73,24 @@ def scrub_documents(docs):
     )
 
 
-def filtered_corpus(scrubbed, profile, resolution, min_quality, min_tokens, max_rep):
+def filtered_corpus(
+    scrubbed,
+    profile,
+    resolution,
+    min_quality,
+    min_tokens,
+    max_rep,
+    spans=None,
+    max_span_micro=1_000_000,
+    familiarity=None,
+    min_mean_bits_micro=0,
+    contamination=None,
+):
     """Keep canonical (non-duplicate) documents passing the QC filters;
     emit the redacted text.  All joins are doc_id equi-joins — broadcast
-    or bucketed at scale."""
+    or bucketed at scale.  Optional signal frames tighten the keep set:
+    repeated-span fraction (boilerplate), unigram familiarity floor, and
+    benchmark contamination (drop every flagged doc)."""
     keep = (
         profile.filter(
             (F.col("quality") >= min_quality)
@@ -75,6 +100,23 @@ def filtered_corpus(scrubbed, profile, resolution, min_quality, min_tokens, max_
         .join(resolution.filter(~F.col("is_duplicate")).select("doc_id"), "doc_id")
         .select("doc_id", "n_tokens", "lang", "quality")
     )
+    if spans is not None and max_span_micro < 1_000_000:
+        keep = keep.join(
+            spans.filter(F.col("rep_micro") <= max_span_micro).select("doc_id"),
+            "doc_id",
+        )
+    if familiarity is not None and min_mean_bits_micro > 0:
+        keep = keep.join(
+            familiarity.filter(
+                F.col("mean_bits_micro") >= min_mean_bits_micro
+            ).select("doc_id"),
+            "doc_id",
+        )
+    if contamination is not None:
+        keep = keep.join(
+            contamination.filter(~F.col("is_contaminated")).select("doc_id"),
+            "doc_id",
+        )
     return scrubbed.join(keep, "doc_id")
 
 
@@ -87,6 +129,26 @@ def parse_args(argv=None):
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--max-rep-frac", type=float, default=0.95)
     p.add_argument("--minhash-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--eval-set",
+        default=None,
+        help="parquet of benchmark items (eval_id, text); enables "
+        "decontamination — contaminated docs are dropped from the export",
+    )
+    p.add_argument("--decontam-ngram", type=int, default=8)
+    p.add_argument("--decontam-threshold", type=float, default=0.05)
+    p.add_argument(
+        "--max-span-rep-frac",
+        type=float,
+        default=1.0,
+        help="drop docs whose repeated-span fraction exceeds this (1.0 = off)",
+    )
+    p.add_argument(
+        "--min-familiarity-bits",
+        type=float,
+        default=0.0,
+        help="drop docs whose mean unigram familiarity (bits/token) is below this",
+    )
     p.add_argument(
         "--compact-target-mb",
         type=int,
@@ -123,6 +185,35 @@ def main(argv=None) -> dict:
         lambda: dedup_clusters(docs, pairs),
         inputs=["neardup_pairs"],
     )
+    spans = runner.run(
+        "span_profile", lambda: repeated_span_profile(docs), inputs=[]
+    )
+    fam = runner.run(
+        "familiarity",
+        lambda: familiarity_profile(docs, unigram_counts(docs)),
+        inputs=[],
+    )
+    contamination = None
+    corpus_inputs = [
+        "doc_scrubbed",
+        "doc_profile",
+        "dedup_resolution",
+        "span_profile",
+        "familiarity",
+    ]
+    if args.eval_set:
+        evalset = spark.read.parquet(args.eval_set)
+        contamination = runner.run(
+            "decontam",
+            lambda: contamination_profile(
+                docs,
+                evalset,
+                n=args.decontam_ngram,
+                threshold=args.decontam_threshold,
+            ),
+            inputs=[],
+        )
+        corpus_inputs.append("decontam")
     corpus = runner.run(
         "corpus_filtered",
         lambda: filtered_corpus(
@@ -132,8 +223,13 @@ def main(argv=None) -> dict:
             args.min_quality,
             args.min_tokens,
             args.max_rep_frac,
+            spans=spans,
+            max_span_micro=int(args.max_span_rep_frac * 1_000_000),
+            familiarity=fam,
+            min_mean_bits_micro=int(args.min_familiarity_bits * 1_000_000),
+            contamination=contamination,
         ),
-        inputs=["doc_scrubbed", "doc_profile", "dedup_resolution"],
+        inputs=corpus_inputs,
     )
 
     summary = {
@@ -146,6 +242,10 @@ def main(argv=None) -> dict:
             "kept": corpus.count(),
         },
     }
+    if contamination is not None:
+        summary["rows"]["contaminated"] = contamination.filter(
+            F.col("is_contaminated")
+        ).count()
     if args.compact_target_mb > 0 and "corpus_filtered" in runner.computed:
         summary["compaction"] = io.compact(
             "corpus_filtered", target_file_bytes=args.compact_target_mb << 20

@@ -39,3 +39,42 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
     assert set(s2["skipped"]) == set(s1["computed"])
     assert s2["rows"] == s1["rows"]
     assert "compaction" not in s2  # nothing recomputed -> nothing to repack
+
+
+def test_corpus_job_decontamination_drops_flagged_docs(spark, tmp_path):
+    import jobs.run_corpus_pipeline as job
+
+    # benchmark set = verbatim prefixes of a few corpus docs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evalset = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 30)
+            ).alias("text"),
+        )
+    )
+    eval_path = str(tmp_path / "evalset.parquet")
+    evalset.write.parquet(eval_path)
+
+    out = str(tmp_path / "corpus_decontam")
+    s = job.main(
+        [
+            "--input", "/root/testdata/sf0.001",
+            "--output", out, "--master", "local[4]",
+            "--eval-set", eval_path,
+            "--max-span-rep-frac", "0.99",
+        ]
+    )
+    assert s["rows"]["contaminated"] > 0
+    contam = spark.read.parquet(f"{out}/decontam")
+    flagged = {r.doc_id for r in contam.filter(F.col("is_contaminated")).collect()}
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/corpus_filtered").select("doc_id").collect()
+    }
+    assert flagged and not (kept & flagged)
+    # the seed docs themselves are flagged (their prefix is in the eval set)
+    seeds = {r.doc_id for r in docs.filter(F.col("doc_id") % 50 == 0).collect()}
+    assert seeds & flagged

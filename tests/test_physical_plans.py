@@ -215,3 +215,54 @@ def test_native_extraction_no_python_and_matches_rule_backend(spark):
     py = {r.text_unit_id: r.records for r in emit_records(units, RuleBackend()).collect()}
     nat = {r.text_unit_id: r.records for r in emit_records_native(units).collect()}
     assert py == nat  # byte-identical record streams
+
+
+def test_decontam_broadcasts_eval_index(spark, docs):
+    """The eval-gram index must broadcast (map-side probe of the corpus
+    gram stream); the corpus side must never shuffle into a sort-merge
+    join against it."""
+    from knowledge_graph_spark.operators.decontam import contamination_profile
+
+    evalset = docs.limit(20).select("doc_id", "text")
+    p = plan(contamination_profile(docs, evalset, n=8))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "PythonUDF" not in p
+
+
+def test_familiarity_broadcasts_vocab_and_stays_native(spark, docs):
+    from knowledge_graph_spark.operators.corpus import (
+        familiarity_profile,
+        unigram_counts,
+    )
+
+    counts = unigram_counts(docs)
+    p = plan(familiarity_profile(docs, counts))
+    assert "BroadcastHashJoin" in p
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_repeated_spans_shuffles_int_fingerprints(spark, docs):
+    """The span shuffle must carry the int64 fingerprint, not the ~200-byte
+    span string: no raw `span` column may appear in any Exchange output."""
+    from knowledge_graph_spark.operators.dedup import repeated_span_profile
+
+    p = plan(repeated_span_profile(docs))
+    assert "PythonUDF" not in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "span#" not in line
+
+
+def test_pagerank_plan_is_integer_and_distributed(spark):
+    """One round of the PR loop: contributions flow through hash
+    aggregation (map-side partial sums) — no single-partition exchange,
+    no Python."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "source string, target string"
+    )
+    p = plan(pagerank_int(edges, iterations=1))
+    assert "PythonUDF" not in p
+    assert "SinglePartition" not in p
