@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import FP_MOD, HASH_A, HASH_C, HASH_M31
+from ..partitioning import widen
 
 KEY_SCALE = 1_000_000  # sample keys reported as micro-units for exact compare
 
@@ -105,7 +106,7 @@ def unigram_counts(
     from ..functions.textqc import normalized_text, ws_tokens_col
 
     return (
-        docs.select(
+        widen(docs).select(
             F.explode(ws_tokens_col(normalized_text(F.col(text_col)))).alias("token")
         )
         .groupBy("token")
@@ -149,7 +150,7 @@ def familiarity_profile(
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
     occ = (
-        docs.select(
+        widen(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode_outer(
                 ws_tokens_col(normalized_text(F.col(text_col)))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import widen
 from .dedup import token_ngrams
 
 MICRO = 1_000_000
@@ -64,7 +65,7 @@ def contamination_profile(
     index = eval_ngram_index(evalset, text_col=eval_text_col, n=n)
     if broadcast_index:
         index = F.broadcast(index)
-    grams = docs.select(
+    grams = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(F.array_distinct(token_ngrams(F.col(text_col), n))).alias(
             "gram"
@@ -111,7 +112,7 @@ def contamination_pairs(
     )
     if broadcast_index:
         index = F.broadcast(index)
-    grams = docs.select(
+    grams = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
     )

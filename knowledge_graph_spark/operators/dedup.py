@@ -40,6 +40,7 @@ from ..functions.textqc import (
     ws_tokens_col,
 )
 from ..functions.hashing import HASH_M31, perm_ab
+from ..partitioning import widen
 from .linking import banded_signatures, jaccard_verify, minhash_candidate_pairs
 
 DEFAULT_NGRAM = 5
@@ -93,7 +94,7 @@ def ngram_jaccard_pairs(
     # of the candidate join) — persist it or Spark recomputes the
     # explode+distinct subtree per consumer (MEMORY_AND_DISK: spills
     # rather than OOMs when the posting list outgrows executor memory)
-    grams = docs.select(
+    grams = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
     ).persist()
@@ -426,7 +427,7 @@ def repeated_span_profile(
     scale; at 100 TB stack a second modulus (same family) to push the
     collision rate below one per corpus.
     """
-    spans = docs.select(
+    spans = widen(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(token_windows(F.col(text_col), window, stride)).alias("span"),
     ).withColumn("fp", rolling_fingerprint(F.col("span")))
