@@ -74,6 +74,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     # subtotal = value minus these two entries)
     timed("sessions", lambda: entry.q_sessions(spark, sf_dir))
     timed("event_hourly", lambda: entry.q_event_hourly(spark, sf_dir))
+    # round-2 second-wave additions: benchmark decontamination (broadcast
+    # eval-gram probe) + SemDeDup semantic dedup (IVF-cell-blocked cosine)
+    timed("decontam", lambda: entry.q_decontam(spark, sf_dir))
+    timed("semantic_dedup", lambda: entry.q_semantic_dedup(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", sf_dir)
