@@ -712,6 +712,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(e, iterations=PR_ITER)
 
 
+NJ_TAU = 0.5
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient."""
+    from knowledge_graph_spark.operators.graphops import triangle_profile
+
+    return triangle_profile(_stages(spark, sf_dir)["edges"].select("source", "target"))
+
+
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity: neighbor-set Jaccard ≥ NJ_TAU."""
+    from knowledge_graph_spark.operators.graphops import neighbor_jaccard_pairs
+
+    return neighbor_jaccard_pairs(
+        _stages(spark, sf_dir)["edges"].select("source", "target"), threshold=NJ_TAU
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(_docs(spark, sf_dir)).select(
         "content_hash", "canonical_id", "dup_count"
@@ -2340,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "semantic_dedup": q_semantic_dedup,
         "pagerank": q_pagerank,
+        "triangles": q_triangles,
+        "node_jaccard": q_node_jaccard,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup": q_ngram_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -2655,6 +2676,54 @@ FROM c
         "repeated_spans": _REPEATED_SPANS_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "pagerank": _oracle(_pr_body()),
+        "triangles": _oracle(f"""
+, tr_ab AS MATERIALIZED (SELECT source AS a, target AS b FROM kg_edges),
+tr AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM tr_ab ab
+  JOIN tr_ab bc ON ab.b = bc.a
+  JOIN tr_ab ac ON ac.a = ab.a AND ac.b = bc.b
+),
+tr_pern AS (
+  SELECT title, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS title FROM tr
+    UNION ALL SELECT b AS title FROM tr
+    UNION ALL SELECT c AS title FROM tr
+  ) GROUP BY title
+)
+SELECT d.title, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree < 2 THEN 0
+                 ELSE floor(CAST(coalesce(p.triangles, 0) AS DOUBLE) * 2000000
+                            / CAST(d.degree * (d.degree - 1) AS DOUBLE)) END
+            AS BIGINT) AS clustering_micro
+FROM degrees d LEFT JOIN tr_pern p ON d.title = p.title
+"""),
+        "node_jaccard": _oracle(f"""
+, nj_adj AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM kg_edges
+    UNION ALL SELECT target AS a, source AS b FROM kg_edges
+  )
+),
+nj_sizes AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM nj_adj GROUP BY a),
+nj_inter AS (
+  SELECT x.a AS title_a, y.a AS title_b, CAST(count(*) AS BIGINT) AS inter
+  FROM nj_adj x JOIN nj_adj y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+),
+nj AS (
+  SELECT i.title_a, i.title_b, i.inter,
+         CAST(sa.deg + sb.deg - i.inter AS BIGINT) AS union_n,
+         CAST(floor(CAST(i.inter AS DOUBLE) * 1000000
+                    / CAST(sa.deg + sb.deg - i.inter AS DOUBLE)) AS BIGINT)
+           AS jaccard_micro
+  FROM nj_inter i
+  JOIN nj_sizes sa ON sa.a = i.title_a
+  JOIN nj_sizes sb ON sb.a = i.title_b
+)
+SELECT * FROM nj WHERE jaccard_micro >= {int(NJ_TAU * 1_000_000)}
+"""),
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
         "dedup_clusters": f"""

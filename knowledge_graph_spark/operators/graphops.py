@@ -207,3 +207,97 @@ def pagerank_int(
     adj.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_profile(
+    edges: DataFrame, src: str = "source", dst: str = "target"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient →
+    (title, degree, triangles, clustering_micro).
+
+    Input must be the canonical undirected edge list (src < dst, distinct
+    — what parse_and_merge emits).  Triangle enumeration is the standard
+    two-join ordered-wedge plan: (a<b) ⋈ (b<c) ⋈ (a<c) — each triangle
+    counted exactly once.  All equi-joins on node keys, integer outputs;
+    clustering_micro = floor(1e6 · 2T / (d·(d-1))), 0 when degree < 2.
+
+    Scale note: wedge enumeration is the O(Σ d²) step; the ordered join
+    (low-id endpoint first) is the classic mitigation — each wedge is
+    generated once, at its lowest vertex.  Hot vertices split across
+    shuffle partitions via AQE skew handling; the per-node aggregate is
+    map-side combinable.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("title"))
+        .groupBy("title")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    deg = node_degrees(edges.select(F.col(src).alias("source"), F.col(dst).alias("target")))
+    out = deg.join(per_node, "title", "left").select(
+        "title",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+    )
+    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        F.col("triangles").cast("double")
+        * 2_000_000
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    )
+    return out.withColumn("clustering_micro", F.floor(cc).cast("bigint"))
+
+
+def neighbor_jaccard_pairs(
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Structural node similarity: (title_a, title_b, inter, union_n,
+    jaccard_micro) for node pairs whose neighbor-set Jaccard ≥ threshold.
+
+    The structural-equivalence signal for entity resolution: two mentions
+    of the same real-world entity connect to the same neighbors even when
+    their surface forms share no text.  Same inverted-index blocking as
+    n-gram dedup — only pairs sharing ≥ 1 neighbor are scored (never a
+    cross join), the common-neighbor count arrives via one equi-join on
+    the shared neighbor + groupBy, and jaccard is exact small-int
+    division floored at micro precision.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sizes = adj.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
+    inter = (
+        adj.select(F.col("a").alias("title_a"), F.col("b").alias("n"))
+        .join(adj.select(F.col("a").alias("title_b"), F.col("b").alias("n")), "n")
+        .filter(F.col("title_a") < F.col("title_b"))
+        .groupBy("title_a", "title_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("a").alias("title_a"), F.col("deg").alias("da"))
+    sb = sizes.select(F.col("a").alias("title_b"), F.col("deg").alias("db"))
+    jm = F.floor(
+        F.col("inter").cast("double")
+        * 1_000_000
+        / (F.col("da") + F.col("db") - F.col("inter")).cast("double")
+    ).cast("bigint")
+    return (
+        inter.join(sa, "title_a")
+        .join(sb, "title_b")
+        .select(
+            "title_a",
+            "title_b",
+            "inter",
+            (F.col("da") + F.col("db") - F.col("inter")).cast("bigint").alias("union_n"),
+            jm.alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+    )
