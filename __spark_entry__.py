@@ -829,6 +829,48 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_TAU)
 
 
+FUZZY_MAX_DIST = 1
+KCORE_K = 2
+KCORE_ROUNDS = 3
+SPLIT_VAL_FRAC = 0.05
+SPLIT_TEST_FRAC = 0.05
+
+
+def q_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-class alias candidates over the distinct mention vocabulary:
+    SymSpell deletion-neighborhood blocking (exact at distance 1) + native
+    levenshtein verify — the recall stage of fuzzy entity linking."""
+    from knowledge_graph_spark.operators.linking import fuzzy_alias_pairs
+
+    m = q_mentions(spark, sf_dir).select(F.col("mention").alias("name")).distinct()
+    return fuzzy_alias_pairs(m, name_col="name", max_dist=FUZZY_MAX_DIST)
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel over the embedding near-dup pair graph
+    (dense-cluster QC: which documents sit in mutually-similar blobs)."""
+    from knowledge_graph_spark.operators.graphops import k_core
+
+    pairs = similarity.cosine_neardup_pairs(_embs(spark, sf_dir), threshold=NEARDUP_TAU)
+    return k_core(
+        pairs.select(F.col("id_a").alias("source"), F.col("id_b").alias("target")),
+        k=KCORE_K,
+        rounds=KCORE_ROUNDS,
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: growth-stable closed-form hash
+    assignment (no RNG; a doc never migrates splits as the corpus grows)."""
+    from knowledge_graph_spark.operators.corpus import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        val_frac=SPLIT_VAL_FRAC,
+        test_frac=SPLIT_TEST_FRAC,
+    ).select("doc_id", "split", "key_micro")
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_docs(spark, sf_dir))
     return multimodal.extract_media_meta(media)
@@ -1108,6 +1150,64 @@ scored AS (
   FROM uemb a JOIN uemb b ON a.vec_id < b.vec_id
 )
 SELECT * FROM scored WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
+"""
+
+# k-core oracle: the near-dup pair graph materialized once, then the peel
+# unrolled round-by-round (same fixed-round design as the LPA/PageRank
+# oracles).  AS MATERIALIZED throughout — each e{r} is referenced three
+# times per round and DuckDB would otherwise inline the whole cosine fold
+# 3^rounds times (NOTES.md gotcha).
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    sql = f"""
+WITH {_UNIT_CTE},
+e0 AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM uemb a JOIN uemb b ON a.vec_id < b.vec_id
+  WHERE {_COS_MICRO} >= {int(NEARDUP_TAU * similarity.SIM_SCALE)}
+)"""
+    for r in range(rounds):
+        sql += f""",
+kd{r} AS MATERIALIZED (SELECT t, count(*) AS d FROM (
+    SELECT a AS t FROM e{r} UNION ALL SELECT b AS t FROM e{r}) GROUP BY t),
+kp{r} AS MATERIALIZED (SELECT t FROM kd{r} WHERE d >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN kp{r} ka ON e.a = ka.t JOIN kp{r} kb ON e.b = kb.t)"""
+    sql += f"""
+SELECT title, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS title FROM e{rounds} UNION ALL SELECT b AS title FROM e{rounds})
+GROUP BY title"""
+    return sql
+
+
+# Fuzzy alias oracle: same deletion-neighborhood expansion via
+# list_transform/range, same levenshtein verify (both engines implement
+# the standard case-sensitive Levenshtein distance).
+_FUZZY_ALIASES_BODY = f"""
+, fz_names AS MATERIALIZED (SELECT DISTINCT mention AS nm FROM ment_occ),
+fz_vars AS MATERIALIZED (
+  SELECT DISTINCT nm, var FROM (
+    SELECT nm, unnest(list_prepend(nm,
+      list_transform(range(1, length(nm) + 1),
+        i -> substr(nm, 1, CAST(i AS INT) - 1)
+             || substr(nm, CAST(i AS INT) + 1, length(nm))))) AS var
+    FROM fz_names))
+SELECT DISTINCT x.nm AS name_a, y.nm AS name_b,
+       CAST(levenshtein(x.nm, y.nm) AS INT) AS dist
+FROM fz_vars x JOIN fz_vars y ON x.var = y.var AND x.nm < y.nm
+WHERE levenshtein(x.nm, y.nm) <= {FUZZY_MAX_DIST}
+"""
+
+_HASH_SPLIT_SQL = f"""
+SELECT doc_id,
+  CASE WHEN key < {SPLIT_TEST_FRAC} THEN 'test'
+       WHEN key < {SPLIT_TEST_FRAC + SPLIT_VAL_FRAC} THEN 'val'
+       ELSE 'train' END AS split,
+  CAST(floor(key * 1000000) AS BIGINT) AS key_micro
+FROM (SELECT doc_id,
+        CAST(({HASH_A} * (doc_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS DOUBLE)
+          / {HASH_M31} AS key
+      FROM documents)
 """
 
 # ---------------------------------------------------------------------------
@@ -2373,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quant_topk": q_emb_quant_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
+        "fuzzy_aliases": q_fuzzy_aliases,
+        "k_core": q_k_core,
+        "hash_split": q_hash_split,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
         "sessions": q_sessions,
@@ -2772,6 +2875,9 @@ FROM dreach GROUP BY node
         "minhash_incr": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _SIMHASH_DEDUP_SQL,
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_SQL,
+        "fuzzy_aliases": _oracle(_FUZZY_ALIASES_BODY),
+        "k_core": _kcore_sql(),
+        "hash_split": _HASH_SPLIT_SQL,
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_ivf_mp": _EMB_IVF_MP_SQL,

@@ -185,3 +185,30 @@ def familiarity_profile(
         "familiarity_bits",
         F.floor(mean).cast("bigint").alias("mean_bits_micro"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — adds (split, key_micro).
+
+    The standard training-corpus splitter: the same closed-form uniform
+    key as weighted_sample (affine hash over M31 — no RNG, no seed state,
+    so assignment is stable under re-runs, resumes, and engine changes;
+    a document NEVER migrates between splits when the corpus grows,
+    unlike randomSplit).  Thresholds: key < test_frac → test,
+    < test_frac+val_frac → val, else train.  Pure Column algebra, zero
+    shuffle — the split column is computed in the scan stage.
+    """
+    key = sample_key(F.col(id_col))
+    split = (
+        F.when(key < F.lit(test_frac), F.lit("test"))
+        .when(key < F.lit(test_frac + val_frac), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split", split).withColumn(
+        "key_micro", F.floor(key * KEY_SCALE).cast("bigint")
+    )

@@ -301,3 +301,50 @@ def neighbor_jaccard_pairs(
         )
         .filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Fixed-round k-core peel → (title, degree) for surviving nodes.
+
+    Each round drops every node whose degree in the CURRENT subgraph is
+    < k, then restricts the edge list to surviving endpoints (the
+    classic peel; graph-QC / dense-subgraph signal complementing
+    triangle_profile).  A FIXED round count keeps the op deterministic
+    and oracle-unrollable (same design as pagerank_int / the LPA gates);
+    the peel is monotone, so extra rounds past the fixpoint are no-ops
+    and the unrolled oracle agrees with an early-stopping loop whenever
+    ``rounds`` reaches the fixpoint.  Output degree is recomputed over
+    the final edge set (it can sit below k if ``rounds`` stopped short —
+    callers wanting the true core raise ``rounds``; depth O(|V|) worst
+    case, O(log) typical).
+
+    Scale shape: per round one map-side-combinable degree aggregate and
+    two semi-joins on the (small) survivor set — broadcast-eligible as
+    soon as the survivor table fits, never a cross join.  The loop
+    localCheckpoints each round to cut lineage, same pattern as
+    pagerank_int.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    for _ in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("t")
+        e = (
+            e.join(keep.select(F.col("t").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("t").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("title"))
+        .groupBy("title")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )

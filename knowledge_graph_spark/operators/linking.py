@@ -292,3 +292,58 @@ def apply_canonicalization(
         )
     )
     return cn, ce
+
+
+def fuzzy_alias_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance candidate alias pairs → (name_a, name_b, dist).
+
+    Complements the MinHash/Jaccard blocking above with a typo-class
+    signal: surface forms within Levenshtein distance ``max_dist`` (the
+    classic spelling-variant recall stage of entity resolution; verify/
+    score downstream, e.g. via link_aliases or jaccard_verify).
+
+    Blocking is the SymSpell deletion-neighborhood: every string is
+    expanded to itself plus all single-character deletions, candidates
+    are pairs sharing a variant (for max_dist=1 this blocking is EXACT —
+    lev(a,b)<=1 iff their deletion neighborhoods intersect), and the
+    final native ``levenshtein`` filter removes collisions such as
+    transposed pairs at distance 2.  Everything is Column algebra: the
+    variant expansion is a transform/sequence lambda (no Python UDF),
+    the candidate step is an equi-join on the variant string — never a
+    cross join — and the variant table is ~(1+len) rows per name, the
+    standard space/recall trade of delete-only indexes.
+
+    ``max_dist`` > 1 falls back to the same blocking with a wider
+    verify, which loses the exactness guarantee (distance-2 pairs that
+    share no deletion variant are missed) — documented recall stage.
+    """
+    variants = F.concat(
+        F.array(F.col("nm")),
+        F.expr(
+            "transform(sequence(1, length(nm)), i -> "
+            "concat(substr(nm, 1, i - 1), substr(nm, i + 1, length(nm))))"
+        ),
+    )
+    v = (
+        names.select(F.col(name_col).alias("nm"))
+        .distinct()
+        .select("nm", F.explode(variants).alias("var"))
+        .distinct()
+    )
+    pairs = (
+        v.alias("x")
+        .join(v.alias("y"), "var")
+        .filter(F.col("x.nm") < F.col("y.nm"))
+        .select(F.col("x.nm").alias("name_a"), F.col("y.nm").alias("name_b"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

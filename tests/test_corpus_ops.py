@@ -71,3 +71,24 @@ def test_pack_sequences_invariants(spark):
         for r in rows:
             assert r.start_offset == cum
             cum += r.n_tokens
+
+
+def test_hash_split_fractions_and_stability(spark):
+    from knowledge_graph_spark.operators.corpus import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(4000)], "doc_id bigint")
+    out = hash_split(docs, val_frac=0.1, test_frac=0.1)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # uniform key → each 10% band lands near 400 of 4000
+    assert 250 < counts["val"] < 550 and 250 < counts["test"] < 550
+    # growth stability: adding documents never reassigns existing ones
+    bigger = hash_split(
+        spark.createDataFrame([(i,) for i in range(8000)], "doc_id bigint"),
+        val_frac=0.1,
+        test_frac=0.1,
+    )
+    small = {r.doc_id: r.split for r in out.collect()}
+    big = {r.doc_id: r.split for r in bigger.collect() if r.doc_id < 4000}
+    assert small == big

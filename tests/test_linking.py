@@ -102,3 +102,42 @@ def test_canonical_map_merges_through_dictionary_canonical(spark):
     got = {r.title: r.canonical for r in canonical_map(nodes, no_pairs, alias).collect()}
     assert got["EVT_CLICK"] == got["EVT_VIEW"] == "EVT_CLICK"  # min member
     assert got["OTHER"] == "OTHER"
+
+
+def test_fuzzy_alias_pairs_exact_at_distance_one(spark):
+    from itertools import combinations
+
+    from knowledge_graph_spark.operators.linking import fuzzy_alias_pairs
+
+    def lev(a: str, b: str) -> int:
+        # classic DP, the ground truth for the blocking guarantee
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = [
+        "ACME", "ACME_CORP", "ACM", "AXME",      # del / sub variants
+        "GLOBEX", "GLOBEX1", "GLOBE",            # ins / del
+        "NORTH", "NROTH",                        # transposition = distance 2
+        "X", "Y", "XY",                          # short strings, incl. 1-char subs
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_alias_pairs(df, name_col="name", max_dist=1).collect()
+    }
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for a, b in combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    # SymSpell deletion blocking is EXACT at distance 1: no pair missed,
+    # and the levenshtein verify kills every blocked distance-2 collision
+    # (NROTH/NORTH share deletion variants but sit at distance 2).
+    assert got == want
+    assert ("NORTH", "NROTH", 2) not in got
+    assert ("X", "Y", 1) in want and ("X", "Y", 1) in got  # substitution on 1-char names
