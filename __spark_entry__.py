@@ -871,6 +871,32 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split", "key_micro")
 
 
+BFS_HOPS = 2
+
+
+def q_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact order-statistic length profile (p50/p90/max of
+    whitespace token counts) — batch-size planning over the corpus."""
+    from knowledge_graph_spark.operators.corpus import length_profile
+
+    p = q_text_profile(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("lang"), F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return length_profile(p, strata_col="lang")
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood expansion from the top-degree entity (the
+    local-search context ball, generalized to fixed-round BFS)."""
+    from knowledge_graph_spark.operators.graphops import bfs_hops
+
+    s = _stages(spark, sf_dir)
+    seed = (
+        s["degrees"].orderBy(F.desc("degree"), F.asc("title")).limit(1).select("title")
+    )
+    return bfs_hops(s["edges"].select("source", "target"), seed, hops=BFS_HOPS)
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_docs(spark, sf_dir))
     return multimodal.extract_media_meta(media)
@@ -1196,6 +1222,43 @@ SELECT DISTINCT x.nm AS name_a, y.nm AS name_b,
        CAST(levenshtein(x.nm, y.nm) AS INT) AS dist
 FROM fz_vars x JOIN fz_vars y ON x.var = y.var AND x.nm < y.nm
 WHERE levenshtein(x.nm, y.nm) <= {FUZZY_MAX_DIST}
+"""
+
+# BFS oracle: unrolled min-hop rounds from the top-degree seed (prelude
+# provides kg_edges/degrees); AS MATERIALIZED — each d{r} is referenced
+# twice per round.
+def _bfs_body(hops: int = BFS_HOPS) -> str:
+    sql = """
+, bseed AS MATERIALIZED (SELECT title FROM degrees ORDER BY degree DESC, title ASC LIMIT 1),
+badj AS MATERIALIZED (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION SELECT target AS a, source AS b FROM kg_edges),
+d0 AS MATERIALIZED (SELECT title, 0 AS hop FROM bseed)"""
+    for r in range(hops):
+        sql += f""",
+d{r + 1} AS MATERIALIZED (
+  SELECT title, min(hop) AS hop FROM (
+    SELECT title, hop FROM d{r}
+    UNION ALL
+    SELECT badj.b AS title, d{r}.hop + 1 AS hop FROM d{r} JOIN badj ON d{r}.title = badj.a
+  ) GROUP BY title)"""
+    sql += f"""
+SELECT title, CAST(hop AS INT) AS hop FROM d{hops}"""
+    return sql
+
+
+_LENGTH_STATS_SQL = f"""
+WITH prof AS ({{profile}}),
+p AS (SELECT doc_id, lang_pred AS lang, CAST(n_ws_tokens AS BIGINT) AS n FROM prof),
+r AS (SELECT lang, n,
+        row_number() OVER (PARTITION BY lang ORDER BY n ASC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY lang) AS cnt
+      FROM p)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  max(CASE WHEN rn = ((cnt - 1) * 5) // 10 + 1 THEN n END) AS p50,
+  max(CASE WHEN rn = ((cnt - 1) * 9) // 10 + 1 THEN n END) AS p90,
+  max(n) AS max_tokens
+FROM r GROUP BY lang
 """
 
 _HASH_SPLIT_SQL = f"""
@@ -2476,6 +2539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_aliases": q_fuzzy_aliases,
         "k_core": q_k_core,
         "hash_split": q_hash_split,
+        "length_stats": q_length_stats,
+        "bfs_hops": q_bfs_hops,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
         "sessions": q_sessions,
@@ -2878,6 +2943,8 @@ FROM dreach GROUP BY node
         "fuzzy_aliases": _oracle(_FUZZY_ALIASES_BODY),
         "k_core": _kcore_sql(),
         "hash_split": _HASH_SPLIT_SQL,
+        "length_stats": _LENGTH_STATS_SQL.format(profile=_TEXT_PROFILE_SQL),
+        "bfs_hops": _oracle(_bfs_body()),
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_ivf_mp": _EMB_IVF_MP_SQL,

@@ -212,3 +212,43 @@ def hash_split(
     return docs.withColumn("split", split).withColumn(
         "key_micro", F.floor(key * KEY_SCALE).cast("bigint")
     )
+
+
+def length_profile(
+    profile: DataFrame,
+    strata_col: str = "lang",
+    n_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum exact token-length order statistics →
+    (stratum, n_docs, p50, p90, max_tokens).
+
+    Batch-size planning / outlier detection for a training corpus.  The
+    percentiles are EXACT order statistics (element at integer index
+    floor((n-1)·q), ties broken by id) — not an approximate sketch — so
+    two engines agree bit-for-bit; the index arithmetic is pure int64.
+    One shuffle (window by stratum) + a map-side-combinable aggregate.
+    At 100 TB the per-stratum sort is the cost: strata are languages
+    (dozens), so the window parallelizes across them; for a single giant
+    stratum switch to percentile_approx and drop the oracle claim.
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.col(n_col).asc(), F.col(id_col).asc())
+    ranked = profile.select(
+        strata_col,
+        F.col(n_col).cast("bigint").alias("n"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(strata_col)).alias("cnt"),
+    )
+    # exact integer index: ((cnt-1)*num) div den — Spark `div` ≡ DuckDB `//`
+    at = lambda q_num, q_den: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.expr(f"((cnt - 1) * {q_num}) div {q_den}") + 1,
+            F.col("n"),
+        )
+    )
+    return ranked.groupBy(strata_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        at(5, 10).alias("p50"),
+        at(9, 10).alias("p90"),
+        F.max("n").alias("max_tokens"),
+    )

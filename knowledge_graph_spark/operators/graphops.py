@@ -348,3 +348,43 @@ def k_core(
         .groupBy("title")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 2,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Multi-source BFS hop distances → (title, hop) for every node within
+    ``hops`` of the seed set (hop = shortest distance, seeds at 0).
+
+    The neighborhood-expansion primitive behind local search (reference
+    local_search pulls the selected entities' 1-hop network; this
+    generalizes to k): each round is ONE equi-join of the current
+    distance table against the adjacency list plus a min-aggregate —
+    the textbook Pregel-on-DataFrames round, same shape as pagerank_int.
+    Fixed round count keeps it oracle-unrollable; BFS layers are
+    monotone, so extra rounds are no-ops once the k-hop ball is closed.
+
+    Scale: the frontier join shuffles on node key; hot hubs fan out via
+    AQE skew splitting.  For billion-edge graphs cap ``hops`` small (the
+    k-hop ball around a query's entities is the use case, not whole-graph
+    diameter sweeps).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    dist = seeds.select(F.col("title"), F.lit(0).cast("int").alias("hop"))
+    for _ in range(hops):
+        step = (
+            dist.join(adj, dist["title"] == adj["a"])
+            .select(F.col("b").alias("title"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("title")
+            .agg(F.min("hop").cast("int").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -170,3 +170,19 @@ def test_k_core_peels_to_fixpoint(spark):
     # semantics the oracle unrolls): after 1 round E is gone, D remains
     one = {r.title for r in k_core(edges, k=2, rounds=1).collect()}
     assert one == {"A", "B", "C", "D"}
+
+
+def test_bfs_hops_min_distance_and_ball_cutoff(spark):
+    from knowledge_graph_spark.operators.graphops import bfs_hops
+
+    # path A-B-C-D plus shortcut A-C; E disconnected
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"), ("E", "F")],
+        "source string, target string",
+    )
+    seeds = spark.createDataFrame([("A",)], "title string")
+    got = {r.title: r.hop for r in bfs_hops(edges, seeds, hops=2).collect()}
+    # shortcut wins: C is 1 hop, D reachable at 2; E/F outside the ball
+    assert got == {"A": 0, "B": 1, "C": 1, "D": 2}
+    one = {r.title: r.hop for r in bfs_hops(edges, seeds, hops=1).collect()}
+    assert one == {"A": 0, "B": 1, "C": 1}

@@ -92,3 +92,20 @@ def test_hash_split_fractions_and_stability(spark):
     small = {r.doc_id: r.split for r in out.collect()}
     big = {r.doc_id: r.split for r in bigger.collect() if r.doc_id < 4000}
     assert small == big
+
+
+def test_length_profile_exact_order_stats(spark):
+    from knowledge_graph_spark.operators.corpus import length_profile
+
+    rows = [(i, "en", n) for i, n in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    rows += [(100 + i, "de", n) for i, n in enumerate([5, 7, 9])]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens int")
+    got = {r.lang: r for r in length_profile(df).collect()}
+    # en: 10 values → p50 index floor(9*5/10)=4 → 50; p90 index floor(9*9/10)=8 → 90
+    assert (got["en"].n_docs, got["en"].p50, got["en"].p90, got["en"].max_tokens) == (
+        10, 50, 90, 100,
+    )
+    # de: 3 values → p50 index 1 → 7; p90 index floor(2*9/10)=1 → 7
+    assert (got["de"].n_docs, got["de"].p50, got["de"].p90, got["de"].max_tokens) == (
+        3, 7, 7, 9,
+    )
