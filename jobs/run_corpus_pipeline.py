@@ -36,6 +36,8 @@ from knowledge_graph_spark.functions import pii, textqc  # noqa: E402
 from knowledge_graph_spark.io import TableIO  # noqa: E402
 from knowledge_graph_spark.operators.corpus import (  # noqa: E402
     familiarity_profile,
+    hash_split,
+    length_profile,
     unigram_counts,
 )
 from knowledge_graph_spark.operators.decontam import (  # noqa: E402
@@ -155,6 +157,8 @@ def parse_args(argv=None):
         default=0,
         help="if > 0, compact the exported corpus to files of ~this size",
     )
+    p.add_argument("--val-frac", type=float, default=0.01)
+    p.add_argument("--test-frac", type=float, default=0.01)
     p.add_argument("--force", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -232,6 +236,21 @@ def main(argv=None) -> dict:
         inputs=corpus_inputs,
     )
 
+    # training-set finishing: growth-stable split assignment + per-language
+    # length order statistics over the kept corpus (batch-size planning)
+    split = runner.run(
+        "corpus_split",
+        lambda: hash_split(
+            corpus, val_frac=args.val_frac, test_frac=args.test_frac
+        ).select("doc_id", "split", "key_micro"),
+        inputs=["corpus_filtered"],
+    )
+    stats = runner.run(
+        "length_stats",
+        lambda: length_profile(corpus, strata_col="lang"),
+        inputs=["corpus_filtered"],
+    )
+
     summary = {
         "computed": runner.computed,
         "skipped": runner.skipped,
@@ -240,6 +259,13 @@ def main(argv=None) -> dict:
             "exact_groups": exact.count(),
             "neardup_pairs": pairs.count(),
             "kept": corpus.count(),
+            "split": {
+                r["split"]: r["n"]
+                for r in split.groupBy("split")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            },
+            "length_stats": stats.count(),
         },
     }
     if contamination is not None:

@@ -34,6 +34,17 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
     kept = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert not (kept & dupes)
 
+    # split assignment covers exactly the kept corpus; every doc labeled
+    assert sum(s1["rows"]["split"].values()) == s1["rows"]["kept"]
+    assert set(s1["rows"]["split"]) <= {"train", "val", "test"}
+    split = spark.read.parquet(f"{out}/corpus_split")
+    assert {r.doc_id for r in split.select("doc_id").collect()} == kept
+    # length stats: one row per language present in the kept corpus
+    stats = spark.read.parquet(f"{out}/length_stats")
+    langs = {r.lang for r in corpus.select("lang").distinct().collect()}
+    assert {r.lang for r in stats.collect()} == langs
+    assert stats.filter(F.col("p50") > F.col("max_tokens")).count() == 0
+
     s2 = job.main(argv)  # resume: everything checkpointed
     assert not s2["computed"]
     assert set(s2["skipped"]) == set(s1["computed"])

@@ -44,6 +44,11 @@ CHECK = [
     "minhash_dedup",
     "emb_topk",
     "emb_neardup_lsh",
+    "fuzzy_aliases",
+    "k_core",
+    "hash_split",
+    "length_stats",
+    "bfs_hops",
 ]
 
 
