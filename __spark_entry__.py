@@ -842,7 +842,9 @@ def q_fuzzy_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein verify — the recall stage of fuzzy entity linking."""
     from knowledge_graph_spark.operators.linking import fuzzy_alias_pairs
 
-    m = q_mentions(spark, sf_dir).select(F.col("mention").alias("name")).distinct()
+    # node titles ARE the distinct mention surface forms (nodes groupBy
+    # name) — reuse the cached stage instead of re-running the extract UDF
+    m = _stages(spark, sf_dir)["nodes"].select(F.col("title").alias("name"))
     return fuzzy_alias_pairs(m, name_col="name", max_dist=FUZZY_MAX_DIST)
 
 
@@ -1210,7 +1212,7 @@ GROUP BY title"""
 # list_transform/range, same levenshtein verify (both engines implement
 # the standard case-sensitive Levenshtein distance).
 _FUZZY_ALIASES_BODY = f"""
-, fz_names AS MATERIALIZED (SELECT DISTINCT mention AS nm FROM ment_occ),
+, fz_names AS MATERIALIZED (SELECT title AS nm FROM kg_nodes),
 fz_vars AS MATERIALIZED (
   SELECT DISTINCT nm, var FROM (
     SELECT nm, unnest(list_prepend(nm,
