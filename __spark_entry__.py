@@ -899,6 +899,24 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(s["edges"].select("source", "target"), seed, hops=BFS_HOPS)
 
 
+LINK_WEIGHTS = (4, 3, 3)
+
+
+def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite entity-link scoring: shingle-Jaccard + edit-similarity +
+    structural neighbor-Jaccard fused per candidate pair (integer micro
+    arithmetic; union of three equi-join-blocked candidate sets)."""
+    from knowledge_graph_spark.operators.linking import link_scores
+
+    s = _stages(spark, sf_dir)
+    return link_scores(
+        s["nodes"],
+        s["edges"].select("source", "target"),
+        max_dist=FUZZY_MAX_DIST,
+        weights=LINK_WEIGHTS,
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_docs(spark, sf_dir))
     return multimodal.extract_media_meta(media)
@@ -1261,6 +1279,74 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   max(CASE WHEN rn = ((cnt - 1) * 9) // 10 + 1 THEN n END) AS p90,
   max(n) AS max_tokens
 FROM r GROUP BY lang
+"""
+
+# Composite link-score oracle: three candidate CTE families (shingle
+# Jaccard, deletion-blocked edit similarity, neighbor Jaccard) joined on
+# the union of their pair keys — mirrors linking.link_scores.
+_LINK_SCORES_BODY = f"""
+, ls_n AS (SELECT DISTINCT title AS t,
+             regexp_replace(upper(trim(title)), '\\s+', ' ', 'g') AS s
+           FROM kg_nodes),
+ls_g AS MATERIALIZED (
+  SELECT DISTINCT t, CASE WHEN length(s) <= 3 THEN s
+                          ELSE substr(s, CAST(ci AS INT), 3) END AS g
+  FROM (SELECT t, s FROM ls_n WHERE s <> ''),
+       LATERAL unnest(range(1, CASE WHEN length(s) <= 3 THEN 2
+                                    ELSE length(s) - 1 END)) AS u(ci)),
+ls_sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ls_g GROUP BY t),
+ls_df AS (SELECT g FROM ls_g GROUP BY g HAVING count(*) <= 1000),
+ls_p AS MATERIALIZED (SELECT ls_g.* FROM ls_g JOIN ls_df USING (g)),
+ls_i AS (SELECT a.t AS name_a, b.t AS name_b, CAST(count(*) AS BIGINT) AS inter
+         FROM ls_p a JOIN ls_p b ON a.g = b.g AND a.t < b.t GROUP BY a.t, b.t),
+ls_nm AS MATERIALIZED (
+  SELECT name_a, name_b,
+         CAST(floor(CAST(inter AS DOUBLE) * 1000000
+                    / CAST(za.n + zb.n - inter AS DOUBLE)) AS BIGINT) AS name_micro
+  FROM ls_i JOIN ls_sz za ON ls_i.name_a = za.t JOIN ls_sz zb ON ls_i.name_b = zb.t),
+ls_fv AS MATERIALIZED (
+  SELECT DISTINCT nm, var FROM (
+    SELECT nm, unnest(list_prepend(nm,
+      list_transform(range(1, length(nm) + 1),
+        i -> substr(nm, 1, CAST(i AS INT) - 1)
+             || substr(nm, CAST(i AS INT) + 1, length(nm))))) AS var
+    FROM (SELECT title AS nm FROM kg_nodes))),
+ls_ed AS MATERIALIZED (
+  SELECT DISTINCT x.nm AS name_a, y.nm AS name_b,
+         CAST((({FUZZY_MAX_DIST + 1} - levenshtein(x.nm, y.nm)) * 1000000)
+              // {FUZZY_MAX_DIST + 1} AS BIGINT) AS edit_micro
+  FROM ls_fv x JOIN ls_fv y ON x.var = y.var AND x.nm < y.nm
+  WHERE levenshtein(x.nm, y.nm) <= {FUZZY_MAX_DIST}),
+ls_adj AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM kg_edges
+    UNION ALL SELECT target AS a, source AS b FROM kg_edges)),
+ls_deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM ls_adj GROUP BY a),
+ls_si AS (SELECT x.a AS name_a, y.a AS name_b, CAST(count(*) AS BIGINT) AS inter
+          FROM ls_adj x JOIN ls_adj y ON x.b = y.b AND x.a < y.a GROUP BY x.a, y.a),
+ls_st AS MATERIALIZED (
+  SELECT i.name_a, i.name_b,
+         CAST(floor(CAST(i.inter AS DOUBLE) * 1000000
+                    / CAST(sa.deg + sb.deg - i.inter AS DOUBLE)) AS BIGINT)
+           AS struct_micro
+  FROM ls_si i JOIN ls_deg sa ON sa.a = i.name_a JOIN ls_deg sb ON sb.a = i.name_b),
+ls_keys AS (
+  SELECT DISTINCT name_a, name_b FROM (
+    SELECT name_a, name_b FROM ls_nm
+    UNION ALL SELECT name_a, name_b FROM ls_ed
+    UNION ALL SELECT name_a, name_b FROM ls_st))
+SELECT k.name_a, k.name_b,
+  coalesce(nm.name_micro, 0) AS name_micro,
+  coalesce(ed.edit_micro, 0) AS edit_micro,
+  coalesce(st.struct_micro, 0) AS struct_micro,
+  ({LINK_WEIGHTS[0]} * coalesce(nm.name_micro, 0)
+   + {LINK_WEIGHTS[1]} * coalesce(st.struct_micro, 0)
+   + {LINK_WEIGHTS[2]} * coalesce(ed.edit_micro, 0))
+  // {sum(LINK_WEIGHTS)} AS score_micro
+FROM ls_keys k
+LEFT JOIN ls_nm nm USING (name_a, name_b)
+LEFT JOIN ls_ed ed USING (name_a, name_b)
+LEFT JOIN ls_st st USING (name_a, name_b)
 """
 
 _HASH_SPLIT_SQL = f"""
@@ -2543,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "length_stats": q_length_stats,
         "bfs_hops": q_bfs_hops,
+        "link_scores": q_link_scores,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
         "sessions": q_sessions,
@@ -2947,6 +3034,7 @@ FROM dreach GROUP BY node
         "hash_split": _HASH_SPLIT_SQL,
         "length_stats": _LENGTH_STATS_SQL.format(profile=_TEXT_PROFILE_SQL),
         "bfs_hops": _oracle(_bfs_body()),
+        "link_scores": _oracle(_LINK_SCORES_BODY),
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_ivf_mp": _EMB_IVF_MP_SQL,

@@ -141,3 +141,33 @@ def test_fuzzy_alias_pairs_exact_at_distance_one(spark):
     assert got == want
     assert ("NORTH", "NROTH", 2) not in got
     assert ("X", "Y", 1) in want and ("X", "Y", 1) in got  # substitution on 1-char names
+
+
+def test_link_scores_fuses_three_signals(spark):
+    from knowledge_graph_spark.operators.linking import link_scores
+
+    nodes = spark.createDataFrame(
+        [("ACME",), ("ACME CORP",), ("ACMX",), ("ZETA",)], "title string"
+    )
+    # ACME and ACME CORP co-occur with the same neighbor; ZETA is textually
+    # unrelated but structurally tied to ACMX
+    edges = spark.createDataFrame(
+        [("ACME", "HUB"), ("ACME CORP", "HUB"), ("ACMX", "Q"), ("ZETA", "Q")],
+        "source string, target string",
+    )
+    got = {
+        (r.name_a, r.name_b): r
+        for r in link_scores(nodes, edges, max_dist=1).collect()
+    }
+    pair = got[("ACME", "ACME CORP")]
+    # shingle overlap + shared neighbor, but edit distance > 1
+    assert pair.name_micro > 0 and pair.struct_micro == 1_000_000 and pair.edit_micro == 0
+    # substitution variant: full edit signal, shingle overlap, no shared neighbor
+    sub = got[("ACME", "ACMX")]
+    assert sub.edit_micro == 500_000 and sub.name_micro > 0 and sub.struct_micro == 0
+    # structure-only pair: zero text signals, full neighbor overlap
+    so = got[("ACMX", "ZETA")]
+    assert so.name_micro == 0 and so.edit_micro == 0 and so.struct_micro == 1_000_000
+    # weighted mean is the exact integer formula
+    for r in got.values():
+        assert r.score_micro == (4 * r.name_micro + 3 * r.struct_micro + 3 * r.edit_micro) // 10
