@@ -917,6 +917,23 @@ def q_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal edge lineage: first/last conversation timestamp asserting
+    each extracted edge (AS-OF subgraphs and staleness audits)."""
+    from knowledge_graph_spark.operators.temporal import edge_time_ranges
+
+    s = _stages(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir)
+    out = edge_time_ranges(s["raw_records"], t)
+    return out.select(
+        "source",
+        "target",
+        F.unix_timestamp("first_seen").cast("bigint").alias("first_seen_epoch"),
+        F.unix_timestamp("last_seen").cast("bigint").alias("last_seen_epoch"),
+        "n_convs",
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_docs(spark, sf_dir))
     return multimodal.extract_media_meta(media)
@@ -2630,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": q_length_stats,
         "bfs_hops": q_bfs_hops,
         "link_scores": q_link_scores,
+        "edge_times": q_edge_times,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
         "sessions": q_sessions,
@@ -3035,6 +3053,20 @@ FROM dreach GROUP BY node
         "length_stats": _LENGTH_STATS_SQL.format(profile=_TEXT_PROFILE_SQL),
         "bfs_hops": _oracle(_bfs_body()),
         "link_scores": _oracle(_LINK_SCORES_BODY),
+        "edge_times": _oracle("""
+, et_pairs AS (
+  SELECT DISTINCT least(source, target) AS source,
+                  greatest(source, target) AS target, conv_id
+  FROM rel_records),
+et_conv AS (SELECT conv_id, min(ts) AS c_first, max(ts) AS c_last
+            FROM transcripts GROUP BY conv_id)
+SELECT source, target,
+  CAST(floor(epoch(min(c_first))) AS BIGINT) AS first_seen_epoch,
+  CAST(floor(epoch(max(c_last))) AS BIGINT) AS last_seen_epoch,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM et_pairs JOIN et_conv USING (conv_id)
+GROUP BY source, target
+"""),
         "emb_topk": _EMB_TOPK_SQL,
         "emb_ivf_topk": _EMB_IVF_SQL,
         "emb_ivf_mp": _EMB_IVF_MP_SQL,

@@ -125,3 +125,42 @@ def window_rollup(
             "total_value",
         )
     )
+
+
+def edge_time_ranges(raw_records: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Temporal lineage per extracted edge → (source, target,
+    first_seen, last_seen, n_convs).
+
+    Time-travel/freshness metadata for the KG: an edge's valid range is
+    the span of the conversations that assert it (conversation
+    granularity — the chunker folds turns into windows, so the
+    conversation is the finest provenance unit whose timestamps survive
+    assembly).  ``AS OF t`` subgraphs fall out as
+    ``first_seen <= t`` filters; staleness audits as ``last_seen < t``.
+
+    Shape: the conv→(min ts, max ts) aggregate is tiny (one row per
+    conversation) and map-side combinable; the distinct pair×conv frame
+    joins it on conv_id and re-aggregates — two combinable aggregates
+    and one equi-join, no window, no skew pivot (pair×conv cardinality
+    is bounded by the records themselves).
+    """
+    from .parse import parse_relationships, split_records
+
+    rel = parse_relationships(split_records(raw_records))
+    pairs = rel.select(
+        F.least("source", "target").alias("source"),
+        F.greatest("source", "target").alias("target"),
+        "conv_id",
+    ).distinct()
+    conv_ts = transcripts.groupBy("conv_id").agg(
+        F.min("ts").alias("c_first"), F.max("ts").alias("c_last")
+    )
+    return (
+        pairs.join(conv_ts, "conv_id")
+        .groupBy("source", "target")
+        .agg(
+            F.min("c_first").alias("first_seen"),
+            F.max("c_last").alias("last_seen"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )

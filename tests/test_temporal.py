@@ -111,3 +111,35 @@ def test_asof_single_shuffle(spark):
     # dedup window (user_id, ts) + attach window (user_id) — both hash on
     # user_id-rooted keys; no join operator should appear at all
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_edge_time_ranges_span_and_asof(spark):
+    from knowledge_graph_spark.operators.extract import emit_records
+    from knowledge_graph_spark.operators.temporal import edge_time_ranges
+    from knowledge_graph_spark.operators.assemble import assemble_conversations
+    from knowledge_graph_spark.operators.chunk import split_text_units
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("c1", 0, "user", "USER_1 saw EVT_X on ITEM_1", "", "2024-01-01 10:00:00"),
+        ("c1", 1, "assistant", "USER_1 saw EVT_X on ITEM_1", "", "2024-01-01 11:00:00"),
+        ("c2", 0, "user", "USER_1 saw EVT_X on ITEM_2", "", "2024-03-05 09:00:00"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    units = split_text_units(assemble_conversations(t), size=120, overlap=20, tokenizer="ws")
+    out = {
+        (r.source, r.target): r
+        for r in edge_time_ranges(emit_records(units), t).collect()
+    }
+    pair = out[("ITEM_1", "USER_1")]
+    # c1-only edge spans exactly c1's conversation window
+    assert str(pair.first_seen) == "2024-01-01 10:00:00"
+    assert str(pair.last_seen) == "2024-01-01 11:00:00"
+    assert pair.n_convs == 1
+    # USER_1↔EVT_X asserted in both conversations: span widens, count = 2
+    both = out[("EVT_X", "USER_1")]
+    assert str(both.first_seen) == "2024-01-01 10:00:00"
+    assert str(both.last_seen) == "2024-03-05 09:00:00"
+    assert both.n_convs == 2
