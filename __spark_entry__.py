@@ -703,6 +703,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 8
+KM_ITERS = 3
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer-exact Lloyd k-means over the embedding
+    corpus (unrolled-CTE oracle — same strategy as pagerank/LPA)."""
+    from knowledge_graph_spark.operators.kmeans import kmeans_assignments
+
+    return kmeans_assignments(_embs(spark, sf_dir), k=KM_K, iterations=KM_ITERS)
+
+
+def q_semantic_dedup_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's k-means blocking (train + assign +
+    within-cluster prune, all bit-exact vs the unrolled oracle)."""
+    return similarity.semantic_dedup_kmeans(
+        _embs(spark, sf_dir), threshold=NEARDUP_TAU, k=KM_K, iterations=KM_ITERS
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round integer PageRank over the merged KG edges (exact
     arithmetic — unrolled-CTE oracle, same strategy as the LPA gates)."""
@@ -1524,6 +1544,92 @@ SELECT c.vec_id, c.cell,
        coalesce(n.dup_of, c.vec_id) AS canonical_id,
        n.dup_of IS NOT NULL AS is_pruned
 FROM cells c LEFT JOIN nearest n ON c.vec_id = n.vec_id
+"""
+
+# --- integer-exact k-means (operators/kmeans.py): unrolled Lloyd rounds ----
+
+_KM_D2 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(p.q) + 1), "
+    "i -> (p.q[CAST(i AS INT)] - c.c[CAST(i AS INT)]) "
+    "* (p.q[CAST(i AS INT)] - c.c[CAST(i AS INT)]))), (x, y) -> x + y)"
+)
+
+
+def _km_assign_cte(name: str, cent: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, q, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM (SELECT p.vec_id, p.q, c.cid, {_KM_D2} AS d2
+          FROM qpts p CROSS JOIN {cent} c))
+  WHERE rk = 1
+)"""
+
+
+def _km_update_cte(name: str, assigned: str, prev: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT prev.cid, coalesce(m.cnew, prev.c) AS c
+  FROM {prev} prev LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS cnew FROM (
+      SELECT cid, pos,
+             CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+      FROM (SELECT cid, CAST(i AS INT) AS pos, q[CAST(i AS INT)] AS val
+            FROM {assigned}, LATERAL unnest(range(1, len(q) + 1)) u(i))
+      GROUP BY cid, pos) GROUP BY cid
+  ) m ON prev.cid = m.cid
+)"""
+
+
+def _kmeans_ctes(k: int, iterations: int) -> tuple[str, str]:
+    """Unrolled Lloyd: qpts, c0, (ka_r, c_r)*, final assignment CTE.
+    Returns (cte_block, final_assign_cte_name)."""
+    from knowledge_graph_spark.operators.kmeans import Q_SCALE
+
+    parts = [
+        f"""qpts AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {Q_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM qpts ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(_km_assign_cte(f"ka{r}", f"c{r - 1}"))
+        parts.append(_km_update_cte(f"c{r}", f"ka{r}", f"c{r - 1}"))
+    final = f"ka{iterations + 1}"
+    parts.append(_km_assign_cte(final, f"c{iterations}"))
+    return ",\n".join(parts), final
+
+
+_KM_BLOCK, _KM_FINAL = _kmeans_ctes(KM_K, KM_ITERS)
+
+_KMEANS_SQL = f"""
+WITH {_KM_BLOCK}
+SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(d2 AS BIGINT) AS d2
+FROM {_KM_FINAL}
+"""
+
+_SEMANTIC_DEDUP_KM_SQL = f"""
+WITH {_KM_BLOCK},
+{_UNIT_CTE},
+kcells AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM {_KM_FINAL}),
+celled AS (SELECT u.vec_id, u.e, k.cluster FROM uemb u JOIN kcells k USING (vec_id)),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_MICRO} AS sim_micro
+  FROM celled a JOIN celled b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+knearest AS (
+  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM prs
+  WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)} GROUP BY id_b
+)
+SELECT c.vec_id, c.cluster,
+       coalesce(n.dup_of, c.vec_id) AS canonical_id,
+       n.dup_of IS NOT NULL AS is_pruned
+FROM kcells c LEFT JOIN knearest n ON c.vec_id = n.vec_id
 """
 
 # ---------------------------------------------------------------------------
@@ -2626,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "familiarity": q_familiarity,
         "repeated_spans": q_repeated_spans,
         "semantic_dedup": q_semantic_dedup,
+        "kmeans_cells": q_kmeans,
+        "semantic_dedup_km": q_semantic_dedup_km,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
         "node_jaccard": q_node_jaccard,
@@ -2950,6 +3058,8 @@ FROM c
         "familiarity": _FAMILIARITY_SQL,
         "repeated_spans": _REPEATED_SPANS_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "kmeans_cells": _KMEANS_SQL,
+        "semantic_dedup_km": _SEMANTIC_DEDUP_KM_SQL,
         "pagerank": _oracle(_pr_body()),
         "triangles": _oracle(f"""
 , tr_ab AS MATERIALIZED (SELECT source AS a, target AS b FROM kg_edges),

@@ -644,3 +644,64 @@ def semantic_dedup(
             F.col("dup_of").isNotNull().alias("is_pruned"),
         )
     )
+
+
+def semantic_dedup_kmeans(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with the paper's actual blocking: k-means clusters
+    (Abbas et al. 2023 §3 cluster the corpus with k-means before the
+    within-cluster cosine prune; `semantic_dedup` above substitutes the
+    sign-bit quantizer).  Clustering is the integer-exact fixed-round
+    Lloyd of ``operators/kmeans.py``, so the full composition — train,
+    assign, prune — still has a bit-exact unrolled SQL oracle.
+
+    Same pair-scan shape as `semantic_dedup`: within-cluster self
+    equi-join, O(n²) bounded per cluster.  At 100 TB ``k`` scales with
+    the corpus (k ≈ n/⟨cluster size⟩); the per-round cost stays one
+    broadcast join + two map-side-collapsed shuffles.
+
+    Output: (vec_id, cluster, canonical_id, is_pruned).
+    """
+    from .kmeans import kmeans_assignments
+
+    cells = kmeans_assignments(
+        corpus, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cluster")
+    c = (
+        _with_unit(_as_double(corpus, vec_col), vec_col, "u")
+        .select(F.col(id_col).alias("vec_id"), F.col("u"))
+        .join(cells, "vec_id")
+    )
+    a = c.select(F.col("vec_id").alias("id_a"), "cluster", F.col("u").alias("va"))
+    b = c.select(F.col("vec_id").alias("id_b"), "cluster", F.col("u").alias("vb"))
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(_dot(F.col("va"), F.col("vb")) * SIM_SCALE)
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+        .filter(F.col("sim_micro") >= int(threshold * SIM_SCALE))
+    )
+    nearest = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        c.select("vec_id", "cluster")
+        .join(nearest, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("dup_of", "vec_id").alias("canonical_id"),
+            F.col("dup_of").isNotNull().alias("is_pruned"),
+        )
+    )
