@@ -723,6 +723,51 @@ def q_semantic_dedup_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TT_K = 5
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 top-k salient terms (integer bit-length IDF +
+    one identically-parenthesized double chain — exact both engines)."""
+    from knowledge_graph_spark.operators.keywords import bm25_top_terms
+
+    return bm25_top_terms(_docs(spark, sf_dir), k_top=TT_K)
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with two-phase dense token ids."""
+    from knowledge_graph_spark.operators.corpus import build_vocab
+
+    return build_vocab(_docs(spark, sf_dir))
+
+
+COOC_MIN = 2
+
+
+def q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges over text units with exact-integer
+    lift scoring (complements the extractor's explicit relationships)."""
+    from knowledge_graph_spark.operators.graphops import cooccurrence_edges
+
+    units = _stages(spark, sf_dir)["text_units"]
+    m = extract_mentions(units).select("text_unit_id", "mention")
+    return cooccurrence_edges(m, min_pair_count=COOC_MIN)
+
+
+def q_node_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff: merged nodes vs canonicalized nodes
+    (added/removed/changed/unchanged audit view for incremental runs)."""
+    from knowledge_graph_spark.operators.corpus import snapshot_diff
+    from knowledge_graph_spark.operators.linking import apply_canonicalization
+
+    s = _stages(spark, sf_dir)
+    old = s["nodes"].select("title", "type", "description")
+    cn, _ = apply_canonicalization(s["nodes"], s["edges"], _alias_only_map(spark, s))
+    return snapshot_diff(
+        old, cn.select("title", "type", "description"), ["title"], ["type", "description"]
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round integer PageRank over the merged KG edges (exact
     arithmetic — unrolled-CTE oracle, same strategy as the LPA gates)."""
@@ -1630,6 +1675,45 @@ SELECT c.vec_id, c.cluster,
        coalesce(n.dup_of, c.vec_id) AS canonical_id,
        n.dup_of IS NOT NULL AS is_pruned
 FROM kcells c LEFT JOIN knearest n ON c.vec_id = n.vec_id
+"""
+
+# --- BM25 top-terms / vocabulary (operators/keywords.py, corpus.py) --------
+
+from knowledge_graph_spark.operators.keywords import BM25_B, BM25_K1, SCORE_SCALE
+
+_TOP_TERMS_SQL = f"""
+WITH {_DTOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM dtoks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(length(bin(g.n_docs // dfreq.df)) - 1 AS BIGINT) AS idf_bits,
+         CAST(floor(({SCORE_SCALE}.0 * CAST(length(bin(g.n_docs // dfreq.df)) - 1 AS DOUBLE))
+              * ((CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                 / (CAST(tf.tf AS DOUBLE)
+                    + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                     + {BM25_B!r} * CAST(dl.dl * g.n_docs AS DOUBLE)
+                                       / CAST(g.total_len AS DOUBLE)))))
+              AS BIGINT) AS score_micro
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN g
+)
+SELECT doc_id, term, tf, df, idf_bits, score_micro,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS INT) AS rk
+FROM scored WHERE idf_bits > 0
+QUALIFY rk <= {TT_K}
+"""
+
+_VOCAB_SQL = f"""
+WITH {_DTOKS_CTE},
+tok AS (SELECT unnest(t) AS token FROM dtoks),
+counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id
+FROM counts
 """
 
 # ---------------------------------------------------------------------------
@@ -2734,6 +2818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "kmeans_cells": q_kmeans,
         "semantic_dedup_km": q_semantic_dedup_km,
+        "top_terms": q_top_terms,
+        "vocab": q_vocab,
+        "cooccur": q_cooccur,
+        "node_diff": q_node_diff,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
         "node_jaccard": q_node_jaccard,
@@ -3060,6 +3148,52 @@ FROM c
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "kmeans_cells": _KMEANS_SQL,
         "semantic_dedup_km": _SEMANTIC_DEDUP_KM_SQL,
+        "top_terms": _TOP_TERMS_SQL,
+        "vocab": _VOCAB_SQL,
+        "cooccur": _oracle(
+            f"""
+            , cooc AS (SELECT DISTINCT text_unit_id AS unit, mention AS name FROM ment_occ),
+            cnu AS (SELECT CAST(count(DISTINCT unit) AS BIGINT) AS n_units FROM cooc),
+            cmarg AS (SELECT name, CAST(count(*) AS BIGINT) AS cnt FROM cooc GROUP BY name),
+            cpr AS (
+              SELECT a.name AS source, b.name AS target,
+                     CAST(count(*) AS BIGINT) AS pair_count
+              FROM cooc a JOIN cooc b ON a.unit = b.unit AND a.name < b.name
+              GROUP BY a.name, b.name HAVING count(*) >= {COOC_MIN}
+            )
+            SELECT p.source, p.target, p.pair_count,
+                   ma.cnt AS count_a, mb.cnt AS count_b,
+                   CAST(floor(1000000.0 * CAST(p.pair_count * g.n_units AS DOUBLE)
+                              / CAST(ma.cnt * mb.cnt AS DOUBLE)) AS BIGINT) AS lift_micro
+            FROM cpr p
+            JOIN cmarg ma ON p.source = ma.name
+            JOIN cmarg mb ON p.target = mb.name
+            CROSS JOIN cnu g
+            """
+        ),
+        "node_diff": _oracle(_CANON_CTE + """
+            , d_old AS (SELECT title, type, description FROM kg_nodes),
+            d_new AS (
+              SELECT t.title, t.type, d.description
+              FROM ctype t JOIN cdesc_agg d USING (title)
+            ),
+            dj AS (
+              SELECT coalesce(o.title, n.title) AS title,
+                     o.title IS NOT NULL AS in_old, n.title IS NOT NULL AS in_new,
+                     o.type AS old_type, o.description AS old_description,
+                     n.type AS new_type, n.description AS new_description
+              FROM d_old o FULL OUTER JOIN d_new n ON o.title = n.title
+            )
+            SELECT title,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN old_type IS NOT DISTINCT FROM new_type
+                             AND old_description IS NOT DISTINCT FROM new_description
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_type, old_description, new_type, new_description
+            FROM dj
+            """),
         "pagerank": _oracle(_pr_body()),
         "triangles": _oracle(f"""
 , tr_ab AS MATERIALIZED (SELECT source AS a, target AS b FROM kg_edges),

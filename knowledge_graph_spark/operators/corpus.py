@@ -252,3 +252,65 @@ def length_profile(
         at(9, 10).alias("p90"),
         F.max("n").alias("max_tokens"),
     )
+
+
+def build_vocab(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Tokenizer-style vocabulary table: (token, cnt, token_id) with ids
+    dense in (cnt DESC, token ASC) order — the conventional
+    frequency-ranked id assignment of BPE/WordPiece vocab files.
+
+    The id comes from ``graphops.with_global_index`` (two-phase
+    range-partitioned numbering), so no stage funnels the vocab through
+    a single task even at a 10^8-token vocabulary.
+    """
+    from .graphops import with_global_index
+
+    counts = unigram_counts(docs, text_col).filter(F.col("cnt") >= min_count)
+    return with_global_index(
+        counts, [F.col("cnt").desc(), F.col("token")], out_col="token_id"
+    ).select("token", "cnt", F.col("token_id").cast("bigint").alias("token_id"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list,
+    compare_cols: list,
+) -> DataFrame:
+    """Keyed diff of two table snapshots → one row per key present in
+    either side with status ∈ {added, removed, changed, unchanged}.
+
+    Per-partition lineage manifests (checkpoint.py) say WHICH stages
+    re-ran; this says WHAT changed between two materializations of the
+    same table — the audit view for incremental runs (old/new nodes
+    before/after canonicalization, yesterday's/today's corpus).  Pure
+    full-outer equi-join on the key: one shuffle, no skew beyond the
+    key's own distribution.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    joined = o.join(n, [f"k_{k}" for k in key_cols], "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[F.col(f"k_{k}").alias(k) for k in key_cols],
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

@@ -388,3 +388,66 @@ def bfs_hops(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+LIFT_SCALE = 10**6
+
+
+def cooccurrence_edges(
+    mentions: DataFrame,
+    unit_col: str = "text_unit_id",
+    name_col: str = "mention",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Entity co-occurrence graph over text units → (source, target,
+    pair_count, count_a, count_b, lift_micro).
+
+    The reference's only edge source is the extractor's explicit
+    relationship records (graph/extractors/graph_extractor.py:248-290);
+    co-occurrence edges are the standard complementary signal (two
+    entities mentioned in the same chunk relate even when no explicit
+    relation line was emitted).  Association strength is LIFT —
+    n_units·c(a,b) / (c(a)·c(b)), the exponential of PMI — micro-floored
+    from one double division of exact int64 counts, so the SQL oracle
+    matches exactly without libm logs.
+
+    Scale shape: per-unit mention lists are deduped FIRST (groupBy unit —
+    shuffle key carries no hot-entity skew); the pair explode is bounded
+    per unit by the chunk-size cap on mentions-per-chunk, never global;
+    the two marginal tables join back on the canonical (source, target)
+    keys.  ``min_pair_count`` prunes the long singleton tail before the
+    marginals join (at 100 TB this is the df-cap analog of ngram_dedup).
+    """
+    occ = mentions.select(
+        F.col(unit_col).alias("unit"), F.col(name_col).alias("name")
+    ).distinct()
+    n_units = occ.agg(F.count_distinct("unit").cast("bigint").alias("n_units"))
+    marg = occ.groupBy("name").agg(F.count("*").cast("bigint").alias("cnt"))
+    a = occ.select("unit", F.col("name").alias("source"))
+    b = occ.select("unit", F.col("name").alias("target"))
+    pairs = (
+        a.join(b, "unit")
+        .filter(F.col("source") < F.col("target"))
+        .groupBy("source", "target")
+        .agg(F.count("*").cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    return (
+        pairs.join(marg.select(F.col("name").alias("source"), F.col("cnt").alias("count_a")), "source")
+        .join(marg.select(F.col("name").alias("target"), F.col("cnt").alias("count_b")), "target")
+        .crossJoin(F.broadcast(n_units))
+        .select(
+            "source",
+            "target",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.floor(
+                F.lit(float(LIFT_SCALE))
+                * (F.col("pair_count") * F.col("n_units")).cast("double")
+                / (F.col("count_a") * F.col("count_b")).cast("double")
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
