@@ -768,6 +768,24 @@ def q_node_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-HLL distinct-token estimate: every register and the estimate
+    itself reproduced exactly by the oracle (shared hash family)."""
+    from knowledge_graph_spark.operators.corpus import unigram_counts
+    from knowledge_graph_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(unigram_counts(_docs(spark, sf_dir)).select("token"))
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min probe of every vocab token vs its true count (one-sided
+    error; the sketch table and every estimate exact cross-engine)."""
+    from knowledge_graph_spark.operators.corpus import unigram_counts
+    from knowledge_graph_spark.operators.sketches import cms_estimates
+
+    return cms_estimates(unigram_counts(_docs(spark, sf_dir)))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round integer PageRank over the merged KG edges (exact
     arithmetic — unrolled-CTE oracle, same strategy as the LPA gates)."""
@@ -1716,6 +1734,7 @@ SELECT token, cnt,
 FROM counts
 """
 
+
 # ---------------------------------------------------------------------------
 # SQL mirrors of the deterministic hash family (functions/hashing.py):
 # poly string hash + (a_i*x + b_i) mod 2^31-1 permutations.  All int64-safe.
@@ -1736,6 +1755,66 @@ def _perm(x: str, i: str) -> str:
     a = f"(({HASH_A} * (CAST(({i}) AS BIGINT) + 1)) % {HASH_M31})"
     b = f"(({HASH_B} * (CAST(({i}) AS BIGINT) + 1) + {HASH_C}) % {HASH_M31})"
     return f"(({a} * ({x}) + {b}) % {HASH_M31})"
+
+
+# --- deterministic sketches (operators/sketches.py) -------------------------
+
+from knowledge_graph_spark.operators import sketches as _sk
+
+_HLL_M = 1 << _sk.HLL_P
+_HLL_MAXRANK = 32 - _sk.HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_SK_POLY = _POLY.format(s="token")
+
+_HLL_SQL = f"""
+WITH {_DTOKS_CTE},
+tok AS (SELECT DISTINCT unnest(t) AS token FROM dtoks),
+hh AS (SELECT {_perm('x', '0')} AS h
+       FROM (SELECT {_SK_POLY} AS x FROM tok)),
+regs AS (SELECT h % {_HLL_M} AS register, h // {_HLL_M} AS w FROM hh),
+rk AS (SELECT register,
+              max(CASE WHEN w = 0 THEN {_HLL_MAXRANK}
+                       ELSE length(bin(w & (-w))) END) AS max_rank
+       FROM regs GROUP BY register),
+hagg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+                CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit FROM rk)
+SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       CAST({_HLL_M} - n_regs AS BIGINT) AS n_zero,
+       CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS BIGINT) AS sum_scaled,
+       CAST(floor(CAST({(_HLL_ALPHA * float(_HLL_M * _HLL_M)) * float(_sk.HLL_SCALE)!r} AS DOUBLE)
+            / CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS DOUBLE)) AS BIGINT)
+           AS estimate
+FROM hagg
+"""
+
+
+def _cms_bucket_sql(i: int) -> str:
+    a, b, c = _sk.row_coeffs(i)
+    return (
+        f"(((({a} * x) % {HASH_M31} + ({b} * ((x * x) % {HASH_M31})) % {HASH_M31}"
+        f" + {c}) % {HASH_M31}) % {_sk.CMS_W})"
+    )
+
+
+_CMS_PROBES = "\nUNION ALL\n".join(
+    f"SELECT token AS key, cnt AS true_cnt, {i} AS rw,"
+    f" CAST({_cms_bucket_sql(i)} AS INT) AS bucket FROM cx"
+    for i in range(_sk.CMS_D)
+)
+
+_CMS_SQL = f"""
+WITH {_DTOKS_CTE},
+ccounts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(t) AS token FROM dtoks) GROUP BY token),
+cx AS (SELECT token, cnt, {_SK_POLY} AS x FROM ccounts),
+cpr AS ({_CMS_PROBES}),
+cm AS (SELECT rw, bucket, CAST(sum(true_cnt) AS BIGINT) AS total
+       FROM cpr GROUP BY rw, bucket)
+SELECT p.key, p.true_cnt, CAST(min(c.total) AS BIGINT) AS est_cnt
+FROM cpr p JOIN cm c ON p.rw = c.rw AND p.bucket = c.bucket
+GROUP BY p.key, p.true_cnt
+"""
+
 
 
 _MINHASH_DEDUP_SQL = f"""
@@ -2822,6 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab": q_vocab,
         "cooccur": q_cooccur,
         "node_diff": q_node_diff,
+        "hll_tokens": q_hll_tokens,
+        "cms_counts": q_cms_counts,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
         "node_jaccard": q_node_jaccard,
@@ -3150,6 +3231,8 @@ FROM c
         "semantic_dedup_km": _SEMANTIC_DEDUP_KM_SQL,
         "top_terms": _TOP_TERMS_SQL,
         "vocab": _VOCAB_SQL,
+        "hll_tokens": _HLL_SQL,
+        "cms_counts": _CMS_SQL,
         "cooccur": _oracle(
             f"""
             , cooc AS (SELECT DISTINCT text_unit_id AS unit, mention AS name FROM ment_occ),

@@ -16,7 +16,8 @@ For each stage ``name``:
 
 The manifest records lineage (input stage names + their manifest
 fingerprints), row count, per-partition row counts (skew diagnosable
-post-hoc), and an order-insensitive content fingerprint (sum of row
+post-hoc), stage wall-clock and materialized files/bytes (per-stage cost
+accounting), and an order-insensitive content fingerprint (xor of row
 xxhash64) — cheap (one pass, map-side combinable) and stable across
 shuffle order, so downstream runs can verify an upstream table hasn't
 drifted without re-reading it.
@@ -97,6 +98,7 @@ class StageRunner:
         bucket_by: list[str] | None = None,
         n_buckets: int = 64,
     ) -> DataFrame:
+        t0 = time.time()
         if self.is_done(name, inputs):
             self.skipped.append(name)
             m = self.manifest(name) or {}
@@ -128,6 +130,10 @@ class StageRunner:
             "schema_json": out.schema.json(),
             "bucket_by": bucket_by,
             "n_buckets": n_buckets if bucket_by else None,
+            # stage metrics: compute+write+count wall clock and the
+            # materialized footprint (skew + cost accounting per stage)
+            "wall_s": round(time.time() - t0, 3),
+            **self.io.table_stats(name),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self.io.write_text(self._manifest_rel(name), json.dumps(manifest, indent=1))

@@ -227,6 +227,26 @@ class TableIO:
             "bytes": int(total_bytes),
         }
 
+    def table_stats(self, name: str) -> dict:
+        """{files, bytes} of a materialized table — recursive walk (a
+        partitioned write nests data files under key directories), data
+        files only (committer markers and hidden files skipped)."""
+        fs, p = self._fs_path(name)
+        files = 0
+        total = 0
+        stack = [p]
+        while stack:
+            cur = stack.pop()
+            for st in fs.listStatus(cur):
+                nm = st.getPath().getName()
+                if st.isFile():
+                    if not nm.startswith(("_", ".")):
+                        files += 1
+                        total += st.getLen()
+                elif not nm.startswith(("_", ".")):
+                    stack.append(st.getPath())
+        return {"files": int(files), "bytes": int(total)}
+
     def delete(self, name: str) -> None:
         """Drop a table (best-effort; used for version GC)."""
         if self.catalog:

@@ -1,0 +1,210 @@
+"""Deterministic mergeable sketches: HLL-style distinct count and
+Count-Min frequency, on the SQL-expressible hash family.
+
+At 100 TB the first questions a corpus owner asks — how many distinct
+tokens/users/entities, what are the heavy hitters — are sketch
+questions: the exact answers need a full shuffle of the key space, the
+sketches need one map-side-combinable pass over a few KB of state.
+Spark's built-ins (``approx_count_distinct``, the RDD CountMinSketch)
+use engine-private hashing, so their outputs cannot be cross-checked
+against an independent engine.  These reimplementations run on
+``functions/hashing.py`` (polynomial fold + (a·x+b) mod 2^31−1
+permutations, every intermediate int64-safe), so the ENTIRE sketch —
+every register, every counter, and the final estimate — is reproduced
+bit-for-bit by a DuckDB oracle.
+
+Both sketches are algebraic aggregates: registers merge by MAX, counters
+by SUM, so partial sketches combine map-side and across table shards /
+streaming micro-batches without re-scanning (the same mergeability that
+makes them work as per-partition lineage metrics).
+
+HLL here is the raw Flajolet-Fuss-Gandouet-Meunier estimator (alpha_m ·
+m² / Σ 2^−M_j) WITHOUT the small/large-range corrections — those need
+libm ``ln`` whose last-ulp behavior differs across engines.  The raw
+estimator's ±1.04/√m relative error holds in the sketch's design regime
+(n ≫ m); the gate exposes (n_zero, sum_scaled) so a caller can apply
+any correction downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+from ..functions.textqc import FP_BASE, FP_MOD
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_SCALE = 1 << 30  # fixed-point base for sum(2^-rank): SCALE >> rank
+EST_SCALE = 10**6
+
+
+def poly_hash_col(c) -> F.Column:
+    """Sequential polynomial string hash — the Column mirror of
+    functions.hashing.poly_hash (same fold textqc.rolling_fingerprint
+    uses, shared verbatim with the oracles)."""
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD,
+    )
+
+
+def perm_col(x, i: int) -> F.Column:
+    """perm_i(x) = (a_i·x + b_i) mod M31 with the shared coefficients."""
+    a = (HASH_A * (i + 1)) % HASH_M31
+    b = (HASH_B * (i + 1) + HASH_C) % HASH_M31
+    return (F.lit(a) * x + F.lit(b)) % F.lit(HASH_M31)
+
+
+def _mix(v: int) -> int:
+    """Python-side coefficient scrambler (splitmix-style).  CMS rows need
+    MUTUALLY independent hash functions: the affine family perm_i has
+    coefficients linear in i, so one colliding pair can collide in EVERY
+    row (measured: 'HEAVY' vs 't1376' under perm_i mod 512).  Coefficients
+    are compile-time literals on both engines, so they may come from any
+    deterministic scramble — only the per-VALUE arithmetic must be
+    SQL-expressible."""
+    v &= (1 << 64) - 1
+    for _ in range(3):
+        v = (v * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        v ^= v >> 33
+    return v % HASH_M31 or 1
+
+
+def row_coeffs(i: int) -> tuple[int, int, int]:
+    """(a_i, b_i, c_i) for CMS row i — unstructured across rows."""
+    return _mix(1000 + i), _mix(2000 + i), _mix(3000 + i)
+
+
+def row_hash_col(x, i: int) -> F.Column:
+    """Degree-2 row hash: (a_i·x + b_i·x² + c_i) mod M31, every term
+    reduced before the sum so intermediates stay < 3·2^31 (int64-safe on
+    both engines).  x < FP_MOD ≈ 2^30 → x² < 2^60 before its own mod."""
+    a, b, c = row_coeffs(i)
+    x2 = (x * x) % F.lit(HASH_M31)
+    return (
+        (F.lit(a) * x) % F.lit(HASH_M31)
+        + (F.lit(b) * x2) % F.lit(HASH_M31)
+        + F.lit(c)
+    ) % F.lit(HASH_M31)
+
+
+def hll_registers(
+    df: DataFrame, col: str = "token", p: int = HLL_P
+) -> DataFrame:
+    """(register, max_rank) — the HLL register table for the values of
+    ``col``.  h = perm_1(poly(x)); register = h mod 2^p; rank = index of
+    the lowest set bit of (h div 2^p) + 1, capped when that suffix is 0.
+    One groupBy MAX — mergeable, map-side combinable, 2^p output rows."""
+    m = 1 << p
+    max_rank = 32 - p  # h < 2^31 -> suffix < 2^(31-p); rank cap covers 0
+    h = perm_col(poly_hash_col(F.col(col)), 0)
+    base = df.select(
+        (h % F.lit(m)).cast("int").alias("register"),
+        # m is a power of two, h < 2^31: the double division is exact,
+        # so floor(h/m) == h DIV m on every engine
+        F.floor(h / F.lit(m)).cast("bigint").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(max_rank)).otherwise(
+        F.length(F.bin(F.col("w").bitwiseAND(-F.col("w"))))
+    )
+    return (
+        base.select("register", rank.cast("int").alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str = "token", p: int = HLL_P
+) -> DataFrame:
+    """One-row raw-HLL distinct estimate:
+    (m, n_zero, sum_scaled, estimate).
+
+    sum_scaled = Σ_registers (SCALE >> max_rank), absent registers
+    contributing SCALE (rank 0) — exact integers, so the double chain
+    alpha·m²·SCALE/sum is one identically-parenthesized expression on
+    both engines."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, col, p)
+    agg = regs.agg(
+        F.count("*").cast("bigint").alias("n_regs"),
+        F.sum(F.expr(f"shiftright({HLL_SCALE}, max_rank)")).cast("bigint").alias("s_hit"),
+    )
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        (F.lit(m) - F.col("n_regs")).cast("bigint").alias("n_zero"),
+        (F.col("s_hit") + (F.lit(m) - F.col("n_regs")) * F.lit(HLL_SCALE))
+        .cast("bigint")
+        .alias("sum_scaled"),
+        F.floor(
+            (F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(HLL_SCALE)))
+            / (F.col("s_hit") + (F.lit(m) - F.col("n_regs")) * F.lit(HLL_SCALE)).cast(
+                "double"
+            )
+        )
+        .cast("bigint")
+        .alias("estimate"),
+    )
+
+
+CMS_D = 4
+CMS_W = 512
+
+
+def cms_table(
+    counts: DataFrame,
+    key_col: str = "token",
+    cnt_col: str = "cnt",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(row, bucket, total) Count-Min table from an already-reduced
+    (key, cnt) frame — d·w cells, SUM-mergeable.  Feeding reduced counts
+    (not raw occurrences) keeps the explode factor d·|vocab|, never
+    d·|corpus|."""
+    x = poly_hash_col(F.col(key_col))
+    rows = [
+        counts.select(
+            F.lit(i).alias("row"),
+            (row_hash_col(x, i) % F.lit(w)).cast("int").alias("bucket"),
+            F.col(cnt_col).cast("bigint").alias("c"),
+        )
+        for i in range(d)
+    ]
+    union = rows[0]
+    for r in rows[1:]:
+        union = union.unionByName(r)
+    return union.groupBy("row", "bucket").agg(F.sum("c").cast("bigint").alias("total"))
+
+
+def cms_estimates(
+    counts: DataFrame,
+    key_col: str = "token",
+    cnt_col: str = "cnt",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(key, true_cnt, est_cnt) — probe every key against the CMS built
+    from the same counts.  est ≥ true always (one-sided error); the gap
+    is the collision overcount bounded by 2·N/w w.h.p.  The probe is d
+    equi-joins on (row, bucket) against the d·w-cell table — broadcast
+    size regardless of corpus scale."""
+    cms = F.broadcast(cms_table(counts, key_col, cnt_col, d, w))
+    x = poly_hash_col(F.col(key_col))
+    probes = None
+    for i in range(d):
+        p_i = counts.select(
+            F.col(key_col).alias("key"),
+            F.col(cnt_col).cast("bigint").alias("true_cnt"),
+            F.lit(i).alias("row"),
+            (row_hash_col(x, i) % F.lit(w)).cast("int").alias("bucket"),
+        )
+        probes = p_i if probes is None else probes.unionByName(p_i)
+    return (
+        probes.join(cms, ["row", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("total").cast("bigint").alias("est_cnt"))
+    )

@@ -47,6 +47,9 @@ def test_manifest_records_lineage_and_fingerprint(spark, io):
     )["fingerprint"]
     assert sum(mb["partition_rows"]) == 5
     assert mb["schema"].startswith("struct<id")
+    # stage metrics: wall clock and materialized footprint
+    assert mb["wall_s"] > 0
+    assert mb["bytes"] > 0 and mb["files"] >= 1
 
 
 def test_fingerprint_is_order_insensitive(spark):

@@ -49,6 +49,13 @@ CHECK = [
     "hash_split",
     "length_stats",
     "bfs_hops",
+    "kmeans_cells",
+    "top_terms",
+    "vocab",
+    "cooccur",
+    "node_diff",
+    "hll_tokens",
+    "cms_counts",
 ]
 
 

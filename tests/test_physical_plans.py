@@ -266,3 +266,41 @@ def test_pagerank_plan_is_integer_and_distributed(spark):
     p = plan(pagerank_int(edges, iterations=1))
     assert "PythonUDF" not in p
     assert "SinglePartition" not in p
+
+
+def test_kmeans_broadcasts_centroids_no_python(spark):
+    """Lloyd assignment must broadcast the k-row centroid table (never
+    shuffle the corpus against it) and stay in native integer columns."""
+    from knowledge_graph_spark.operators.kmeans import kmeans_assignments
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    p = plan(kmeans_assignments(df, k=4, iterations=1))
+    assert "Broadcast" in p  # BroadcastNestedLoopJoin on the centroid side
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_bm25_broadcasts_scalars_no_python(spark, docs):
+    """The (n_docs, total_len) 1-row frame rides a broadcast; scoring is
+    whole-stage-codegen column algebra."""
+    from knowledge_graph_spark.operators.keywords import bm25_top_terms
+
+    p = plan(bm25_top_terms(docs))
+    assert "Broadcast" in p
+    assert "PythonUDF" not in p and "ArrowEval" not in p
+
+
+def test_cooccurrence_no_python_no_single_partition_pairs(spark):
+    """Pair generation is a unit-keyed self equi-join; marginal and
+    n_units joins must not funnel the pair table through one task."""
+    from knowledge_graph_spark.operators.graphops import cooccurrence_edges
+
+    m = spark.createDataFrame(
+        [(f"u{i % 7}", f"E{i % 5}") for i in range(50)],
+        "text_unit_id: string, mention: string",
+    )
+    p = plan(cooccurrence_edges(m))
+    assert "PythonUDF" not in p
+    # the only tolerated single-partition subtree is the 1-row n_units agg
+    singles = [ln for ln in p.splitlines() if "SinglePartition" in ln]
+    assert len(singles) <= 1

@@ -1,0 +1,106 @@
+"""HLL-style distinct sketch and Count-Min sketch (operators/sketches.py).
+
+Local mirrors re-implement the identical integer recurrences; the
+distributed register/counter tables must match EXACTLY, and the
+estimates must meet the sketches' textbook error bounds.
+"""
+
+import math
+
+import pytest
+
+from knowledge_graph_spark.functions.hashing import (
+    HASH_A,
+    HASH_B,
+    HASH_C,
+    HASH_M31,
+    poly_hash,
+)
+from knowledge_graph_spark.operators import sketches as sk
+
+
+def _perm(x: int, i: int) -> int:
+    a = (HASH_A * (i + 1)) % HASH_M31
+    b = (HASH_B * (i + 1) + HASH_C) % HASH_M31
+    return (a * x + b) % HASH_M31
+
+
+def _row_hash(x: int, i: int) -> int:
+    a, b, c = sk.row_coeffs(i)
+    x2 = (x * x) % HASH_M31
+    return ((a * x) % HASH_M31 + (b * x2) % HASH_M31 + c) % HASH_M31
+
+
+def _hll_local(values, p=sk.HLL_P):
+    m = 1 << p
+    max_rank = 32 - p
+    regs = {}
+    for v in set(values):
+        h = _perm(poly_hash(v), 0)
+        reg, w = h % m, h // m
+        rank = max_rank if w == 0 else (w & -w).bit_length()
+        regs[reg] = max(regs.get(reg, 0), rank)
+    return regs
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    vals = [f"tok_{i}" for i in range(20000)]
+    # duplicates must not change the sketch
+    df = spark.createDataFrame([(v,) for v in vals + vals[:500]], "token: string")
+    return df, vals
+
+
+def test_hll_registers_match_local_mirror(spark, tokens):
+    df, vals = tokens
+    got = {r["register"]: r["max_rank"] for r in sk.hll_registers(df).collect()}
+    assert got == _hll_local(vals)
+
+
+def test_hll_estimate_within_error_bound(spark, tokens):
+    df, vals = tokens
+    row = sk.hll_distinct(df).collect()[0]
+    n, m = len(set(vals)), row["m"]
+    # raw HLL relative error ~1.04/sqrt(m) (= 6.5% at m=256); allow 3 sigma
+    assert abs(row["estimate"] - n) / n < 3 * 1.04 / math.sqrt(m)
+    assert row["sum_scaled"] == row["sum_scaled"]  # present and integral
+    assert 0 <= row["n_zero"] < m
+
+
+def test_hll_registers_merge_by_max(spark, tokens):
+    df, vals = tokens
+    half_a = spark.createDataFrame([(v,) for v in vals[:10000]], "token: string")
+    half_b = spark.createDataFrame([(v,) for v in vals[10000:]], "token: string")
+    ra = {r["register"]: r["max_rank"] for r in sk.hll_registers(half_a).collect()}
+    rb = {r["register"]: r["max_rank"] for r in sk.hll_registers(half_b).collect()}
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    full = {r["register"]: r["max_rank"] for r in sk.hll_registers(df).collect()}
+    assert merged == full
+
+
+def test_cms_overestimates_never_under(spark):
+    rows = [(f"t{i}", (i % 7) + 1) for i in range(2000)] + [("HEAVY", 5000)]
+    counts = spark.createDataFrame(rows, "token: string, cnt: long")
+    out = sk.cms_estimates(counts).collect()
+    assert len(out) == 2001
+    for r in out:
+        assert r["est_cnt"] >= r["true_cnt"]
+    heavy = [r for r in out if r["key"] == "HEAVY"][0]
+    top = max(out, key=lambda r: r["est_cnt"])
+    assert top["key"] == "HEAVY"
+    # total mass N over w=512 buckets bounds the expected overcount
+    n_total = sum(r["true_cnt"] for r in out)
+    assert heavy["est_cnt"] - heavy["true_cnt"] <= 10 * n_total / sk.CMS_W
+
+
+def test_cms_table_matches_local_mirror(spark):
+    rows = [("a", 3), ("b", 5), ("c", 2)]
+    counts = spark.createDataFrame(rows, "token: string, cnt: long")
+    got = {(r["row"], r["bucket"]): r["total"] for r in sk.cms_table(counts).collect()}
+    want = {}
+    for t, c in rows:
+        x = poly_hash(t)
+        for i in range(sk.CMS_D):
+            k = (i, _row_hash(x, i) % sk.CMS_W)
+            want[k] = want.get(k, 0) + c
+    assert got == want
