@@ -564,6 +564,21 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(p, rates).select("doc_id", "lang", "n_ws_tokens", "key_micro")
 
 
+STRATUM_K = 40
+
+
+def q_stratum_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum exact-k cap (deterministic reservoir sample): at most
+    K docs per predicted language, chosen by the shared uniform race key.
+    row_number ≤ K rides Spark's WindowGroupLimit map-side prune."""
+    from knowledge_graph_spark.operators.corpus import stratum_cap
+
+    p = q_text_profile(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("lang")
+    )
+    return stratum_cap(p, "lang", "doc_id", k=STRATUM_K)
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy offset sequence packing into token-budget training
     sequences, hash-bucketed into independent packing streams."""
@@ -784,6 +799,33 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_graph_spark.operators.sketches import cms_estimates
 
     return cms_estimates(unigram_counts(_docs(spark, sf_dir)))
+
+
+def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom bitmap of the eval-set gram index: every 32-bit word of the
+    filter reproduced exactly by the oracle (shared hash family; bit_or
+    aggregation on both engines)."""
+    from knowledge_graph_spark.operators import decontam
+    from knowledge_graph_spark.operators.bloom import bloom_build
+
+    return bloom_build(
+        decontam.eval_ngram_index(_eval_docs(spark, sf_dir), n=DECONTAM_N)
+    )
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-evalset decontamination: broadcast Bloom bitmap prunes corpus
+    grams map-side before the shuffled verify join.  No false negatives +
+    exact verify ⇒ output bit-identical to q_decontam — gated by the SAME
+    oracle body."""
+    from knowledge_graph_spark.operators import decontam
+
+    return decontam.contamination_profile_bloom(
+        _docs(spark, sf_dir),
+        _eval_docs(spark, sf_dir),
+        n=DECONTAM_N,
+        threshold=DECONTAM_TAU,
+    )
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1815,6 +1857,30 @@ FROM cpr p JOIN cm c ON p.rw = c.rw AND p.bucket = c.bucket
 GROUP BY p.key, p.true_cnt
 """
 
+
+
+# --- bloom filter (operators/bloom.py) --------------------------------------
+
+from knowledge_graph_spark.operators import bloom as _bl
+
+_BLOOM_POS = " UNION ALL ".join(
+    f"SELECT ({_perm('x', str(i))} % {_bl.BLOOM_BITS}) AS pos FROM gx"
+    for i in range(_bl.BLOOM_K)
+)
+
+_BLOOM_WORDS_SQL = f"""
+WITH {_DTOKS_CTE}, {_EVAL_CTE},
+egrams AS (
+  SELECT DISTINCT array_to_string(et[ci+1 : ci+{DECONTAM_N}], ' ') AS gram
+  FROM ev, LATERAL unnest(range(0, CASE WHEN len(et) < {DECONTAM_N} THEN 0
+                                        ELSE len(et) - {DECONTAM_N} + 1 END)) u(ci)
+),
+gx AS (SELECT {_POLY.format(s="gram")} AS x FROM egrams),
+bpos AS ({_BLOOM_POS})
+SELECT CAST(pos // 32 AS INT) AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS word
+FROM bpos GROUP BY 1
+"""
 
 
 _MINHASH_DEDUP_SQL = f"""
@@ -2889,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_stats": q_corpus_stats,
         "corpus_mix": q_corpus_mix,
+        "stratum_cap": q_stratum_cap,
         "seq_pack": q_seq_pack,
         "decontam": q_decontam,
         "decontam_pairs": q_decontam_pairs,
@@ -2903,6 +2970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_diff": q_node_diff,
         "hll_tokens": q_hll_tokens,
         "cms_counts": q_cms_counts,
+        "bloom_words": q_bloom_words,
+        "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
         "triangles": q_triangles,
         "node_jaccard": q_node_jaccard,
@@ -3203,6 +3272,20 @@ SELECT doc_id, lang, n_ws_tokens,
        CAST(floor(key * 1000000) AS BIGINT) AS key_micro
 FROM j WHERE key < rate
 """,
+        "stratum_cap": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL}),
+p AS (
+  SELECT doc_id, lang_pred AS lang,
+         CAST(({HASH_A} * (doc_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS BIGINT) AS pri
+  FROM prof
+),
+rk AS (
+  SELECT doc_id, lang, pri,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS INT) AS rk
+  FROM p
+)
+SELECT doc_id, lang, pri, rk FROM rk WHERE rk <= {STRATUM_K}
+""",
         "seq_pack": f"""
 WITH prof AS ({_TEXT_PROFILE_SQL}),
 p AS (SELECT doc_id, n_ws_tokens AS n_tokens FROM prof),
@@ -3233,6 +3316,10 @@ FROM c
         "vocab": _VOCAB_SQL,
         "hll_tokens": _HLL_SQL,
         "cms_counts": _CMS_SQL,
+        "bloom_words": _BLOOM_WORDS_SQL,
+        # the bloom-pruned plan must reproduce the PLAIN decontamination
+        # answer bit-for-bit (no false negatives + exact verify)
+        "decontam_bloom": _DECONTAM_SQL,
         "cooccur": _oracle(
             f"""
             , cooc AS (SELECT DISTINCT text_unit_id AS unit, mention AS name FROM ment_occ),

@@ -63,6 +63,39 @@ def weighted_sample(
     )
 
 
+def stratum_cap(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Keep exactly min(k, |stratum|) rows per stratum — the per-source
+    cap every web-scale mixer applies ("at most k docs per domain") and,
+    equivalently, a deterministic reservoir sample: with a uniform race
+    key replacing the RNG (Efraimidis-Spirakis with unit weights), the k
+    smallest keys per stratum are a uniform k-subset, and membership is
+    reproducible across engines, re-runs, and resumes — unlike
+    ``df.sampleBy``, whose output moves when partitioning does.
+
+    Scale shape: priority is the affine integer hash (the same key that
+    drives hash_split/weighted_sample, kept unscaled so collisions need
+    id collisions mod FP_MOD; id tiebreak covers even those).  The
+    ``row_number() ≤ k`` filter triggers Spark's rank-limit pushdown
+    (WindowGroupLimit): each map partition pre-prunes to its local top-k
+    per stratum BEFORE the shuffle, so a hot stratum ships
+    O(k · n_input_partitions) rows, never its population — the window
+    analogue of map-side partial aggregation (asserted in
+    tests/test_physical_plans.py).  Adds (pri, rk)."""
+    x = F.pmod(F.col(id_col).cast("long"), F.lit(FP_MOD))
+    pri = F.pmod(F.lit(HASH_A).cast("long") * x + F.lit(HASH_C), F.lit(HASH_M31))
+    w = Window.partitionBy(strata_col).orderBy("pri", id_col)
+    return (
+        docs.withColumn("pri", pri.cast("bigint"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: str = "n_tokens",

@@ -90,6 +90,77 @@ def contamination_profile(
     )
 
 
+def contamination_profile_bloom(
+    docs: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.1,
+    bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """``contamination_profile`` for the BIG-evalset regime: identical
+    output, different physical plan.
+
+    When the reference key set is itself too large to broadcast exactly
+    (a billion-gram blocklist, a prior snapshot's fingerprints), its
+    exact index must sit on the shuffled side of the verify join — so the
+    win is pruning the corpus grams BEFORE that shuffle.  The eval side's
+    Bloom bitmap (bits/8 bytes regardless of key count) broadcasts in
+    place of the index; the probe is map-side (operators/bloom.py) and
+    only bloom-positive grams — true hits plus the ~(1+k·n/bits)^-k FPR
+    sliver — enter the shuffle.  Bloom has no false negatives, so the
+    exact verify join restores the precise hit set: output is
+    bit-identical to ``contamination_profile`` (the gate reuses that
+    oracle verbatim).
+
+    Two passes over the gram explode (n_grams needs ALL grams, hits only
+    survivors) — both map-side until their final partial-agg shuffles,
+    cheaper at scale than shuffling every gram to the verify join."""
+    from .bloom import BLOOM_BITS, BLOOM_K, bloom_build, bloom_probe
+
+    bits = bits or BLOOM_BITS
+    k = k or BLOOM_K
+    index = eval_ngram_index(evalset, text_col=eval_text_col, n=n)
+    bloom = bloom_build(index, "gram", bits=bits, k=k)
+    grams = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(token_ngrams(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    base = grams.groupBy("doc_id").agg(
+        F.count("gram").cast("bigint").alias("n_grams")
+    )
+    survivors = (
+        bloom_probe(grams.filter(F.col("gram").isNotNull()), "gram", bloom, bits, k)
+        .filter(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+    )
+    hits = (
+        survivors.join(index, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    prof = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+    )
+    frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hit").cast("double") * MICRO / F.col("n_grams").cast("double")
+    )
+    return prof.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.floor(frac).cast("bigint").alias("contam_micro"),
+        (F.floor(frac) >= int(threshold * MICRO)).alias("is_contaminated"),
+    )
+
+
 def contamination_pairs(
     docs: DataFrame,
     evalset: DataFrame,

@@ -56,6 +56,9 @@ CHECK = [
     "node_diff",
     "hll_tokens",
     "cms_counts",
+    "bloom_words",
+    "decontam_bloom",
+    "stratum_cap",
 ]
 
 

@@ -304,3 +304,17 @@ def test_cooccurrence_no_python_no_single_partition_pairs(spark):
     # the only tolerated single-partition subtree is the 1-row n_units agg
     singles = [ln for ln in p.splitlines() if "SinglePartition" in ln]
     assert len(singles) <= 1
+
+
+def test_stratum_cap_uses_window_group_limit(spark):
+    """The rank-limit pushdown must pre-prune each map partition to its
+    local top-k per stratum BEFORE the shuffle (WindowGroupLimit node) —
+    the hot-stratum guard."""
+    from knowledge_graph_spark.operators.corpus import stratum_cap
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id: long, lang: string"
+    )
+    p = plan(stratum_cap(df, "lang", "doc_id", k=5))
+    assert "WindowGroupLimit" in p
+    assert "PythonUDF" not in p
