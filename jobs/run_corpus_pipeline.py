@@ -3,10 +3,12 @@
 The non-KG half of the engine as one checkpointed job: QC profiling →
 PII redaction → exact + MinHash-LSH dedup → cluster resolution →
 repeated-span boilerplate scoring → unigram familiarity scoring →
-(optional) benchmark decontamination → filtered corpus export.  This is
-the standard pretraining-data shape (C4/Gopher filter family + near-dup
-removal + GPT-3-style decontamination) expressed as resumable table
-stages.
+(optional) benchmark decontamination (exact-index or Bloom-pruned) →
+filtered corpus export → (optional) per-language reservoir cap →
+split assignment + length stats + mergeable token sketches (HLL
+distinct, Count-Min).  This is the standard pretraining-data shape
+(C4/Gopher filter family + near-dup removal + GPT-3-style
+decontamination + per-source caps) expressed as resumable table stages.
 
 Cluster usage mirrors jobs/run_pipeline.py (--py-files zip, Iceberg
 catalog or parquet warehouse).  Sandbox:
@@ -38,10 +40,16 @@ from knowledge_graph_spark.operators.corpus import (  # noqa: E402
     familiarity_profile,
     hash_split,
     length_profile,
+    stratum_cap,
     unigram_counts,
 )
 from knowledge_graph_spark.operators.decontam import (  # noqa: E402
     contamination_profile,
+    contamination_profile_bloom,
+)
+from knowledge_graph_spark.operators.sketches import (  # noqa: E402
+    cms_estimates,
+    hll_distinct,
 )
 from knowledge_graph_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
@@ -140,6 +148,20 @@ def parse_args(argv=None):
     p.add_argument("--decontam-ngram", type=int, default=8)
     p.add_argument("--decontam-threshold", type=float, default=0.05)
     p.add_argument(
+        "--decontam-bloom",
+        action="store_true",
+        help="big-evalset regime: broadcast the eval grams' Bloom bitmap "
+        "instead of the exact index (same output — no false negatives + "
+        "exact verify; use when the eval set exceeds the broadcast budget)",
+    )
+    p.add_argument(
+        "--max-per-stratum",
+        type=int,
+        default=0,
+        help="if > 0, keep at most this many docs per language "
+        "(deterministic reservoir cap, applied after filtering)",
+    )
+    p.add_argument(
         "--max-span-rep-frac",
         type=float,
         default=1.0,
@@ -207,9 +229,12 @@ def main(argv=None) -> dict:
     ]
     if args.eval_set:
         evalset = spark.read.parquet(args.eval_set)
+        decontam_fn = (
+            contamination_profile_bloom if args.decontam_bloom else contamination_profile
+        )
         contamination = runner.run(
             "decontam",
-            lambda: contamination_profile(
+            lambda: decontam_fn(
                 docs,
                 evalset,
                 n=args.decontam_ngram,
@@ -236,6 +261,18 @@ def main(argv=None) -> dict:
         inputs=corpus_inputs,
     )
 
+    if args.max_per_stratum > 0:
+        corpus = runner.run(
+            "corpus_capped",
+            lambda: stratum_cap(
+                corpus, strata_col="lang", id_col="doc_id", k=args.max_per_stratum
+            ).drop("pri", "rk"),
+            inputs=["corpus_filtered"],
+        )
+        split_input = "corpus_capped"
+    else:
+        split_input = "corpus_filtered"
+
     # training-set finishing: growth-stable split assignment + per-language
     # length order statistics over the kept corpus (batch-size planning)
     split = runner.run(
@@ -243,12 +280,26 @@ def main(argv=None) -> dict:
         lambda: hash_split(
             corpus, val_frac=args.val_frac, test_frac=args.test_frac
         ).select("doc_id", "split", "key_micro"),
-        inputs=["corpus_filtered"],
+        inputs=[split_input],
     )
     stats = runner.run(
         "length_stats",
         lambda: length_profile(corpus, strata_col="lang"),
-        inputs=["corpus_filtered"],
+        inputs=[split_input],
+    )
+    # corpus accounting sketches over the KEPT text: distinct-token HLL
+    # (one row) + Count-Min per-token estimates — both mergeable across
+    # shards, so incremental corpus builds can fold these instead of
+    # re-scanning (operators/sketches.py)
+    token_sketch = runner.run(
+        "token_sketch",
+        lambda: hll_distinct(unigram_counts(corpus).select("token")),
+        inputs=[split_input],
+    )
+    runner.run(
+        "token_cms",
+        lambda: cms_estimates(unigram_counts(corpus)),
+        inputs=[split_input],
     )
 
     summary = {
@@ -266,6 +317,7 @@ def main(argv=None) -> dict:
                 .collect()
             },
             "length_stats": stats.count(),
+            "distinct_tokens_est": token_sketch.collect()[0]["estimate"],
         },
     }
     if contamination is not None:

@@ -45,6 +45,13 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
     assert {r.lang for r in stats.collect()} == langs
     assert stats.filter(F.col("p50") > F.col("max_tokens")).count() == 0
 
+    # mergeable corpus-accounting sketches over the kept text
+    sk = spark.read.parquet(f"{out}/token_sketch")
+    assert sk.count() == 1 and s1["rows"]["distinct_tokens_est"] > 0
+    cms = spark.read.parquet(f"{out}/token_cms")
+    assert cms.count() > 0
+    assert cms.filter(F.col("est_cnt") < F.col("true_cnt")).count() == 0
+
     s2 = job.main(argv)  # resume: everything checkpointed
     assert not s2["computed"]
     assert set(s2["skipped"]) == set(s1["computed"])
@@ -89,3 +96,26 @@ def test_corpus_job_decontamination_drops_flagged_docs(spark, tmp_path):
     # the seed docs themselves are flagged (their prefix is in the eval set)
     seeds = {r.doc_id for r in docs.filter(F.col("doc_id") % 50 == 0).collect()}
     assert seeds & flagged
+
+    # --decontam-bloom (big-evalset regime) must produce the IDENTICAL
+    # decontam table (no false negatives + exact verify), and
+    # --max-per-stratum must cap each language at k before the split
+    out_b = str(tmp_path / "corpus_bloom")
+    sb = job.main(
+        [
+            "--input", "/root/testdata/sf0.001",
+            "--output", out_b, "--master", "local[4]",
+            "--eval-set", eval_path,
+            "--max-span-rep-frac", "0.99",
+            "--decontam-bloom",
+            "--max-per-stratum", "5",
+        ]
+    )
+    exact_rows = sorted(map(tuple, spark.read.parquet(f"{out}/decontam").collect()))
+    bloom_rows = sorted(map(tuple, spark.read.parquet(f"{out_b}/decontam").collect()))
+    assert exact_rows == bloom_rows
+    capped = spark.read.parquet(f"{out_b}/corpus_capped")
+    per_lang = capped.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per_lang)
+    # downstream split covers exactly the capped corpus
+    assert sum(sb["rows"]["split"].values()) == capped.count()
