@@ -341,6 +341,17 @@ def q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_query_to_entities(s["nodes"], "user zero activity", k=5)
 
 
+def q_hybrid_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid Q1 retrieval: reciprocal-rank fusion of the degree-rank
+    list and the vector (feature-hash cosine) list — rank-space fusion,
+    integer-exact on both engines."""
+    from knowledge_graph_spark.operators.query import rrf_fuse
+
+    return rrf_fuse(
+        [q_top_entities(spark, sf_dir), q_entity_search(spark, sf_dir)]
+    )
+
+
 _CLAIMS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -2944,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_network": q_out_network,
         "community_weight": q_community_weight,
         "entity_search": q_entity_search,
+        "hybrid_entities": q_hybrid_entities,
         "text_unit_links": q_text_unit_links,
         "local_search": q_local_search,
         "global_search": q_global_search,
@@ -3457,6 +3469,35 @@ SELECT CAST(node AS BIGINT) AS doc_id,
 FROM dreach GROUP BY node
 """,
         "entity_search": _oracle(_ENTITY_SEARCH_BODY),
+        "hybrid_entities": _oracle(
+            f"""
+            , esel AS {_embed(_ENTITY_SEARCH_BODY)},
+            nwd AS (
+              SELECT n.title, coalesce(d.degree, 0) AS degree
+              FROM kg_nodes n LEFT JOIN degrees d USING (title)
+            ),
+            tsel AS (
+              SELECT title, rk FROM (
+                SELECT title,
+                       row_number() OVER (ORDER BY degree DESC, title) AS rk
+                FROM nwd
+              ) WHERE rk <= {TOP_ENTITIES_K}
+            ),
+            uni AS (
+              SELECT title, CAST(floor(1000000 / (60 + rk)) AS BIGINT) AS term FROM tsel
+              UNION ALL
+              SELECT title, CAST(floor(1000000 / (60 + rk)) AS BIGINT) AS term FROM esel
+            ),
+            sc AS (
+              SELECT title, CAST(sum(term) AS BIGINT) AS rrf_micro,
+                     CAST(count(*) AS INT) AS n_lists
+              FROM uni GROUP BY title
+            )
+            SELECT title, rrf_micro, n_lists,
+                   CAST(row_number() OVER (ORDER BY rrf_micro DESC, title) AS INT) AS rk
+            FROM sc
+            """
+        ),
         "minhash_dedup": _MINHASH_DEDUP_SQL,
         "minhash_incr": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _SIMHASH_DEDUP_SQL,

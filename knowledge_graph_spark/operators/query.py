@@ -43,6 +43,50 @@ def top_entities_by_rank(nodes_with_degree: DataFrame, k: int = 10) -> DataFrame
     )
 
 
+RRF_MICRO = 1_000_000
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    key: str = "title",
+    k_const: int = 60,
+    out_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher's RRF, the
+    standard hybrid-retrieval combiner): fused score =
+    Σ_lists floor(1e6 / (k + rank)).
+
+    This is how the Q1 entity-mapping paths compose: the degree-rank
+    fallback and the vector path each produce a top-k (key, rk) list;
+    RRF merges them without score calibration (ranks, not raw scores, so
+    a 10^6-scaled cosine and a degree count fuse cleanly).  Each term is
+    one correctly-rounded division of small exact integers, floored —
+    bit-identical across engines — and the inputs are top-k tables, so
+    the union+groupBy shuffles a few dozen rows no matter the corpus
+    size.  Returns (key, rrf_micro, n_lists, rk)."""
+    parts = [
+        df.select(
+            F.col(key).alias("key"),
+            F.floor(F.lit(RRF_MICRO) / (F.lit(k_const) + F.col("rk")))
+            .cast("bigint")
+            .alias("term"),
+        )
+        for df in ranked_lists
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("key").agg(
+        F.sum("term").cast("bigint").alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_lists"),
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("key"))
+    out = scored.withColumn("rk", F.row_number().over(w).cast("int"))
+    if out_k:
+        out = out.filter(F.col("rk") <= out_k)
+    return out.select(F.col("key").alias(key), "rrf_micro", "n_lists", "rk")
+
+
 def related_entities(
     edges_ranked: DataFrame, entity: str, k: int = 10
 ) -> DataFrame:

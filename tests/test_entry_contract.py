@@ -59,6 +59,7 @@ CHECK = [
     "bloom_words",
     "decontam_bloom",
     "stratum_cap",
+    "hybrid_entities",
 ]
 
 
