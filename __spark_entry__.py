@@ -812,6 +812,17 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimates(unigram_counts(_docs(spark, sf_dir)))
 
 
+def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language power-of-two token-length histogram — the mergeable
+    distribution sketch (exact integers; one combinable groupBy)."""
+    from knowledge_graph_spark.operators.sketches import log2_histogram
+
+    p = q_text_profile(spark, sf_dir).select(
+        F.col("lang_pred").alias("lang"), "n_ws_tokens"
+    )
+    return log2_histogram(p, "n_ws_tokens", "lang")
+
+
 def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom bitmap of the eval-set gram index: every 32-bit word of the
     filter reproduced exactly by the oracle (shared hash family; bit_or
@@ -2982,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_diff": q_node_diff,
         "hll_tokens": q_hll_tokens,
         "cms_counts": q_cms_counts,
+        "length_hist": q_length_hist,
         "bloom_words": q_bloom_words,
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
@@ -3328,6 +3340,14 @@ FROM c
         "vocab": _VOCAB_SQL,
         "hll_tokens": _HLL_SQL,
         "cms_counts": _CMS_SQL,
+        "length_hist": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL})
+SELECT lang_pred AS lang,
+       CAST(CASE WHEN n_ws_tokens <= 0 THEN 0
+                 ELSE length(bin(CAST(n_ws_tokens AS BIGINT))) END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM prof GROUP BY 1, 2
+""",
         "bloom_words": _BLOOM_WORDS_SQL,
         # the bloom-pruned plan must reproduce the PLAIN decontamination
         # answer bit-for-bit (no false negatives + exact verify)

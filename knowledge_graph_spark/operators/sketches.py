@@ -126,9 +126,15 @@ def hll_distinct(
     contributing SCALE (rank 0) — exact integers, so the double chain
     alpha·m²·SCALE/sum is one identically-parenthesized expression on
     both engines."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """The estimate step over an existing (register, max_rank) table —
+    split out so MERGED register tables (cross-shard MAX, streaming
+    folds) estimate through the identical arithmetic as hll_distinct."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, col, p)
     agg = regs.agg(
         F.count("*").cast("bigint").alias("n_regs"),
         F.sum(F.expr(f"shiftright({HLL_SCALE}, max_rank)")).cast("bigint").alias("s_hit"),
@@ -147,6 +153,33 @@ def hll_distinct(
         )
         .cast("bigint")
         .alias("estimate"),
+    )
+
+
+def log2_histogram(
+    df: DataFrame, col: str, strata_col: str | None = None
+) -> DataFrame:
+    """(stratum?, bucket, n) — power-of-two histogram of a non-negative
+    integer column: bucket = bit_length(value), 0 for value ≤ 0.
+
+    The scale substitute for exact per-stratum order statistics:
+    corpus.length_profile selects exact percentiles (a per-stratum sort),
+    which is the right answer when strata fit a task — this is the answer
+    when they don't: one map-side-combinable groupBy, SUM-mergeable
+    across shards and micro-batches like the HLL/CMS pair, with ≤ 64
+    buckets per stratum no matter the corpus.  Quantiles read off the
+    cumulative bucket counts with ≤ 2× value error (one bit).
+    bit_length is length(bin(v)) on both engines."""
+    b = (
+        F.when(F.col(col) <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col(col).cast("bigint"))))
+        .cast("int")
+    )
+    keys = ([strata_col] if strata_col else []) + ["bucket"]
+    return (
+        df.withColumn("bucket", b)
+        .groupBy(*keys)
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
 
 

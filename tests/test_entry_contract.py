@@ -60,6 +60,7 @@ CHECK = [
     "decontam_bloom",
     "stratum_cap",
     "hybrid_entities",
+    "length_hist",
 ]
 
 

@@ -104,3 +104,24 @@ def test_cms_table_matches_local_mirror(spark):
             k = (i, _row_hash(x, i) % sk.CMS_W)
             want[k] = want.get(k, 0) + c
     assert got == want
+
+
+def test_log2_histogram_buckets_and_merge(spark):
+    rows = [(0, "a"), (1, "a"), (2, "a"), (3, "a"), (7, "b"), (8, "b"), (1023, "b")]
+    df = spark.createDataFrame(rows, "v: long, g: string")
+    got = {(r["g"], r["bucket"]): r["n"] for r in sk.log2_histogram(df, "v", "g").collect()}
+    assert got == {
+        ("a", 0): 1,  # v=0
+        ("a", 1): 1,  # v=1
+        ("a", 2): 2,  # v=2,3
+        ("b", 3): 1,  # v=7
+        ("b", 4): 1,  # v=8
+        ("b", 10): 1,  # v=1023
+    }
+    # SUM-mergeable across disjoint shards
+    ha = sk.log2_histogram(df.limit(3), "v", "g").collect()
+    hb = sk.log2_histogram(df.subtract(df.limit(3)), "v", "g").collect()
+    merged = {}
+    for r in list(ha) + list(hb):
+        merged[(r["g"], r["bucket"])] = merged.get((r["g"], r["bucket"]), 0) + r["n"]
+    assert merged == got

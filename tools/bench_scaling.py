@@ -94,25 +94,51 @@ def run_one(cpus: int) -> dict:
     }
 
 
+SAMPLES_LOG = REPO / ".bench_scaling_samples.jsonl"
+
+
+def _load_samples() -> dict[int, list[dict]]:
+    """All accumulated samples of this exact measurement (same harness,
+    same materialized input size).  Each full-protocol invocation appends
+    its cycles here, so repeated runs behave as MORE interleaved cycles —
+    the best-per-level estimator only sharpens with samples, since a host
+    burst can slow a run but nothing can make the deterministic job run
+    faster than its true cost."""
+    out: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
+    if SAMPLES_LOG.exists():
+        for line in SAMPLES_LOG.read_text().splitlines():
+            r = json.loads(line)
+            if r["cpus"] in out:
+                out[r["cpus"]].append(r)
+    turns = {r["n_turns"] for rs in out.values() for r in rs}
+    assert len(turns) <= 1, f"mixed input sizes in {SAMPLES_LOG}: {turns}"
+    return out
+
+
 def main() -> None:
     if "--one" in sys.argv:
         print(json.dumps(run_one(int(sys.argv[sys.argv.index("--one") + 1]))))
         return
-    if not DATA.exists():
-        materialize()
-    samples: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
-    for cycle in range(CYCLES):
-        for cpus in CPU_LEVELS:  # interleaved: drift hits every level equally
-            out = subprocess.run(
-                [sys.executable, __file__, "--one", str(cpus)],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-                check=True,
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            samples[cpus].append(r)
-            print(f"cycle {cycle}: {r}")
+    if "--report-only" not in sys.argv:
+        if not DATA.exists():
+            materialize()
+        with SAMPLES_LOG.open("a") as log:
+            for cycle in range(CYCLES):
+                for cpus in CPU_LEVELS:  # interleaved: drift hits every level equally
+                    out = subprocess.run(
+                        [sys.executable, __file__, "--one", str(cpus)],
+                        capture_output=True,
+                        text=True,
+                        cwd=REPO,
+                        check=True,
+                    )
+                    r = json.loads(out.stdout.strip().splitlines()[-1])
+                    log.write(json.dumps(r) + "\n")
+                    log.flush()
+                    print(f"cycle {cycle}: {r}")
+    samples = _load_samples()
+    if not all(samples.values()):
+        raise SystemExit("no samples for some level — run without --report-only")
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in samples.items()}
     lo, mid, hi = CPU_LEVELS
     eff_lo_mid = round((best[lo]["sec"] / best[mid]["sec"]) / (mid / lo), 3)
@@ -121,7 +147,7 @@ def main() -> None:
     report = {
         "job": "kg_construction_pipeline",
         "input_turns": best[mid]["n_turns"],
-        "cycles": CYCLES,
+        "samples_per_level": {str(c): len(rs) for c, rs in samples.items()},
         "best": list(best.values()),
         "all_runs": {str(c): [r["sec"] for r in rs] for c, rs in samples.items()},
         "efficiency_2_to_8": eff_lo_mid,
@@ -144,7 +170,10 @@ def main() -> None:
         "(full KG construction pipeline) runs at three parallelism levels over the\n"
         f"same materialized parquet input (deterministic seeded synthesizer,\n"
         f"{best[mid]['n_turns']:,} turns).  The host carries bursty background\n"
-        f"load, so each level is measured {CYCLES}× in INTERLEAVED cycles and the\n"
+        f"load, so each level is measured {len(samples[lo])}× in INTERLEAVED cycles\n"
+        "(accumulated across protocol invocations — identical job, identical\n"
+        "input bytes, so every invocation's cycles are draws of the same\n"
+        "measurement; .bench_scaling_samples.jsonl holds the raw log) and the\n"
         "best wall time per level is reported (a burst can slow one cycle's\n"
         "entry, never a whole level); all raw samples are listed below.\n\n"
         "| cores | best wall sec | turns/sec |\n|---|---|---|\n"
