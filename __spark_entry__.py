@@ -823,6 +823,14 @@ def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log2_histogram(p, "n_ws_tokens", "lang")
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 token-length per language read off the log2 histogram
+    — integer-exact (100·cum ≥ pct·total, no division)."""
+    from knowledge_graph_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(q_length_hist(spark, sf_dir), strata_col="lang")
+
+
 def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom bitmap of the eval-set gram index: every 32-bit word of the
     filter reproduced exactly by the oracle (shared hash family; bit_or
@@ -1191,6 +1199,15 @@ SELECT doc_id, n_ws_tokens, n_bpeish_tokens, n_punct, en_hits AS en_stop_hits,
         i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
     (a, b) -> (a * {textqc.FP_BASE} + b) % {textqc.FP_MOD}) AS rolling_fp
 FROM scored
+"""
+
+_LENGTH_HIST_SQL = f"""
+WITH prof AS ({_TEXT_PROFILE_SQL})
+SELECT lang_pred AS lang,
+       CAST(CASE WHEN n_ws_tokens <= 0 THEN 0
+                 ELSE length(bin(CAST(n_ws_tokens AS BIGINT))) END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM prof GROUP BY 1, 2
 """
 
 _EXACT_DEDUP_SQL = """
@@ -2994,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens": q_hll_tokens,
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
+        "length_quantiles": q_length_quantiles,
         "bloom_words": q_bloom_words,
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
@@ -3340,13 +3358,22 @@ FROM c
         "vocab": _VOCAB_SQL,
         "hll_tokens": _HLL_SQL,
         "cms_counts": _CMS_SQL,
-        "length_hist": f"""
-WITH prof AS ({_TEXT_PROFILE_SQL})
-SELECT lang_pred AS lang,
-       CAST(CASE WHEN n_ws_tokens <= 0 THEN 0
-                 ELSE length(bin(CAST(n_ws_tokens AS BIGINT))) END AS INT) AS bucket,
-       CAST(count(*) AS BIGINT) AS n
-FROM prof GROUP BY 1, 2
+        "length_hist": _LENGTH_HIST_SQL,
+        "length_quantiles": f"""
+WITH hist AS ({_LENGTH_HIST_SQL}),
+c AS (
+  SELECT lang, bucket,
+         CAST(SUM(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM hist
+),
+p AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT lang, CAST(pct AS INT) AS pct,
+       CAST(MIN(bucket) AS INT) AS bucket,
+       CAST((CAST(1 AS BIGINT) << MIN(bucket)) - 1 AS BIGINT) AS upper
+FROM c CROSS JOIN p
+WHERE cum * 100 >= pct * total
+GROUP BY lang, pct
 """,
         "bloom_words": _BLOOM_WORDS_SQL,
         # the bloom-pruned plan must reproduce the PLAIN decontamination

@@ -183,6 +183,44 @@ def log2_histogram(
     )
 
 
+def histogram_quantiles(
+    hist: DataFrame,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    strata_col: str | None = None,
+) -> DataFrame:
+    """(stratum?, pct, bucket, upper) — quantile read-off over a
+    ``log2_histogram`` table: the smallest bucket whose cumulative count
+    reaches pct% of the stratum total, plus that bucket's inclusive upper
+    value bound (2^bucket − 1; bucket 0 holds values ≤ 0).
+
+    Integer-exact end to end: ``cum ≥ ceil(pct·total/100)`` is evaluated
+    as ``100·cum ≥ pct·total`` (no division, no floats), so both engines
+    agree bit-for-bit.  The histogram is ≤ 64 rows per stratum, so the
+    per-stratum window and the pct cross join are driver-trivial no
+    matter the corpus size — the heavy lifting already happened in the
+    mergeable groupBy that built the histogram."""
+    from pyspark.sql import Window
+
+    keys = [strata_col] if strata_col else []
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    w_tot = Window.partitionBy(*keys)
+    pct = F.explode(F.array(*[F.lit(int(p)) for p in pcts])).alias("pct")
+    c = hist.select(
+        *keys,
+        "bucket",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("n").over(w_tot).cast("bigint").alias("total"),
+    ).select(*keys, "bucket", "cum", "total", pct)
+    return (
+        c.where(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy(*keys, "pct")
+        .agg(F.min("bucket").cast("int").alias("bucket"))
+        .withColumn(
+            "upper", F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1").cast("bigint")
+        )
+    )
+
+
 CMS_D = 4
 CMS_W = 512
 

@@ -1,11 +1,12 @@
 """Structured-Streaming corpus-accounting sketches.
 
 A continuously-ingested corpus needs continuously-current accounting —
-distinct-token count, per-token frequencies — but recomputing them per
-arriving batch rescans the accumulated corpus (O(stream²)).  Both
-sketches in ``operators/sketches.py`` are algebraic aggregates, so the
-fold is exact: HLL registers merge by MAX, Count-Min cells by SUM, and
-the merged tables are IDENTICAL to a batch run over everything ingested
+distinct-token count, per-token frequencies, length distribution — but
+recomputing them per arriving batch rescans the accumulated corpus
+(O(stream²)).  The sketches in ``operators/sketches.py`` are algebraic
+aggregates, so the fold is exact: HLL registers merge by MAX, Count-Min
+cells and log2-histogram buckets by SUM, and the merged tables are
+IDENTICAL to a batch run over everything ingested
 so far (asserted in tests/test_sketch_stream.py).  Work per batch is
 O(batch); state is 2^p + d·w rows in tables, not the streaming state
 store.
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textqc import normalized_text, ws_tokens_col
 from ..io import TableIO
-from ..operators.sketches import cms_table, hll_registers
+from ..operators.sketches import cms_table, hll_registers, log2_histogram
 
 DOCUMENT_DDL = "doc_id bigint, text string"
 
@@ -41,7 +42,7 @@ def _state(io: TableIO) -> dict | None:
 
 
 def read_current_sketch(io: TableIO, name: str) -> DataFrame:
-    """Committed version of 'hll_regs' or 'cms_cells'."""
+    """Committed version of 'hll_regs', 'cms_cells', or 'len_hist'."""
     state = _state(io)
     if state is None:
         raise FileNotFoundError(f"no committed sketch stream state under {io.base}")
@@ -61,9 +62,8 @@ def fold_sketch_batch(
     lineage: str = "",
     text_col: str = "text",
 ) -> None:
-    """One document micro-batch → sketch both tables from the batch's
-    tokens, merge into the committed versions (MAX / SUM), publish as a
-    unit."""
+    """One document micro-batch → sketch the batch's tokens and lengths,
+    merge into the committed versions (MAX / SUM), publish as a unit."""
     state = _state(io)
     if (
         state is not None
@@ -77,6 +77,12 @@ def fold_sketch_batch(
     regs_b = hll_registers(toks)
     counts_b = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
     cells_b = cms_table(counts_b)
+    hist_b = log2_histogram(
+        batch_df.select(
+            F.size(ws_tokens_col(normalized_text(F.col(text_col)))).alias("n_tokens")
+        ),
+        "n_tokens",
+    )
 
     if k >= 0:
         regs_b = (
@@ -91,14 +97,25 @@ def fold_sketch_batch(
             .groupBy("row", "bucket")
             .agg(F.sum("total").cast("bigint").alias("total"))
         )
+        hist_b = (
+            io.read(f"len_hist__v{k}")
+            .unionByName(hist_b)
+            .groupBy("bucket")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
     io.write(regs_b, f"hll_regs__v{k + 1}")
     io.write(cells_b, f"cms_cells__v{k + 1}")
+    io.write(hist_b, f"len_hist__v{k + 1}")
     io.write_text(
         SKETCH_MARKER,
         json.dumps({"lineage": lineage, "epoch": int(epoch_id), "version": k + 1}),
     )
     if k >= 1:  # GC a superseded version; correctness never depends on it
-        for name in (f"hll_regs__v{k - 1}", f"cms_cells__v{k - 1}"):
+        for name in (
+            f"hll_regs__v{k - 1}",
+            f"cms_cells__v{k - 1}",
+            f"len_hist__v{k - 1}",
+        ):
             try:
                 io.delete(name)
             except Exception:

@@ -61,6 +61,7 @@ CHECK = [
     "stratum_cap",
     "hybrid_entities",
     "length_hist",
+    "length_quantiles",
 ]
 
 

@@ -37,7 +37,13 @@ def _batch_tables(spark, rows):
     cells = {
         (r["row"], r["bucket"]): r["total"] for r in sk.cms_table(counts).collect()
     }
-    return regs, cells
+    lens = full.select(
+        F.size(ws_tokens_col(normalized_text(F.col("text")))).alias("n_tokens")
+    )
+    hist = {
+        r["bucket"]: r["n"] for r in sk.log2_histogram(lens, "n_tokens").collect()
+    }
+    return regs, cells, hist
 
 
 @pytest.mark.filterwarnings("ignore")
@@ -51,7 +57,7 @@ def test_sketch_stream_two_waves_equals_batch(spark, tmp_path):
     spark.createDataFrame(ROWS2, DDL).coalesce(1).write.mode("append").parquet(inp)
     run_sketch_stream(spark, inp, io, ckpt)
 
-    want_regs, want_cells = _batch_tables(spark, ROWS1 + ROWS2)
+    want_regs, want_cells, want_hist = _batch_tables(spark, ROWS1 + ROWS2)
     got_regs = {
         r["register"]: r["max_rank"]
         for r in read_current_sketch(io, "hll_regs").collect()
@@ -60,8 +66,12 @@ def test_sketch_stream_two_waves_equals_batch(spark, tmp_path):
         (r["row"], r["bucket"]): r["total"]
         for r in read_current_sketch(io, "cms_cells").collect()
     }
+    got_hist = {
+        r["bucket"]: r["n"] for r in read_current_sketch(io, "len_hist").collect()
+    }
     assert got_regs == want_regs
     assert got_cells == want_cells
+    assert got_hist == want_hist
 
     # the estimate over the merged registers goes through the identical
     # arithmetic as a batch hll_distinct

@@ -125,3 +125,26 @@ def test_log2_histogram_buckets_and_merge(spark):
     for r in list(ha) + list(hb):
         merged[(r["g"], r["bucket"])] = merged.get((r["g"], r["bucket"]), 0) + r["n"]
     assert merged == got
+
+
+def test_histogram_quantiles_readoff(spark):
+    # stratum "a": buckets 1×b0, 1×b1, 2×b2 (total 4); stratum "b":
+    # 1×b3, 1×b4, 1×b10 (total 3) — hand-check the ceil inequality.
+    rows = [(0, "a"), (1, "a"), (2, "a"), (3, "a"), (7, "b"), (8, "b"), (1023, "b")]
+    df = spark.createDataFrame(rows, "v: long, g: string")
+    hist = sk.log2_histogram(df, "v", "g")
+    got = {
+        (r["g"], r["pct"]): (r["bucket"], r["upper"])
+        for r in sk.histogram_quantiles(hist, strata_col="g").collect()
+    }
+    assert got == {
+        # a: cum = b0:1, b1:2, b2:4 of 4 → p50 needs cum≥2 → b1;
+        #    p90 needs 100·cum ≥ 360 → b2; p99 → b2
+        ("a", 50): (1, 1),
+        ("a", 90): (2, 3),
+        ("a", 99): (2, 3),
+        # b: cum = b3:1, b4:2, b10:3 of 3 → p50 needs 100·cum ≥ 150 → b4
+        ("b", 50): (4, 15),
+        ("b", 90): (10, 1023),
+        ("b", 99): (10, 1023),
+    }
