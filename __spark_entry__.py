@@ -823,6 +823,32 @@ def q_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log2_histogram(p, "n_ws_tokens", "lang")
 
 
+def q_hll_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token HLL estimates — one mergeable sketch
+    per stratum (the per-group form of hll_tokens)."""
+    from knowledge_graph_spark.functions.textqc import (
+        lang_id,
+        normalized_text,
+        ws_tokens_col,
+    )
+    from knowledge_graph_spark.operators.sketches import hll_estimate, hll_registers
+
+    lt = _docs(spark, sf_dir).select(
+        lang_id(F.col("text")).alias("lang"),
+        F.explode(ws_tokens_col(normalized_text(F.col("text")))).alias("token"),
+    )
+    return hll_estimate(hll_registers(lt, strata_col="lang"), strata_col="lang")
+
+
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-health metric: power-of-two degree distribution of the KG —
+    the skew diagnostic you run BEFORE choosing a join strategy at scale
+    (reuses the mergeable log2 histogram over node degrees)."""
+    from knowledge_graph_spark.operators.sketches import log2_histogram
+
+    return log2_histogram(q_degrees(spark, sf_dir).select("degree"), "degree")
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 token-length per language read off the log2 histogram
     — integer-exact (100·cum ≥ pct·total, no division)."""
@@ -1860,6 +1886,33 @@ rk AS (SELECT register,
 hagg AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
                 CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit FROM rk)
 SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       CAST({_HLL_M} - n_regs AS BIGINT) AS n_zero,
+       CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS BIGINT) AS sum_scaled,
+       CAST(floor(CAST({(_HLL_ALPHA * float(_HLL_M * _HLL_M)) * float(_sk.HLL_SCALE)!r} AS DOUBLE)
+            / CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS DOUBLE)) AS BIGINT)
+           AS estimate
+FROM hagg
+"""
+
+# per-language variant: one register table per lang_pred stratum (MAX is
+# idempotent, so the Spark side skips the DISTINCT — same registers)
+_HLL_LANG_SQL = f"""
+WITH prof AS ({_TEXT_PROFILE_SQL}),
+{_DTOKS_CTE},
+lt AS (SELECT DISTINCT p.lang_pred AS lang, token
+       FROM (SELECT doc_id, unnest(t) AS token FROM dtoks) d
+       JOIN prof p USING (doc_id)),
+hh AS (SELECT lang, {_perm('x', '0')} AS h
+       FROM (SELECT lang, {_SK_POLY} AS x FROM lt)),
+regs AS (SELECT lang, h % {_HLL_M} AS register, h // {_HLL_M} AS w FROM hh),
+rk AS (SELECT lang, register,
+              max(CASE WHEN w = 0 THEN {_HLL_MAXRANK}
+                       ELSE length(bin(w & (-w))) END) AS max_rank
+       FROM regs GROUP BY 1, 2),
+hagg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs,
+                CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit
+         FROM rk GROUP BY lang)
+SELECT lang, CAST({_HLL_M} AS BIGINT) AS m,
        CAST({_HLL_M} - n_regs AS BIGINT) AS n_zero,
        CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS BIGINT) AS sum_scaled,
        CAST(floor(CAST({(_HLL_ALPHA * float(_HLL_M * _HLL_M)) * float(_sk.HLL_SCALE)!r} AS DOUBLE)
@@ -3012,6 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
         "length_quantiles": q_length_quantiles,
+        "hll_lang": q_hll_lang,
+        "degree_hist": q_degree_hist,
         "bloom_words": q_bloom_words,
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
@@ -3359,6 +3414,12 @@ FROM c
         "hll_tokens": _HLL_SQL,
         "cms_counts": _CMS_SQL,
         "length_hist": _LENGTH_HIST_SQL,
+        "hll_lang": _HLL_LANG_SQL,
+        "degree_hist": _oracle("""
+SELECT CAST(CASE WHEN degree <= 0 THEN 0
+                 ELSE length(bin(CAST(degree AS BIGINT))) END AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM degrees GROUP BY 1"""),
         "length_quantiles": f"""
 WITH hist AS ({_LENGTH_HIST_SQL}),
 c AS (

@@ -91,16 +91,19 @@ def row_hash_col(x, i: int) -> F.Column:
 
 
 def hll_registers(
-    df: DataFrame, col: str = "token", p: int = HLL_P
+    df: DataFrame, col: str = "token", p: int = HLL_P, strata_col: str | None = None
 ) -> DataFrame:
-    """(register, max_rank) — the HLL register table for the values of
-    ``col``.  h = perm_1(poly(x)); register = h mod 2^p; rank = index of
-    the lowest set bit of (h div 2^p) + 1, capped when that suffix is 0.
-    One groupBy MAX — mergeable, map-side combinable, 2^p output rows."""
+    """(stratum?, register, max_rank) — the HLL register table for the
+    values of ``col``, optionally one sketch per stratum.  h =
+    perm_1(poly(x)); register = h mod 2^p; rank = index of the lowest set
+    bit of (h div 2^p) + 1, capped when that suffix is 0.  One groupBy
+    MAX — mergeable, map-side combinable, 2^p output rows per stratum."""
     m = 1 << p
     max_rank = 32 - p  # h < 2^31 -> suffix < 2^(31-p); rank cap covers 0
+    keys = [strata_col] if strata_col else []
     h = perm_col(poly_hash_col(F.col(col)), 0)
     base = df.select(
+        *keys,
         (h % F.lit(m)).cast("int").alias("register"),
         # m is a power of two, h < 2^31: the double division is exact,
         # so floor(h/m) == h DIV m on every engine
@@ -110,8 +113,8 @@ def hll_registers(
         F.length(F.bin(F.col("w").bitwiseAND(-F.col("w"))))
     )
     return (
-        base.select("register", rank.cast("int").alias("rank"))
-        .groupBy("register")
+        base.select(*keys, "register", rank.cast("int").alias("rank"))
+        .groupBy(*keys, "register")
         .agg(F.max("rank").alias("max_rank"))
     )
 
@@ -129,17 +132,23 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, col, p), p)
 
 
-def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+def hll_estimate(
+    regs: DataFrame, p: int = HLL_P, strata_col: str | None = None
+) -> DataFrame:
     """The estimate step over an existing (register, max_rank) table —
     split out so MERGED register tables (cross-shard MAX, streaming
-    folds) estimate through the identical arithmetic as hll_distinct."""
+    folds) estimate through the identical arithmetic as hll_distinct.
+    With ``strata_col``, one estimate row per stratum (the registers must
+    have been built per stratum too)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    agg = regs.agg(
+    keys = [strata_col] if strata_col else []
+    agg = regs.groupBy(*keys).agg(
         F.count("*").cast("bigint").alias("n_regs"),
         F.sum(F.expr(f"shiftright({HLL_SCALE}, max_rank)")).cast("bigint").alias("s_hit"),
     )
     return agg.select(
+        *keys,
         F.lit(m).cast("bigint").alias("m"),
         (F.lit(m) - F.col("n_regs")).cast("bigint").alias("n_zero"),
         (F.col("s_hit") + (F.lit(m) - F.col("n_regs")) * F.lit(HLL_SCALE))

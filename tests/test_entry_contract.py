@@ -62,6 +62,8 @@ CHECK = [
     "hybrid_entities",
     "length_hist",
     "length_quantiles",
+    "hll_lang",
+    "degree_hist",
 ]
 
 
