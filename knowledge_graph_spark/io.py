@@ -30,6 +30,39 @@ def _schema_from_json(schema_json: str):
     return StructType.fromJson(json.loads(schema_json))
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(spark: SparkSession, path: str, schema_ddl: str) -> DataFrame:
+    """Corrupt-tolerant JSONL source — the interchange format most raw
+    text corpora arrive in.  An explicit schema is mandatory at scale
+    (schema inference is a full extra pass over 100 TB); malformed lines
+    land in ``_corrupt_record`` instead of killing the job, so ingestion
+    can quarantine them (count, sample, route to a dead-letter table)
+    rather than choose between crash and silent drop.
+
+    Spark gotcha baked in here: a query that references ONLY the corrupt
+    column is disallowed (the parser would have nothing to parse), so
+    quarantine filters must select at least one data column alongside it
+    or cache the frame first."""
+    from pyspark.sql.types import StringType, StructType
+
+    schema = StructType.fromDDL(schema_ddl).add(CORRUPT_COL, StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (newline-delimited, one object per row) — the export
+    twin of ``read_jsonl``; downstream tokenizer/training jobs consume
+    this directly."""
+    df.write.mode("overwrite").json(path)
+
+
 @dataclass
 class TableIO:
     spark: SparkSession

@@ -127,6 +127,43 @@ def test_log2_histogram_buckets_and_merge(spark):
     assert merged == got
 
 
+def test_histogram_quantiles_property_random_strata(spark):
+    """Semantic property on 40 random strata (one Spark job): the chosen
+    bucket is the SMALLEST whose value-range covers the pct-th value —
+    i.e. #(v: bit_length(v) ≤ bucket) ≥ ceil(pct·n/100) and the previous
+    bucket falls short.  Implementation-independent check."""
+    import numpy as np
+
+    rng = np.random.default_rng(617)
+    strata = {}
+    rows = []
+    for g in range(40):
+        n = int(rng.integers(1, 200))
+        vals = rng.choice(
+            [0, 1, 2, 3, 7, 8, 100, 1023, 1024, 10**6, 2**40], size=n
+        ).tolist()
+        strata[f"g{g}"] = vals
+        rows += [(int(v), f"g{g}") for v in vals]
+    df = spark.createDataFrame(rows, "v: long, g: string")
+    got = {
+        (r["g"], r["pct"]): r["bucket"]
+        for r in sk.histogram_quantiles(
+            sk.log2_histogram(df, "v", "g"), strata_col="g"
+        ).collect()
+    }
+
+    def blen(v):
+        return 0 if v <= 0 else int(v).bit_length()
+
+    for g, vals in strata.items():
+        n = len(vals)
+        for pct in (50, 90, 99):
+            need = -(-pct * n // 100)  # ceil
+            b = got[(g, pct)]
+            assert sum(1 for v in vals if blen(v) <= b) >= need
+            assert sum(1 for v in vals if blen(v) <= b - 1) < need
+
+
 def test_histogram_quantiles_readoff(spark):
     # stratum "a": buckets 1×b0, 1×b1, 2×b2 (total 4); stratum "b":
     # 1×b3, 1×b4, 1×b10 (total 3) — hand-check the ceil inequality.
