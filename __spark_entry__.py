@@ -893,6 +893,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(e, iterations=PR_ITER)
 
 
+PPR_SEEDS = 3
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on the top-degree entities
+    (query-biased salience for local search; unrolled-CTE oracle)."""
+    from knowledge_graph_spark.operators.graphops import node_degrees, ppr_int
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    seeds = (
+        node_degrees(e)
+        .orderBy(F.col("degree").desc(), "title")
+        .limit(PPR_SEEDS)
+        .select("title")
+    )
+    return ppr_int(e, seeds, iterations=PR_ITER)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-modularity decomposition of the LPA partition — the
+    clustering-quality audit for the K2 replacement (pure int64:
+    contrib_num = 4·m·e_c − d_c², Q = Σ contrib_num / 4m²)."""
+    from knowledge_graph_spark.operators.graphops import modularity_profile
+
+    s = _stages(spark, sf_dir)
+    comm = label_propagation(s["nodes"], s["edges"]).select("title", "community")
+    return modularity_profile(s["edges"].select("source", "target"), comm)
+
+
 NJ_TAU = 0.5
 
 
@@ -2486,6 +2515,104 @@ pr_r{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _ppr_body(rounds: int = PR_ITER, n_seeds: int = PPR_SEEDS) -> str:
+    """Unrolled fixed-round personalized PageRank — mirrors
+    graphops.ppr_int bit-for-bit.  Seeds = top-``n_seeds`` entities from
+    the prelude's ``degrees`` CTE (degree DESC, title ASC), the same
+    deterministic pick q_ppr makes Spark-side."""
+    from knowledge_graph_spark.operators.graphops import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    parts = [
+        f"""
+, pp_sym AS MATERIALIZED (
+  SELECT source AS u, target AS v FROM kg_edges
+  UNION ALL
+  SELECT target AS u, source AS v FROM kg_edges
+),
+pp_seeds AS MATERIALIZED (
+  SELECT title FROM degrees ORDER BY degree DESC, title LIMIT {n_seeds}
+),
+pp_ns AS (SELECT CAST(count(*) AS BIGINT) AS s FROM pp_seeds),
+pp_nodes AS MATERIALIZED (
+  SELECT n.title, CASE WHEN se.title IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM (SELECT DISTINCT u AS title FROM pp_sym) n
+  LEFT JOIN pp_seeds se ON n.title = se.title
+),
+pp_adj AS MATERIALIZED (
+  SELECT e.u, e.v, o.outdeg
+  FROM pp_sym e JOIN (SELECT u, CAST(count(*) AS BIGINT) AS outdeg
+                      FROM pp_sym GROUP BY u) o ON e.u = o.u
+),
+pp_r0 AS MATERIALIZED (
+  SELECT title, CAST(CASE WHEN is_seed = 1
+                          THEN (SELECT {PR_SCALE} // s FROM pp_ns)
+                          ELSE 0 END AS BIGINT) AS rank_scaled
+  FROM pp_nodes
+)"""
+    ]
+    base = (
+        f"(SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) "
+        f"// ({PR_DAMP_DEN} * s) FROM pp_ns)"
+    )
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+pp_c{k} AS MATERIALIZED (
+  SELECT a.v, CAST(sum((r.rank_scaled * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * a.outdeg))
+                   AS BIGINT) AS inflow
+  FROM pp_adj a JOIN pp_r{k - 1} r ON r.title = a.u GROUP BY a.v
+),
+pp_r{k} AS MATERIALIZED (
+  SELECT n.title,
+         CAST(CASE WHEN n.is_seed = 1 THEN {base} ELSE 0 END
+              + coalesce(c.inflow, 0) AS BIGINT) AS rank_scaled
+  FROM pp_nodes n LEFT JOIN pp_c{k} c ON c.v = n.title
+)"""
+        )
+    parts.append(f"\nSELECT title, rank_scaled FROM pp_r{rounds}\n")
+    return "".join(parts)
+
+
+def _mod_body() -> str:
+    """Modularity decomposition of the LPA partition — exact int64
+    arithmetic over the same unrolled-LPA community labels."""
+    return f"""
+, md_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+md_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('md_nodes', 'md_sym', 'md_')}
+, md_comm AS MATERIALIZED (
+  SELECT node AS title, label AS community FROM md_l{LPA_MAX_ITER}
+),
+md_m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM kg_edges),
+md_pn AS (
+  SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d.degree) AS BIGINT) AS deg_sum
+  FROM degrees d JOIN md_comm c USING (title) GROUP BY c.community
+),
+md_ein AS (
+  SELECT ca.community, CAST(count(*) AS BIGINT) AS e_in
+  FROM kg_edges e
+  JOIN md_comm ca ON e.source = ca.title
+  JOIN md_comm cb ON e.target = cb.title AND ca.community = cb.community
+  GROUP BY ca.community
+)
+SELECT p.community, p.n_nodes,
+       CAST(coalesce(i.e_in, 0) AS BIGINT) AS e_in, p.deg_sum,
+       CAST(4 * m.m_edges * coalesce(i.e_in, 0) - p.deg_sum * p.deg_sum
+            AS BIGINT) AS contrib_num,
+       m.m_edges
+FROM md_pn p LEFT JOIN md_ein i ON p.community = i.community CROSS JOIN md_m m
+"""
+
+
 def _lpa_body() -> str:
     return f"""
 , lpa_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
@@ -3070,6 +3197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_words": q_bloom_words,
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
+        "ppr_entities": q_ppr,
+        "modularity": q_modularity,
         "triangles": q_triangles,
         "node_jaccard": q_node_jaccard,
         "exact_dedup": q_exact_dedup,
@@ -3485,6 +3614,8 @@ GROUP BY lang, pct
             FROM dj
             """),
         "pagerank": _oracle(_pr_body()),
+        "ppr_entities": _oracle(_ppr_body()),
+        "modularity": _oracle(_mod_body()),
         "triangles": _oracle(f"""
 , tr_ab AS MATERIALIZED (SELECT source AS a, target AS b FROM kg_edges),
 tr AS (

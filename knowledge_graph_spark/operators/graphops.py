@@ -451,3 +451,168 @@ def cooccurrence_edges(
             .alias("lift_micro"),
         )
     )
+
+
+MOD_SCALE = 10**6
+
+
+def modularity_profile(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity decomposition of a node partition →
+    (community, n_nodes, e_in, deg_sum, contrib_num, m_edges).
+
+    Partition-quality metric for the LPA communities (the reference has
+    no clustering-quality stage; this is the standard audit for K2's
+    replacement).  Q = Σ_c [e_c/m − (d_c/2m)²]; with integer inputs the
+    per-community numerator over the common denominator 4m² is
+    ``contrib_num = 4·m·e_c − d_c²`` — pure int64 arithmetic, so the
+    DuckDB oracle matches bit-for-bit and Q = Σ contrib_num / (4m²) is
+    recoverable exactly.  Unweighted by design (edge weights are floats;
+    integer exactness wins — documented deviation from weighted Q).
+
+    int64 bound: d_c ≤ 2m ⇒ contrib_num ≤ 4m²; exact while m ≤ 1.5e9
+    edges.  Beyond that switch the two products to decimal(38,0) — same
+    expression shape on both engines.
+
+    Scale shape: one groupBy per side — degrees (explode endpoints,
+    map-side partial count), then two broadcast-able joins of the
+    |V|-sized community map onto edges/degrees and a |C|-keyed groupBy.
+    No shuffle carries more than |E| rows; the scalar m rides a
+    broadcast 1-row frame.
+    """
+    comm = communities.select(F.col("title"), F.col("community"))
+    deg = node_degrees(edges)  # (title, degree), undirected convention
+    m = edges.agg(F.count("*").cast("bigint").alias("m_edges"))
+    per_node = (
+        deg.join(comm, "title")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("degree").cast("bigint").alias("deg_sum"),
+        )
+    )
+    e_in = (
+        edges.select("source", "target")
+        .join(comm.select(F.col("title").alias("source"), F.col("community").alias("_cs")), "source")
+        .join(comm.select(F.col("title").alias("target"), F.col("community").alias("_ct")), "target")
+        .filter(F.col("_cs") == F.col("_ct"))
+        .groupBy(F.col("_cs").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("e_in"))
+    )
+    return (
+        per_node.join(e_in, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "deg_sum",
+            (
+                F.lit(4) * F.col("m_edges") * F.coalesce("e_in", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .cast("bigint")
+            .alias("contrib_num"),
+            "m_edges",
+        )
+    )
+
+
+def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Scalar modularity → one row (m_edges, n_communities, q_micro) with
+    q_micro = floor(1e6 · Σ contrib_num / (4m²)) — single integer floor
+    division at the very end, exact on both engines."""
+    prof = modularity_profile(edges, communities)
+    return prof.groupBy().agg(
+        F.max("m_edges").cast("bigint").alias("m_edges"),
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.expr(f"CAST(({MOD_SCALE} * sum(contrib_num)) DIV (4 * max(m_edges) * max(m_edges)) AS BIGINT)").alias(
+            "q_micro"
+        ),
+    )
+
+
+def ppr_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    damping_num: int = PR_DAMP_NUM,
+    damping_den: int = PR_DAMP_DEN,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Fixed-round personalized PageRank: teleport mass concentrated on
+    ``seeds`` (title column) instead of uniform → (title, rank_scaled).
+
+    Query-biased entity salience for local search (GraphRAG-style: seed
+    on the conversation's matched entities, rank the neighborhood) —
+    same exact-integer discipline as :func:`pagerank_int` so a
+    fixed-round unrolled SQL oracle reproduces every value bit-for-bit.
+
+    Per round: rank'(v) = [v ∈ S]·floor(scale·(1−d)/|S|) +
+    Σ_{u→v} (rank(u)·85) DIV (100·outdeg(u)); init = scale DIV |S| on
+    seeds, 0 elsewhere.  Dangling/quantized mass drops, as in
+    pagerank_int.
+
+    Scale shape identical to pagerank_int (the seed flag is one
+    broadcast join onto the node set, resolved once before the loop).
+    """
+    e = edges.select(F.col("source").alias("u"), F.col("target").alias("v"))
+    if symmetric:
+        e = e.unionByName(
+            edges.select(F.col("target").alias("u"), F.col("source").alias("v"))
+        )
+    e = e.persist()
+    nodes = (
+        e.select(F.col("u").alias("title"))
+        .unionByName(e.select(F.col("v").alias("title")))
+        .distinct()
+    )
+    seed_flag = F.broadcast(
+        seeds.select(F.col("title")).distinct().withColumn("_seed", F.lit(1))
+    )
+    nodes = nodes.join(seed_flag, "title", "left").select(
+        "title", F.coalesce("_seed", F.lit(0)).alias("is_seed")
+    ).persist()
+    s = nodes.filter(F.col("is_seed") == 1).count()
+    if s == 0:
+        raise ValueError("ppr_int: no seed overlaps the edge set")
+    outdeg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("outdeg"))
+    adj = e.join(outdeg, "u").persist()
+    base = (scale * (damping_den - damping_num)) // (damping_den * s)
+    init = scale // s
+    ranks = nodes.select(
+        "title",
+        F.when(F.col("is_seed") == 1, F.lit(init))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank_scaled"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            adj.join(ranks.select(F.col("title").alias("u"), "rank_scaled"), "u")
+            .select(
+                F.col("v"),
+                F.expr(
+                    f"(rank_scaled * {damping_num}) DIV ({damping_den} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["title"] == contrib["v"], "left")
+            .select(
+                "title",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    adj.unpersist()
+    nodes.unpersist()
+    return ranks
