@@ -1181,6 +1181,19 @@ def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EA_SIGMA = 3
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume spike detection: integer 3-sigma test over the
+    hourly per-type counts ((n·x − Σx)² > 9·(n·Σx² − (Σx)²) — no sqrt,
+    no float variance, exact both engines)."""
+    from knowledge_graph_spark.operators.temporal import hourly_anomalies
+
+    load_views(spark, sf_dir)
+    return hourly_anomalies(spark.table("events"), sigma=EA_SIGMA)
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_graph_spark.operators.sessions import session_stats
 
@@ -3225,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "events_asof": q_events_asof,
         "event_hourly": q_event_hourly,
+        "event_anomaly": q_event_anomaly,
     }
 
 
@@ -3837,6 +3851,31 @@ GROUP BY source, target
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+            """
+        ),
+        "event_anomaly": _oracle(
+            f"""
+            , ea_counts AS (
+              SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+                     event_type, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            ea_moments AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_w,
+                     CAST(sum(n_events) AS BIGINT) AS sum_x,
+                     CAST(sum(n_events * n_events) AS BIGINT) AS sum_x2
+              FROM ea_counts GROUP BY event_type
+            )
+            SELECT c.window_start_us, c.event_type, c.n_events,
+                   CAST((m.n_w * c.n_events - m.sum_x)
+                        * (m.n_w * c.n_events - m.sum_x) AS BIGINT) AS dev_num,
+                   CAST({EA_SIGMA * EA_SIGMA}
+                        * (m.n_w * m.sum_x2 - m.sum_x * m.sum_x) AS BIGINT) AS bound_num,
+                   (m.n_w * c.n_events - m.sum_x)
+                     * (m.n_w * c.n_events - m.sum_x)
+                     > {EA_SIGMA * EA_SIGMA} * (m.n_w * m.sum_x2 - m.sum_x * m.sum_x)
+                     AS is_anomaly
+            FROM ea_counts c JOIN ea_moments m USING (event_type)
             """
         ),
     }

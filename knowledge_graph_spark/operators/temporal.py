@@ -164,3 +164,62 @@ def edge_time_ranges(raw_records: DataFrame, transcripts: DataFrame) -> DataFram
             F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
         )
     )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    dims: list[str] | None = None,
+    sigma: int = 3,
+) -> DataFrame:
+    """Volume-spike detection over the tumbling-window counts →
+    (window_start_us, *dims, n_events, dev_num, bound_num, is_anomaly).
+
+    The standard ingest-quality monitor (a crawler stall or a runaway
+    producer shows up as an hourly-count outlier) in exact integer
+    arithmetic: for each dim group with per-window counts x_1..x_n the
+    z-test |x − mean| > sigma·std is equivalent — after multiplying
+    through by n² — to
+
+        (n·x − Σx)²  >  sigma² · (n·Σx² − (Σx)²)
+
+    which is pure int64, so the DuckDB oracle matches bit-for-bit (no
+    sqrt, no float variance).  ``dev_num`` and ``bound_num`` are the two
+    sides of that inequality.
+
+    int64 bound: n·Σx² must stay < 2^63 — holds while
+    n_windows·max_count² ≤ 9.2e18 (e.g. 10k windows of ≤ 30M events);
+    beyond that, pre-aggregate to coarser windows or go decimal(38,0) —
+    same expression shape on both engines.
+
+    Scale shape: one groupBy for the rollup (map-side partial), then the
+    per-dim moment aggregation is |windows|-sized — tiny — and rejoins
+    the rollup on the dim key (broadcast).  No per-row window functions.
+    """
+    dims = dims if dims is not None else ["event_type"]
+    counts = window_rollup(events, width, ts_col=ts_col, dims=dims).select(
+        "window_start_us", *dims, "n_events"
+    )
+    moments = counts.groupBy(*dims).agg(
+        F.count("*").cast("bigint").alias("n_w"),
+        F.sum("n_events").cast("bigint").alias("sum_x"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("sum_x2"),
+    )
+    dev = F.col("n_w") * F.col("n_events") - F.col("sum_x")
+    dev_num = (dev * dev).cast("bigint")
+    bound_num = (
+        F.lit(sigma * sigma)
+        * (F.col("n_w") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x"))
+    ).cast("bigint")
+    return (
+        counts.join(F.broadcast(moments), dims)
+        .select(
+            "window_start_us",
+            *dims,
+            F.col("n_events").cast("bigint").alias("n_events"),
+            dev_num.alias("dev_num"),
+            bound_num.alias("bound_num"),
+            (dev_num > bound_num).alias("is_anomaly"),
+        )
+    )
