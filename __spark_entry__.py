@@ -760,6 +760,24 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_top_terms(_docs(spark, sf_dir), k_top=TT_K)
 
 
+BM25_QUERIES = [
+    (1, ["merge", "join", "spark"]),
+    (2, ["stream", "window", "batch"]),
+    (3, ["dup", "slow"]),
+]
+BM25_SEARCH_K = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the document corpus for a fixed query
+    set (odds-ratio IDF — exact integer ratio in one double chain)."""
+    from knowledge_graph_spark.operators.keywords import bm25_search
+
+    terms = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
+    q = spark.createDataFrame(terms, "query_id int, term string")
+    return bm25_search(_docs(spark, sf_dir), q, k_top=BM25_SEARCH_K)
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary with two-phase dense token ids."""
     from knowledge_graph_spark.operators.corpus import build_vocab
@@ -1872,6 +1890,43 @@ SELECT doc_id, term, tf, df, idf_bits, score_micro,
                                ORDER BY score_micro DESC, term) AS INT) AS rk
 FROM scored WHERE idf_bits > 0
 QUALIFY rk <= {TT_K}
+"""
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+)
+
+_BM25_SEARCH_SQL = f"""
+WITH {_DTOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM dtoks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+qterms(query_id, term) AS (VALUES {_BM25_VALUES}),
+matched AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(({SCORE_SCALE}.0
+               * (CAST(2 * g.n_docs - 2 * dfreq.df + 1 AS DOUBLE)
+                  / CAST(2 * dfreq.df + 1 AS DOUBLE)))
+              * ((CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                 / (CAST(tf.tf AS DOUBLE)
+                    + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                     + {BM25_B!r} * CAST(dl.dl * g.n_docs AS DOUBLE)
+                                       / CAST(g.total_len AS DOUBLE)))))
+              AS BIGINT) AS c
+  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id)
+  JOIN dfreq USING (term) CROSS JOIN g
+),
+bm_agg AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(sum(c) AS BIGINT) AS score_micro
+  FROM matched GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id, n_hit_terms, score_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_micro DESC, doc_id) AS INT) AS rk
+FROM bm_agg QUALIFY rk <= {BM25_SEARCH_K}
 """
 
 _VOCAB_SQL = f"""
@@ -3198,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans,
         "semantic_dedup_km": q_semantic_dedup_km,
         "top_terms": q_top_terms,
+        "bm25_search": q_bm25_search,
         "vocab": q_vocab,
         "cooccur": q_cooccur,
         "node_diff": q_node_diff,
@@ -3553,6 +3609,7 @@ FROM c
         "kmeans_cells": _KMEANS_SQL,
         "semantic_dedup_km": _SEMANTIC_DEDUP_KM_SQL,
         "top_terms": _TOP_TERMS_SQL,
+        "bm25_search": _BM25_SEARCH_SQL,
         "vocab": _VOCAB_SQL,
         "hll_tokens": _HLL_SQL,
         "cms_counts": _CMS_SQL,

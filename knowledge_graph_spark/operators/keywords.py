@@ -49,6 +49,25 @@ def doc_term_freq(
     )
 
 
+def _idf_bits_col() -> F.Column:
+    """floor(log2(n_docs // df)) as pure integer bit-length."""
+    return (F.length(F.bin(F.expr("n_docs DIV df"))) - 1).cast("bigint")
+
+
+def _satur_col() -> F.Column:
+    """The BM25 saturation chain — identical op order on the SQL side."""
+    return (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B)
+            * (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("total_len").cast("double")
+        )
+    )
+
+
 def bm25_top_terms(
     docs: DataFrame,
     k_top: int = 5,
@@ -69,20 +88,8 @@ def bm25_top_terms(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
-    idf_bits = (
-        F.length(F.bin(F.expr("n_docs DIV df"))) - 1
-    ).cast("bigint")
-    # the saturation chain: identical op order on the SQL side
-    satur = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf").cast("double")
-        + F.lit(BM25_K1)
-        * (
-            F.lit(1.0 - BM25_B)
-            + F.lit(BM25_B)
-            * (F.col("dl") * F.col("n_docs")).cast("double")
-            / F.col("total_len").cast("double")
-        )
-    )
+    idf_bits = _idf_bits_col()
+    satur = _satur_col()
     scored = (
         tf.join(dl, "doc_id")
         .join(dfreq, "term")
@@ -108,3 +115,74 @@ def bm25_top_terms(
         .filter(F.col("rk") <= k_top)
     )
     return out
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k_top: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k_top`` documents per query →
+    (query_id, doc_id, n_hit_terms, score_micro, rk).
+
+    ``query_terms`` is the tokenized query table (query_id, term) —
+    distinct terms per query.  Score = Σ over matched terms of a
+    micro-floored per-term contribution; each term's contribution is
+    floored to int64 BEFORE the sum, so the document score is an
+    order-independent integer sum and the DuckDB oracle matches
+    bit-for-bit.  Ties rank by doc_id ascending.
+
+    IDF here is Robertson's odds ratio WITHOUT the log:
+    (n − df + ½)/(df + ½) = (2n − 2df + 1)/(2df + 1), an exact integer
+    ratio evaluated in one double division.  Per-term ranking is
+    monotone-identical to log-idf; the log is omitted because libm
+    rounding differs across engines while this stays bit-exact — and the
+    bit-length idf ``bm25_top_terms`` uses has zero resolution on a
+    corpus whose vocabulary is uniformly common (documented deviation
+    from Okapi; rare terms weigh linearly rather than logarithmically).
+
+    Scale shape: the query table is tiny and broadcast; joining it onto
+    tf FIRST prunes the per-document term table to |queries|·|docs hit|
+    rows before dl/df/g attach (df and dl still aggregate the full
+    corpus — two groupBys with map-side partials).  The final top-k is a
+    per-query window — parallel across queries, and bounded work because
+    only matching docs survive the semi-join.
+    """
+    tf = doc_term_freq(docs, id_col, text_col).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    g = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    q = F.broadcast(query_terms.select("query_id", "term").distinct())
+    idf_odds = (
+        (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+        / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+    )
+    matched = (
+        tf.join(q, "term")
+        .join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(F.lit(float(SCORE_SCALE)) * idf_odds * _satur_col())
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    agg = matched.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.sum("c").cast("bigint").alias("score_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k_top)
+    )
