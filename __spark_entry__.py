@@ -1227,6 +1227,59 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trace mining: first-order Markov transition counts over each
+    conversation's ordered tool-call sequence (^START marks entry)."""
+    from knowledge_graph_spark.operators.agent_trace import tool_transitions
+
+    return tool_transitions(transcripts_from_events(spark, sf_dir))
+
+
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation assistant response-latency profile in exact
+    integer microseconds (epoch-us lag subtraction, no float durations)."""
+    from knowledge_graph_spark.operators.agent_trace import turn_latency
+
+    return turn_latency(transcripts_from_events(spark, sf_dir))
+
+
+WIDEST_ROUNDS = 3
+
+
+def q_widest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min bottleneck path strength from the top-degree entity —
+    the evidential-support-weighted complement of bfs_hops (unrolled-CTE
+    oracle; seed strength is the integer stand-in for +inf)."""
+    from knowledge_graph_spark.operators.graphops import widest_paths
+
+    s = _stages(spark, sf_dir)
+    seed = (
+        s["degrees"].orderBy(F.desc("degree"), F.asc("title")).limit(1).select("title")
+    )
+    return widest_paths(
+        s["edges"].select("source", "target", "weight"), seed, rounds=WIDEST_ROUNDS
+    )
+
+
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion: Adamic-Adar common-neighbor scores for non-adjacent
+    entity pairs (integer bit-length weights — bit-exact cross-engine)."""
+    from knowledge_graph_spark.operators.graphops import adamic_adar_pairs
+
+    return adamic_adar_pairs(_stages(spark, sf_dir)["edges"])
+
+
+BPE_TOPK = 64
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round: corpus-wide adjacent-token-pair counts,
+    top-64 merge candidates under a tie-free total order."""
+    from knowledge_graph_spark.operators.corpus import merge_pair_counts
+
+    return merge_pair_counts(_docs(spark, sf_dir), k_top=BPE_TOPK)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the documents/embeddings queries.
 # ---------------------------------------------------------------------------
@@ -1938,6 +1991,19 @@ SELECT token, cnt,
 FROM counts
 """
 
+_BPE_PAIRS_SQL = f"""
+WITH {_DTOKS_CTE},
+bp AS (
+  SELECT t[ci] AS left_tok, t[ci + 1] AS right_tok
+  FROM dtoks, LATERAL unnest(range(1, len(t))) u(ci)
+  WHERE len(t) >= 2
+)
+SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS n_pairs
+FROM bp GROUP BY left_tok, right_tok
+ORDER BY n_pairs DESC, left_tok, right_tok
+LIMIT {BPE_TOPK}
+"""
+
 
 # ---------------------------------------------------------------------------
 # SQL mirrors of the deterministic hash family (functions/hashing.py):
@@ -2581,6 +2647,109 @@ pr_r{k} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT title, rank_scaled FROM pr_r{rounds}\n")
     return "".join(parts)
+
+
+def _wp_body(rounds: int = WIDEST_ROUNDS) -> str:
+    """Unrolled fixed-round widest-path (max-min bottleneck) from the
+    top-degree seed — mirrors graphops.widest_paths bit-for-bit (int64
+    edge weights; seed strength WIDEST_SEED_STRENGTH stands in for +inf).
+    AS MATERIALIZED: each round references the previous twice."""
+    from knowledge_graph_spark.operators.graphops import WIDEST_SEED_STRENGTH
+
+    parts = [
+        f"""
+, wp_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS BIGINT) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS BIGINT) AS w FROM kg_edges
+),
+wp_adj AS MATERIALIZED (SELECT a, b, max(w) AS w FROM wp_sym GROUP BY a, b),
+wp_s0 AS MATERIALIZED (
+  SELECT title, CAST({WIDEST_SEED_STRENGTH} AS BIGINT) AS strength
+  FROM (SELECT title FROM degrees ORDER BY degree DESC, title LIMIT 1)
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+wp_s{k} AS MATERIALIZED (
+  SELECT title, CAST(max(strength) AS BIGINT) AS strength FROM (
+    SELECT title, strength FROM wp_s{k - 1}
+    UNION ALL
+    SELECT a.b AS title, least(s.strength, a.w) AS strength
+    FROM wp_s{k - 1} s JOIN wp_adj a ON a.a = s.title
+  ) GROUP BY title
+)"""
+        )
+    parts.append(f"\nSELECT title, strength FROM wp_s{rounds}\n")
+    return "".join(parts)
+
+
+_AA_BODY = """
+, aa_sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM kg_edges
+    UNION ALL
+    SELECT target AS a, source AS b FROM kg_edges
+  )
+),
+aa_w AS MATERIALIZED (
+  SELECT a AS z,
+         CAST(floor(1000000 / greatest(length(bin(CAST(count(*) AS BIGINT))) - 1, 1))
+              AS BIGINT) AS w_micro
+  FROM aa_sym GROUP BY a
+),
+aa_sc AS (
+  SELECT x.a AS title_a, y.a AS title_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w.w_micro) AS BIGINT) AS aa_micro
+  FROM aa_sym x
+  JOIN aa_sym y ON x.b = y.b AND x.a < y.a
+  JOIN aa_w w ON w.z = x.b
+  GROUP BY x.a, y.a
+),
+aa_ex AS (
+  SELECT DISTINCT least(source, target) AS title_a,
+                  greatest(source, target) AS title_b
+  FROM kg_edges
+)
+SELECT s.title_a, s.title_b, s.n_common, s.aa_micro
+FROM aa_sc s LEFT JOIN aa_ex e
+  ON s.title_a = e.title_a AND s.title_b = e.title_b
+WHERE e.title_a IS NULL
+"""
+
+_TOOL_TRANS_BODY = """
+, tt_calls AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts
+  WHERE role = 'tool' AND tool <> ''
+),
+tt_seq AS (
+  SELECT conv_id, tool,
+         coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '^START') AS prev_tool
+  FROM tt_calls
+)
+SELECT prev_tool, tool,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM tt_seq GROUP BY prev_tool, tool
+"""
+
+_TURN_LATENCY_BODY = """
+, tl AS (
+  SELECT conv_id, role, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_us
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(ts_us - prev_us) AS BIGINT) AS total_wait_us,
+       CAST(max(ts_us - prev_us) AS BIGINT) AS max_wait_us
+FROM tl WHERE role = 'assistant' AND prev_us IS NOT NULL
+GROUP BY conv_id
+"""
 
 
 def _ppr_body(rounds: int = PR_ITER, n_seeds: int = PPR_SEEDS) -> str:
@@ -3292,6 +3461,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
         "sessions": q_sessions,
+        "tool_transitions": q_tool_transitions,
+        "turn_latency": q_turn_latency,
+        "widest_paths": q_widest_paths,
+        "link_pred": q_link_pred,
+        "bpe_pairs": q_bpe_pairs,
         "events_asof": q_events_asof,
         "event_hourly": q_event_hourly,
         "event_anomaly": q_event_anomaly,
@@ -3685,6 +3859,11 @@ GROUP BY lang, pct
             FROM dj
             """),
         "pagerank": _oracle(_pr_body()),
+        "widest_paths": _oracle(_wp_body()),
+        "link_pred": _oracle(_AA_BODY),
+        "tool_transitions": _oracle(_TOOL_TRANS_BODY),
+        "turn_latency": _oracle(_TURN_LATENCY_BODY),
+        "bpe_pairs": _BPE_PAIRS_SQL,
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),
         "triangles": _oracle(f"""

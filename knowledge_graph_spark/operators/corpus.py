@@ -347,3 +347,45 @@ def snapshot_diff(
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
     )
+
+
+def merge_pair_counts(
+    docs: DataFrame, k_top: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """One BPE training round: corpus-wide adjacent-token-pair counts →
+    the ``k_top`` best merge candidates (left_tok, right_tok, n_pairs).
+
+    Byte-pair-encoding tokenizer training (Sennrich et al. 2016) is
+    repeated rounds of "count all adjacent symbol pairs, merge the most
+    frequent"; this is that counting round over the same normalized
+    whitespace tokens as ``build_vocab``, so the two tables together are
+    the tokenizer-bootstrap statistics (vocab + first merge table).
+
+    Determinism: the top-k total order is (n_pairs DESC, left ASC, right
+    ASC) — no ties survive, so the row SET is stable and hash-checkable.
+
+    Scale shape: pairs explode ~1:1 with tokens (n−1 pairs per doc); the
+    (left,right) groupBy partial-aggregates the Zipf head map-side like
+    unigram_counts, and the global top-k is orderBy().limit() —
+    TakeOrderedAndProject, a per-partition heap + driver merge of k·P
+    rows, never a single-partition sort.
+    """
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    toks = widen(docs).select(
+        ws_tokens_col(normalized_text(F.col(text_col))).alias("t")
+    ).filter(F.size("t") >= 2)
+    # F.sequence(1, 0) would be DESCENDING — the size filter guards it.
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS l, t[i] AS r))")
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("left_tok"), F.asc("right_tok"))
+        .limit(k_top)
+    )

@@ -616,3 +616,134 @@ def ppr_int(
     adj.unpersist()
     nodes.unpersist()
     return ranks
+
+
+WIDEST_SEED_STRENGTH = 1 << 40
+
+
+def widest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "source",
+    dst: str = "target",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Max-min bottleneck path strength from a seed set → (title,
+    strength) for every node reachable within ``rounds`` hops.
+
+    The "how strongly is X connected to the hub" query: a path's strength
+    is its weakest edge weight, and a node's strength is the best path's.
+    This is the widest-path / bottleneck shortest-path problem — the
+    weighted complement of ``bfs_hops`` (reference local_search pulls an
+    unweighted 1-hop ball; edge weights are the reference's assertion
+    counts, graph_extractor.py:248-290, so bottleneck strength ranks the
+    ball by evidential support).  The update is monotone and idempotent
+    at fixpoint,
+
+        s_k(v) = max(s_{k-1}(v), max over (u,v,w) of least(s_{k-1}(u), w))
+
+    so a fixed-round unroll is oracle-checkable exactly like pagerank_int
+    (extra rounds past convergence are no-ops).  Edge weights are the
+    merge stage's summed assertion counts — integer-valued doubles — cast
+    to int64, so every strength is exact cross-engine.  Seeds carry
+    ``WIDEST_SEED_STRENGTH`` (above any achievable edge weight), the
+    integer stand-in for +inf.
+
+    Scale shape: per round ONE equi-join of the frontier against the
+    symmetrized adjacency plus a max-aggregate — the Pregel-on-DataFrames
+    round; hot hubs split via AQE skew handling.  localCheckpoint caps
+    plan growth across rounds.
+    """
+    e = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    strength = seeds.select(
+        "title", F.lit(WIDEST_SEED_STRENGTH).cast("bigint").alias("strength")
+    )
+    for _ in range(rounds):
+        step = strength.join(adj, strength["title"] == adj["a"]).select(
+            F.col("b").alias("title"),
+            F.least(F.col("strength"), F.col("w")).alias("strength"),
+        )
+        strength = (
+            strength.unionByName(step)
+            .groupBy("title")
+            .agg(F.max("strength").cast("bigint").alias("strength"))
+            .localCheckpoint(eager=False)
+        )
+    return strength
+
+
+AA_SCALE = 10**6
+
+
+def adamic_adar_pairs(
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction over the KG: Adamic–Adar-style common-neighbor
+    scoring for NON-adjacent node pairs → (title_a, title_b, n_common,
+    aa_micro).
+
+    Adamic & Adar (2003) weight each common neighbor z by 1/log(deg z) —
+    shared rare neighbors are stronger evidence than shared hubs.  The
+    integer-exact convention of bm25_top_terms replaces the log:
+    each z contributes floor(1e6 / bitlen(deg z)) with
+    bitlen = length(bin(deg)) − 1 = floor(log2 deg); a common neighbor
+    has deg ≥ 2 so bitlen ≥ 1 — no zero division.  Scores are pure int64,
+    bit-identical in the DuckDB oracle.
+
+    Predicted links (the output) are wedges whose endpoints are NOT
+    already connected — the "suggest a missing relationship" view used
+    for KG completion and extractor-recall auditing.
+
+    Scale shape: the wedge join is the triangle_profile plan — pairs share
+    a blocking key (the common neighbor), never a cross join.  A hub of
+    degree d emits d(d−1)/2 wedges; ``max_center_degree`` excludes
+    super-hub centers from wedge generation (standard degree-capped
+    Adamic-Adar — a hub's 1/log weight is negligible anyway), bounding
+    the quadratic blowup at scale.  The final existing-edge check is a
+    left-anti equi-join on the canonical pair.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = adj.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
+    # greatest(.,1): a COMMON neighbor always has deg >= 2 (bitlen >= 1),
+    # but the expression is evaluated for deg-1 nodes too before the join
+    # prunes them — guard the division rather than rely on plan order.
+    centers = deg.select(
+        F.col("a").alias("z"),
+        F.floor(
+            F.lit(AA_SCALE) / F.greatest(F.length(F.bin(F.col("deg"))) - 1, F.lit(1))
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+        "deg",
+    )
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_center_degree)
+    wedges = (
+        adj.select(F.col("b").alias("z"), F.col("a").alias("title_a"))
+        .join(adj.select(F.col("b").alias("z"), F.col("a").alias("title_b")), "z")
+        .filter(F.col("title_a") < F.col("title_b"))
+        .join(centers.select("z", "w_micro"), "z")
+        .groupBy("title_a", "title_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        )
+    )
+    existing = e.select(
+        F.least("a", "b").alias("title_a"), F.greatest("a", "b").alias("title_b")
+    ).distinct()
+    return wedges.join(existing, ["title_a", "title_b"], "left_anti")

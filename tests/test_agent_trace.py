@@ -1,0 +1,157 @@
+"""Agent-trace analytics (agent_trace.py) + the session-5 graph/corpus
+operators (widest_paths, adamic_adar_pairs, merge_pair_counts).
+
+Each operator is replayed in pure Python over the same small input and
+compared exactly — the unit-level analogue of the DuckDB gate oracles.
+"""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_spark.operators.agent_trace import (
+    tool_transitions,
+    turn_latency,
+)
+from knowledge_graph_spark.operators.corpus import merge_pair_counts
+from knowledge_graph_spark.operators.graphops import (
+    AA_SCALE,
+    WIDEST_SEED_STRENGTH,
+    adamic_adar_pairs,
+    widest_paths,
+)
+
+# (conv_id, turn_idx, role, text, tool, ts_sec): two conversations with
+# interleaved tool calls; c2's lone tool call checks the ^START-only path.
+TURNS = [
+    ("c1", 0, "user", "hi", "", 100),
+    ("c1", 1, "assistant", "hello", "", 107),
+    ("c1", 2, "tool", "r", "search", 110),
+    ("c1", 3, "tool", "r", "fetch", 118),
+    ("c1", 4, "assistant", "done", "", 130),
+    ("c1", 5, "tool", "r", "search", 131),
+    ("c2", 0, "assistant", "first-turn, no predecessor", "", 50),
+    ("c2", 1, "tool", "r", "fetch", 64),
+    ("c2", 2, "assistant", "ok", "", 99),
+]
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = [(c, i, r, x, tl, ts) for c, i, r, x, tl, ts in TURNS]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_sec long",
+    ).withColumn("ts", F.timestamp_seconds("ts_sec"))
+
+
+def test_tool_transitions(spark, transcripts):
+    got = {
+        (r.prev_tool, r.tool): (r.n_transitions, r.n_convs)
+        for r in tool_transitions(transcripts).collect()
+    }
+    assert got == {
+        ("^START", "search"): (1, 1),
+        ("search", "fetch"): (1, 1),
+        ("fetch", "search"): (1, 1),
+        ("^START", "fetch"): (1, 1),
+    }
+
+
+def test_turn_latency(spark, transcripts):
+    got = {
+        r.conv_id: (r.n_responses, r.total_wait_us, r.max_wait_us)
+        for r in turn_latency(transcripts).collect()
+    }
+    # c1: waits 7s (t1) and 12s (t4); c2: 35s (t2) — t0 has no predecessor.
+    assert got == {
+        "c1": (2, 19_000_000, 12_000_000),
+        "c2": (1, 35_000_000, 35_000_000),
+    }
+
+
+WEDGES = [  # weighted path graph plus a triangle: a-b-c-d, b-d, d-e
+    ("a", "b", 5.0),
+    ("b", "c", 2.0),
+    ("c", "d", 7.0),
+    ("b", "d", 3.0),
+    ("d", "e", 1.0),
+]
+
+
+def _local_widest(edges, seed, rounds):
+    adj = defaultdict(dict)
+    for u, v, w in edges:
+        w = int(w)
+        adj[u][v] = max(adj[u].get(v, 0), w)
+        adj[v][u] = max(adj[v].get(u, 0), w)
+    s = {seed: WIDEST_SEED_STRENGTH}
+    for _ in range(rounds):
+        nxt = dict(s)
+        for u, su in s.items():
+            for v, w in adj[u].items():
+                cand = min(su, w)
+                if cand > nxt.get(v, -1):
+                    nxt[v] = cand
+        s = nxt
+    return s
+
+
+def test_widest_paths_matches_local_fixpoint(spark):
+    edges = spark.createDataFrame(WEDGES, "source string, target string, weight double")
+    seeds = spark.createDataFrame([("a",)], "title string")
+    for rounds in (1, 4):
+        got = {r.title: r.strength for r in widest_paths(edges, seeds, rounds).collect()}
+        assert got == _local_widest(WEDGES, "a", rounds)
+    # 4 rounds closes this graph: e's bottleneck is min over best path
+    got = {r.title: r.strength for r in widest_paths(edges, seeds, 4).collect()}
+    assert got["e"] == 1 and got["c"] == 3 and got["b"] == 5
+
+
+def test_adamic_adar_matches_local(spark):
+    edges = spark.createDataFrame(WEDGES, "source string, target string, weight double")
+    adj = defaultdict(set)
+    for u, v, _ in WEDGES:
+        adj[u].add(v)
+        adj[v].add(u)
+    expect = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            score = sum(
+                AA_SCALE // max(int(math.log2(len(adj[z]))), 1) for z in common
+            )
+            expect[(a, b)] = (len(common), score)
+    got = {
+        (r.title_a, r.title_b): (r.n_common, r.aa_micro)
+        for r in adamic_adar_pairs(edges).collect()
+    }
+    assert got == expect
+    # degree cap: centers above the cap contribute no wedges
+    capped = adamic_adar_pairs(edges, max_center_degree=2).collect()
+    assert all(r.n_common >= 1 for r in capped)
+    assert len(capped) <= len(got)
+
+
+def test_merge_pair_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "one"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = [(r.left_tok, r.right_tok, r.n_pairs) for r in merge_pair_counts(docs, 3).collect()]
+    counts = Counter()
+    for t in ("the cat sat", "the cat ran"):
+        toks = t.split()
+        counts.update(zip(toks, toks[1:]))
+    expect = sorted(
+        ((l, r, n) for (l, r), n in counts.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:3]
+    assert got == expect
