@@ -1280,6 +1280,33 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_pair_counts(_docs(spark, sf_dir), k_top=BPE_TOPK)
 
 
+HITS_ROUNDS = 3
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS over the DIRECTED raw relationship records — hubs
+    (relation sources) vs authorities (relation targets), signal the
+    canonical undirected KG erases (unrolled-CTE oracle)."""
+    from knowledge_graph_spark.operators.graphops import hits_int
+    from knowledge_graph_spark.operators.parse import (
+        parse_relationships,
+        split_records,
+    )
+
+    rel = parse_relationships(split_records(_stages(spark, sf_dir)["raw_records"]))
+    return hits_int(rel.select("source", "target"), rounds=HITS_ROUNDS)
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity decomposition of the KG (Newman 2002) — one
+    row of exact int64 moments; r = num/den (hub-to-hub vs hub-to-spoke
+    shape, the skew diagnostic behind join-strategy choices)."""
+    from knowledge_graph_spark.operators.graphops import assortativity_profile
+
+    s = _stages(spark, sf_dir)
+    return assortativity_profile(s["edges"], s["degrees"])
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles for the documents/embeddings queries.
 # ---------------------------------------------------------------------------
@@ -2719,6 +2746,76 @@ FROM aa_sc s LEFT JOIN aa_ex e
 WHERE e.title_a IS NULL
 """
 
+def _hits_body(rounds: int = HITS_ROUNDS) -> str:
+    """Unrolled fixed-round integer HITS over the directed rel_records —
+    mirrors graphops.hits_int bit-for-bit (each round rescales by
+    x DIV greatest(1, max(x) DIV 1e6); `//` ≡ Spark's DIV on positives).
+    AS MATERIALIZED: the normalizing max re-reads each round's table."""
+    from knowledge_graph_spark.operators.graphops import HITS_NORM_SCALE
+
+    parts = [
+        """
+, hits_e AS MATERIALIZED (SELECT source AS u, target AS v FROM rel_records),
+hits_nodes AS MATERIALIZED (
+  SELECT DISTINCT title FROM (
+    SELECT u AS title FROM hits_e UNION ALL SELECT v AS title FROM hits_e
+  )
+),
+hits_h0 AS MATERIALIZED (SELECT title, CAST(1 AS BIGINT) AS h FROM hits_nodes)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+hits_ar{k} AS MATERIALIZED (
+  SELECT e.v AS title, CAST(sum(h.h) AS BIGINT) AS x
+  FROM hits_e e JOIN hits_h{k - 1} h ON h.title = e.u GROUP BY e.v
+),
+hits_a{k} AS MATERIALIZED (
+  SELECT title, CAST(x // greatest(1, (SELECT max(x) FROM hits_ar{k})
+                                      // {HITS_NORM_SCALE}) AS BIGINT) AS a
+  FROM hits_ar{k}
+),
+hits_hr{k} AS MATERIALIZED (
+  SELECT e.u AS title, CAST(sum(a.a) AS BIGINT) AS x
+  FROM hits_e e JOIN hits_a{k} a ON a.title = e.v GROUP BY e.u
+),
+hits_h{k} AS MATERIALIZED (
+  SELECT title, CAST(x // greatest(1, (SELECT max(x) FROM hits_hr{k})
+                                      // {HITS_NORM_SCALE}) AS BIGINT) AS h
+  FROM hits_hr{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n.title,
+       CAST(coalesce(a.a, 0) AS BIGINT) AS authority,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hub
+FROM hits_nodes n
+LEFT JOIN hits_a{rounds} a ON a.title = n.title
+LEFT JOIN hits_h{rounds} h ON h.title = n.title
+"""
+    )
+    return "".join(parts)
+
+
+_ASSORT_BODY = """
+, as_deg AS (SELECT title, CAST(degree AS BIGINT) AS d FROM degrees),
+as_ends AS (
+  SELECT da.d AS j, db.d AS k
+  FROM kg_edges e
+  JOIN as_deg da ON e.source = da.title
+  JOIN as_deg db ON e.target = db.title
+),
+as_sym AS (SELECT j, k FROM as_ends UNION ALL SELECT k AS j, j AS k FROM as_ends)
+SELECT CAST(count(*) AS BIGINT) AS m_dir,
+       CAST(sum(j * k) AS BIGINT) AS sum_jk,
+       CAST(sum(j) AS BIGINT) AS sum_j,
+       CAST(sum(j * j) AS BIGINT) AS sum_j2,
+       CAST(count(*) * sum(j * k) - sum(j) * sum(j) AS BIGINT) AS num,
+       CAST(count(*) * sum(j * j) - sum(j) * sum(j) AS BIGINT) AS den
+FROM as_sym
+"""
+
 _TOOL_TRANS_BODY = """
 , tt_calls AS (
   SELECT conv_id, turn_idx, tool FROM transcripts
@@ -3464,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "turn_latency": q_turn_latency,
         "widest_paths": q_widest_paths,
+        "hits": q_hits,
+        "assortativity": q_assortativity,
         "link_pred": q_link_pred,
         "bpe_pairs": q_bpe_pairs,
         "events_asof": q_events_asof,
@@ -3860,6 +3959,8 @@ GROUP BY lang, pct
             """),
         "pagerank": _oracle(_pr_body()),
         "widest_paths": _oracle(_wp_body()),
+        "hits": _oracle(_hits_body()),
+        "assortativity": _oracle(_ASSORT_BODY),
         "link_pred": _oracle(_AA_BODY),
         "tool_transitions": _oracle(_TOOL_TRANS_BODY),
         "turn_latency": _oracle(_TURN_LATENCY_BODY),

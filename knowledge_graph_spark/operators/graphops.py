@@ -747,3 +747,133 @@ def adamic_adar_pairs(
         F.least("a", "b").alias("title_a"), F.greatest("a", "b").alias("title_b")
     ).distinct()
     return wedges.join(existing, ["title_a", "title_b"], "left_anti")
+
+
+HITS_NORM_SCALE = 10**6
+
+
+def _hits_norm(df: DataFrame, raw_col: str, out_col: str) -> DataFrame:
+    """Round normalization for hits_int: x DIV greatest(1, max(x) DIV 1e6)
+    — pins each round's top score near 1e6 in pure int64 (the integer
+    stand-in for HITS' L2 normalization; same dominant-eigenvector
+    fixpoint direction, exact cross-engine).  The scalar max rides a
+    broadcast 1-row frame."""
+    m = df.agg(F.max(raw_col).alias("__m"))
+    return (
+        df.join(F.broadcast(m))
+        .select(
+            "title",
+            F.expr(
+                f"CAST({raw_col} DIV greatest(1, __m DIV {HITS_NORM_SCALE}) AS BIGINT)"
+            ).alias(out_col),
+        )
+    )
+
+
+def hits_int(
+    rel_edges: DataFrame,
+    rounds: int = 3,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Fixed-round integer HITS (Kleinberg 1999) over the DIRECTED
+    relationship records → (title, authority, hub).
+
+    The canonical merged KG is undirected (least/greatest
+    canonicalization), but the extractor's raw relationship records keep
+    direction (reference graph_extractor.py:267-290 parses source→target
+    as written); HITS on that multigraph separates entities that POINT
+    (hubs: conversation subjects initiating relations) from entities
+    POINTED AT (authorities) — signal PageRank's symmetric walk erases.
+
+    All arithmetic is int64: hub scores start at 1, each half-round is
+    one equi-join + sum, and each round rescales by the round maximum
+    (``_hits_norm``) so values stay ~1e6 regardless of graph size — no
+    overflow at any scale (raw sums ≤ max_degree·1e6 ≤ 2^63 while
+    max_degree < 9.2e12) and no float normalization to drift
+    cross-engine.  Fixed rounds keep it oracle-unrollable; the rescale is
+    monotone-order-preserving, so ranks stabilize exactly like the
+    power iteration's.
+
+    Scale shape: two Pregel joins per round shuffling on node key; the
+    normalizing max is a 1-row broadcast.  localCheckpoint caps lineage.
+    """
+    e = rel_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("title"))
+        .unionByName(e.select(F.col("v").alias("title")))
+        .distinct()
+        .persist()
+    )
+    h = nodes.select("title", F.lit(1).cast("bigint").alias("h"))
+    a = None
+    for _ in range(rounds):
+        a_raw = (
+            e.join(h, e["u"] == h["title"])
+            .groupBy(F.col("v").alias("title"))
+            .agg(F.sum("h").cast("bigint").alias("x"))
+        )
+        a = _hits_norm(a_raw, "x", "a").localCheckpoint(eager=False)
+        h_raw = (
+            e.join(a, e["v"] == a["title"])
+            .groupBy(F.col("u").alias("title"))
+            .agg(F.sum("a").cast("bigint").alias("x"))
+        )
+        h = _hits_norm(h_raw, "x", "h").localCheckpoint(eager=False)
+    out = (
+        nodes.join(a, "title", "left")
+        .join(h, "title", "left")
+        .select(
+            "title",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        )
+    )
+    return out
+
+
+def assortativity_profile(edges: DataFrame, degrees: DataFrame) -> DataFrame:
+    """Degree-assortativity decomposition (Newman 2002) → ONE row
+    (m_dir, sum_jk, sum_j, sum_j2, num, den); r = num/den.
+
+    The graph-health scalar that says whether hubs link to hubs (r > 0,
+    social-network shape) or hubs link to leaves (r < 0, hub-and-spoke —
+    the shape that makes skew-aware join planning matter).  Over the
+    symmetrized edge-end degree pairs (j, k):
+
+        num = M·Σjk − (Σj)²      den = M·Σj² − (Σj)²
+
+    exactly Pearson's r numerator/denominator multiplied through by M²
+    (Σk = Σj and Σk² = Σj² by symmetry) — pure int64, no float moments,
+    so the oracle matches bit-for-bit.  int64 bound: M·Σj² < 2^63, i.e.
+    fine through ~10^9 edges of max degree ~10^6-ish; past that, the
+    same expression in decimal(38,0).
+
+    Scale shape: two broadcast-or-shuffle equi-joins of edges against the
+    degree table, then ONE combinable global aggregate — no windows.
+    """
+    d = degrees.select("title", F.col("degree").cast("bigint").alias("d"))
+    da = d.select(F.col("title").alias("source"), F.col("d").alias("j"))
+    db = d.select(F.col("title").alias("target"), F.col("d").alias("k"))
+    ends = edges.select("source", "target").join(da, "source").join(db, "target")
+    sym = ends.select("j", "k").unionByName(
+        ends.select(F.col("k").alias("j"), F.col("j").alias("k"))
+    )
+    agg = sym.agg(
+        F.count("*").cast("bigint").alias("m_dir"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sum_jk"),
+        F.sum("j").cast("bigint").alias("sum_j"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sum_j2"),
+    )
+    return agg.select(
+        "m_dir",
+        "sum_jk",
+        "sum_j",
+        "sum_j2",
+        (F.col("m_dir") * F.col("sum_jk") - F.col("sum_j") * F.col("sum_j"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("m_dir") * F.col("sum_j2") - F.col("sum_j") * F.col("sum_j"))
+        .cast("bigint")
+        .alias("den"),
+    )

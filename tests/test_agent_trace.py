@@ -155,3 +155,58 @@ def test_merge_pair_counts(spark):
         key=lambda x: (-x[2], x[0], x[1]),
     )[:3]
     assert got == expect
+
+
+def test_hits_int_matches_replay(spark):
+    from knowledge_graph_spark.operators.graphops import HITS_NORM_SCALE, hits_int
+
+    # directed multigraph, duplicate edge included on purpose
+    de = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")]
+    edges = spark.createDataFrame(de, "source string, target string")
+
+    def replay(rounds):
+        nodes = sorted({n for e in de for n in e})
+        h = {n: 1 for n in nodes}
+        a = {}
+        for _ in range(rounds):
+            raw_a = defaultdict(int)
+            for u, v in de:
+                raw_a[v] += h.get(u, 0)
+            m = max(raw_a.values())
+            a = {n: x // max(1, m // HITS_NORM_SCALE) for n, x in raw_a.items()}
+            raw_h = defaultdict(int)
+            for u, v in de:
+                raw_h[u] += a.get(v, 0)
+            m = max(raw_h.values())
+            h = {n: x // max(1, m // HITS_NORM_SCALE) for n, x in raw_h.items()}
+        return {n: (a.get(n, 0), h.get(n, 0)) for n in nodes}
+
+    for rounds in (1, 3):
+        got = {
+            r.title: (r.authority, r.hub)
+            for r in hits_int(edges, rounds=rounds).collect()
+        }
+        assert got == replay(rounds)
+    # direction signal: a (three outgoing edges) is the top hub but a weak
+    # authority — exactly the asymmetry the undirected walk erases.
+    got = {r.title: (r.authority, r.hub) for r in hits_int(edges, rounds=3).collect()}
+    assert got["a"][1] == max(v[1] for v in got.values())
+    assert got["a"][0] == min(v[0] for v in got.values())
+
+
+def test_assortativity_matches_networkx(spark):
+    import networkx as nx
+    from fractions import Fraction
+
+    from knowledge_graph_spark.operators.graphops import assortativity_profile
+    from knowledge_graph_spark.operators.graphops import node_degrees
+
+    edges = spark.createDataFrame(
+        [(u, v) for u, v, _ in WEDGES], "source string, target string"
+    )
+    row = assortativity_profile(edges, node_degrees(edges)).collect()[0]
+    r = Fraction(row.num, row.den)
+    g = nx.Graph([(u, v) for u, v, _ in WEDGES])
+    expected = nx.degree_assortativity_coefficient(g)
+    assert abs(float(r) - expected) < 1e-12
+    assert row.m_dir == 2 * len(WEDGES)
