@@ -37,6 +37,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from knowledge_graph_spark.checkpoint import StageRunner  # noqa: E402
 from knowledge_graph_spark.io import TableIO  # noqa: E402
+from knowledge_graph_spark.operators.agent_trace import (  # noqa: E402
+    tool_transitions,
+    turn_latency,
+)
 from knowledge_graph_spark.operators.assemble import assemble_conversations  # noqa: E402
 from knowledge_graph_spark.operators.chunk import split_text_units  # noqa: E402
 from knowledge_graph_spark.operators.claims import extract_claims  # noqa: E402
@@ -171,6 +175,13 @@ def main(argv=None) -> dict:
     claims = runner.run(
         "claims", lambda: extract_claims(transcripts), inputs=[]
     )
+    # agent-trace views: tool-call Markov transitions + per-conversation
+    # response-latency profile (exact int64 micros).  Both reuse the
+    # conv_id-hash partitioning the transcripts scan already has.
+    runner.run(
+        "tool_transitions", lambda: tool_transitions(transcripts), inputs=[]
+    )
+    runner.run("turn_latency", lambda: turn_latency(transcripts), inputs=[])
     # hierarchical reports: level-ordered, deepest first, oversized
     # parents substituting sub-community report summaries (R11/R12) —
     # the reference's headline flow (pre_community_report_context.py)
