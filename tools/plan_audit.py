@@ -51,6 +51,10 @@ AUDIT = [
     ("sessions", "batch gap sessionization"),
     ("event_hourly", "tumbling-window rollup"),
     ("length_hist", "mergeable log2 length histogram"),
+    ("tool_transitions", "agent-trace Markov transitions (conv-keyed window)"),
+    ("widest_paths", "fixed-round bottleneck-path Pregel joins"),
+    ("link_pred", "Adamic-Adar wedge join + anti-join"),
+    ("bpe_pairs", "BPE pair counts, TakeOrderedAndProject top-k"),
 ]
 
 PY_NODES = (
