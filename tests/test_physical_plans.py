@@ -318,3 +318,46 @@ def test_stratum_cap_uses_window_group_limit(spark):
     p = plan(stratum_cap(df, "lang", "doc_id", k=5))
     assert "WindowGroupLimit" in p
     assert "PythonUDF" not in p
+
+
+def test_bpe_pairs_uses_distributed_topk(spark, docs):
+    """The global top-k must be TakeOrderedAndProject (per-partition heap
+    + driver merge of k·P rows), never a single-partition global sort."""
+    from knowledge_graph_spark.operators.corpus import merge_pair_counts
+
+    p = plan(merge_pair_counts(docs, 16))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
+    assert "SinglePartition" not in p
+
+
+def test_agent_trace_no_python_no_global_window(spark):
+    """Trace analytics are native window+agg keyed on conv_id — no Python
+    stages and no partitionless window funnel."""
+    from knowledge_graph_spark.operators.agent_trace import (
+        tool_transitions,
+        turn_latency,
+    )
+
+    t = spark.createDataFrame(
+        [("c", 0, "tool", "x", "search", 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    for q in (tool_transitions(t), turn_latency(t)):
+        p = plan(q)
+        assert "EvalPython" not in p and "InPandas" not in p
+        assert "SinglePartition" not in p
+
+
+def test_link_pred_blocks_on_common_neighbor(spark):
+    """Adamic-Adar must never plan a cartesian product — pairs are blocked
+    by the shared-neighbor equi-join, and the existing-edge check is an
+    anti equi-join."""
+    from knowledge_graph_spark.operators.graphops import adamic_adar_pairs
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "source string, target string")
+    p = plan(adamic_adar_pairs(e))
+    assert "Cartesian" not in p and "NestedLoop" not in p.replace(
+        "BroadcastNestedLoop", ""
+    )
+    assert "LeftAnti" in p
