@@ -1025,6 +1025,30 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA: per-query recall@k of the IVF index against the
+    exact scan — the audit run before trusting an index at scale."""
+    return similarity.topk_recall(
+        q_emb_topk(spark, sf_dir), q_emb_ivf_topk(spark, sf_dir)
+    )
+
+
+def q_ann_recall_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same recall audit over the multi-probe IVF variant — quantifies
+    how much the extra probes buy (vs q_ann_recall's single probe)."""
+    return similarity.topk_recall(
+        q_emb_topk(spark, sf_dir), q_emb_ivf_mp(spark, sf_dir)
+    )
+
+
+def q_ann_recall_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the int8 two-pass ANN — measures what the 4×
+    oversampled integer candidate pass loses against the exact scan."""
+    return similarity.topk_recall(
+        q_emb_topk(spark, sf_dir), q_emb_quant_topk(spark, sf_dir)
+    )
+
+
 def q_emb_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF: each query probes its home cell plus the cells
     one least-confident sign-bit flip away (deterministic perturbation
@@ -2816,6 +2840,26 @@ SELECT CAST(count(*) AS BIGINT) AS m_dir,
 FROM as_sym
 """
 
+_ANN_RECALL_SQL = f"""
+WITH ex AS ({{topk}}),
+ap AS ({{ivf}}),
+ar_hit AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+  FROM ex e JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+ar_tot AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY query_id
+)
+SELECT t.query_id, t.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(h.n_hit, 0) * 1000000 / t.n_exact) AS BIGINT)
+         AS recall_micro
+FROM ar_tot t LEFT JOIN ar_hit h ON h.query_id = t.query_id
+"""
+
+
 _TOOL_TRANS_BODY = """
 , tt_calls AS (
   SELECT conv_id, turn_idx, tool FROM transcripts
@@ -3562,6 +3606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": q_turn_latency,
         "widest_paths": q_widest_paths,
         "hits": q_hits,
+        "ann_recall": q_ann_recall,
+        "ann_recall_mp": q_ann_recall_mp,
+        "ann_recall_quant": q_ann_recall_quant,
         "assortativity": q_assortativity,
         "link_pred": q_link_pred,
         "bpe_pairs": q_bpe_pairs,
@@ -3960,6 +4007,13 @@ GROUP BY lang, pct
         "pagerank": _oracle(_pr_body()),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),
+        "ann_recall": _ANN_RECALL_SQL.format(topk=_EMB_TOPK_SQL, ivf=_EMB_IVF_SQL),
+        "ann_recall_mp": _ANN_RECALL_SQL.format(
+            topk=_EMB_TOPK_SQL, ivf=_EMB_IVF_MP_SQL
+        ),
+        "ann_recall_quant": _ANN_RECALL_SQL.format(
+            topk=_EMB_TOPK_SQL, ivf=_EMB_QUANT_SQL
+        ),
         "assortativity": _oracle(_ASSORT_BODY),
         "link_pred": _oracle(_AA_BODY),
         "tool_transitions": _oracle(_TOOL_TRANS_BODY),

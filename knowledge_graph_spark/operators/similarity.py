@@ -705,3 +705,43 @@ def semantic_dedup_kmeans(
             F.col("dup_of").isNotNull().alias("is_pruned"),
         )
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """ANN index quality audit: per-query recall@k of an approximate
+    top-k result against the exact scan → (query_id, n_exact, n_hit,
+    recall_micro).
+
+    The measurement you run before trusting an IVF/LSH index at corpus
+    scale (recall@k is THE standard ANN quality metric).  recall_micro =
+    floor(1e6 · |approx ∩ exact| / |exact|) — one double division of
+    exact small ints, bit-stable cross-engine.
+
+    Scale shape: one equi-join on (query, neighbor) + two combinable
+    groupBys on query_id — all shuffles keyed by query, no skew pivot
+    (every query contributes exactly k rows).  Works on any pair of
+    result tables sharing the (query, id) shape, so the same audit
+    covers IVF, multi-probe, quantized, and LSH variants.
+    """
+    e = exact.select(query_col, id_col)
+    a = approx.select(query_col, id_col)
+    hits = (
+        e.join(a, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    tot = e.groupBy(query_col).agg(F.count("*").cast("bigint").alias("n_exact"))
+    n_hit = F.coalesce("n_hit", F.lit(0)).cast("bigint")
+    return tot.join(hits, query_col, "left").select(
+        query_col,
+        "n_exact",
+        n_hit.alias("n_hit"),
+        F.floor(n_hit * F.lit(1_000_000) / F.col("n_exact"))
+        .cast("bigint")
+        .alias("recall_micro"),
+    )

@@ -295,3 +295,23 @@ def test_dedup_clusters_resolution(spark, docs):
     assert got[2].canonical_id == 0 and got[2].is_duplicate
     for i in (3, 4, 5):
         assert got[i].canonical_id == i and not got[i].is_duplicate
+
+
+def test_topk_recall_exact_and_partial(spark):
+    from knowledge_graph_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "query_id int, neighbor_id int"
+    )
+    # q1 got both right; q2 found one of two; q3-style missing query absent
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 99)], "query_id int, neighbor_id int"
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall_micro)
+        for r in topk_recall(exact, approx).collect()
+    }
+    assert got == {1: (2, 2, 1_000_000), 2: (2, 1, 500_000)}
+    # identical inputs → perfect recall
+    perfect = topk_recall(exact, exact).collect()
+    assert all(r.recall_micro == 1_000_000 for r in perfect)
