@@ -1267,6 +1267,22 @@ def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_latency(transcripts_from_events(spark, sf_dir))
 
 
+def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool execution latency: gap from each tool-call turn to the
+    next turn in the conversation (exact int64 micros)."""
+    from knowledge_graph_spark.operators.agent_trace import tool_latency
+
+    return tool_latency(transcripts_from_events(spark, sf_dir))
+
+
+def q_conv_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural profile: role balance, tool usage,
+    truncation signal (last_role), exact duration."""
+    from knowledge_graph_spark.operators.agent_trace import conversation_shapes
+
+    return conversation_shapes(transcripts_from_events(spark, sf_dir))
+
+
 WIDEST_ROUNDS = 3
 
 
@@ -2860,6 +2876,35 @@ FROM ar_tot t LEFT JOIN ar_hit h ON h.query_id = t.query_id
 """
 
 
+_TOOL_LATENCY_BODY = """
+, tg AS (
+  SELECT conv_id, role, tool, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_us
+  FROM transcripts
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(next_us - ts_us) AS BIGINT) AS n_timed,
+       CAST(coalesce(sum(next_us - ts_us), 0) AS BIGINT) AS total_gap_us,
+       CAST(coalesce(max(next_us - ts_us), 0) AS BIGINT) AS max_gap_us
+FROM tg WHERE role = 'tool' AND tool <> ''
+GROUP BY tool
+"""
+
+_CONV_SHAPES_BODY = """
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' AND tool <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tool_calls,
+       max_by(role, turn_idx) AS last_role,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM transcripts GROUP BY conv_id
+"""
+
 _TOOL_TRANS_BODY = """
 , tt_calls AS (
   SELECT conv_id, turn_idx, tool FROM transcripts
@@ -3604,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "tool_transitions": q_tool_transitions,
         "turn_latency": q_turn_latency,
+        "tool_latency": q_tool_latency,
+        "conv_shapes": q_conv_shapes,
         "widest_paths": q_widest_paths,
         "hits": q_hits,
         "ann_recall": q_ann_recall,
@@ -4018,6 +4065,8 @@ GROUP BY lang, pct
         "link_pred": _oracle(_AA_BODY),
         "tool_transitions": _oracle(_TOOL_TRANS_BODY),
         "turn_latency": _oracle(_TURN_LATENCY_BODY),
+        "tool_latency": _oracle(_TOOL_LATENCY_BODY),
+        "conv_shapes": _oracle(_CONV_SHAPES_BODY),
         "bpe_pairs": _BPE_PAIRS_SQL,
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),

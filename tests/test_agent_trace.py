@@ -210,3 +210,32 @@ def test_assortativity_matches_networkx(spark):
     expected = nx.degree_assortativity_coefficient(g)
     assert abs(float(r) - expected) < 1e-12
     assert row.m_dir == 2 * len(WEDGES)
+
+
+def test_tool_latency(spark, transcripts):
+    from knowledge_graph_spark.operators.agent_trace import tool_latency
+
+    got = {
+        r.tool: (r.n_calls, r.n_timed, r.total_gap_us, r.max_gap_us)
+        for r in tool_latency(transcripts).collect()
+    }
+    # c1: search@110→118 (8s), fetch@118→130 (12s), search@131 is final
+    # (untimed); c2: fetch@64→99 (35s)
+    assert got == {
+        "search": (2, 1, 8_000_000, 8_000_000),
+        "fetch": (2, 2, 47_000_000, 35_000_000),
+    }
+
+
+def test_conversation_shapes(spark, transcripts):
+    from knowledge_graph_spark.operators.agent_trace import conversation_shapes
+
+    got = {
+        r.conv_id: (r.n_turns, r.n_user, r.n_assistant, r.n_tool_calls,
+                    r.last_role, r.duration_us)
+        for r in conversation_shapes(transcripts).collect()
+    }
+    assert got == {
+        "c1": (6, 1, 2, 3, "tool", 31_000_000),
+        "c2": (3, 0, 2, 1, "assistant", 49_000_000),
+    }
