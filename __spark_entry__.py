@@ -1049,6 +1049,47 @@ def q_ann_recall_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+
+
+def q_emb_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k on the integer grid — the ground-truth
+    baseline for the PQ recall audit (broadcast query batch, one scan)."""
+    from knowledge_graph_spark.operators.pq import l2_topk
+
+    embs = _embs(spark, sf_dir)
+    return l2_topk(embs, embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT), k_top=TOPK_K)
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace integer Lloyd codebooks,
+    m-code encoding, asymmetric-distance top-k (unrolled m×kmeans
+    oracle) — the billion-vector memory-budget index design."""
+    from knowledge_graph_spark.operators.pq import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    return pq_topk(
+        embs,
+        embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT),
+        dim=EMB_DIM,
+        m=PQ_M,
+        k_codes=PQ_K,
+        iterations=PQ_ITERS,
+        k_top=TOPK_K,
+    )
+
+
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC against the exact-L2 scan — same metric, same
+    grid, so the audit isolates pure codebook loss."""
+    return similarity.topk_recall(
+        q_emb_l2_topk(spark, sf_dir), q_emb_pq_topk(spark, sf_dir)
+    )
+
+
 def q_emb_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF: each query probes its home cell plus the cells
     one least-confident sign-bit flip away (deterministic perturbation
@@ -1906,12 +1947,12 @@ _KM_D2 = (
 )
 
 
-def _km_assign_cte(name: str, cent: str) -> str:
+def _km_assign_cte(name: str, cent: str, pts: str = "qpts") -> str:
     return f"""{name} AS MATERIALIZED (
   SELECT vec_id, q, cid, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
     FROM (SELECT p.vec_id, p.q, c.cid, {_KM_D2} AS d2
-          FROM qpts p CROSS JOIN {cent} c))
+          FROM {pts} p CROSS JOIN {cent} c))
   WHERE rk = 1
 )"""
 
@@ -1953,6 +1994,96 @@ def _kmeans_ctes(k: int, iterations: int) -> tuple[str, str]:
     final = f"ka{iterations + 1}"
     parts.append(_km_assign_cte(final, f"c{iterations}"))
     return ",\n".join(parts), final
+
+
+def _pq_sql() -> str:
+    """PQ-ADC oracle: m independent unrolled sub-space Lloyd blocks
+    (slice → quantize → fixed-round kmeans → final codes), per-subspace
+    query distance tables, lookup-join contributions summed, per-query
+    top-k.  Mirrors operators/pq.pq_topk bit-for-bit."""
+    from knowledge_graph_spark.operators.kmeans import Q_SCALE
+
+    sub = EMB_DIM // PQ_M
+    parts: list[str] = []
+    branches: list[str] = []
+    for s in range(PQ_M):
+        p = f"pq{s}"
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"""{p}_pts AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform((CAST(embedding AS DOUBLE[]))[{lo}:{hi}],
+                        x -> CAST(floor(x * {Q_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+        )
+        parts.append(
+            f"""{p}_c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q AS c
+  FROM (SELECT vec_id, q FROM {p}_pts ORDER BY vec_id LIMIT {PQ_K})
+)"""
+        )
+        for r in range(1, PQ_ITERS + 1):
+            parts.append(_km_assign_cte(f"{p}_ka{r}", f"{p}_c{r - 1}", pts=f"{p}_pts"))
+            parts.append(_km_update_cte(f"{p}_c{r}", f"{p}_ka{r}", f"{p}_c{r - 1}"))
+        final = f"{p}_ka{PQ_ITERS + 1}"
+        parts.append(_km_assign_cte(final, f"{p}_c{PQ_ITERS}", pts=f"{p}_pts"))
+        parts.append(
+            f"""{p}_dt AS MATERIALIZED (
+  SELECT p.vec_id AS query_id, c.cid, {_KM_D2} AS qd2
+  FROM (SELECT vec_id, q FROM {p}_pts WHERE vec_id < {TOPK_QUERY_LIMIT}) p
+  CROSS JOIN {p}_c{PQ_ITERS} c
+)"""
+        )
+        parts.append(
+            f"""{p}_contrib AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id, t.qd2
+  FROM {final} a JOIN {p}_dt t USING (cid)
+)"""
+        )
+        branches.append(f"SELECT query_id, neighbor_id, qd2 FROM {p}_contrib")
+    block = ",\n".join(parts)
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH {block},
+pq_tot AS (
+  SELECT query_id, neighbor_id, CAST(sum(qd2) AS BIGINT) AS adc_d2
+  FROM ({union}) WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, neighbor_id) AS INT) AS rk
+FROM pq_tot QUALIFY rk <= {TOPK_K}
+"""
+
+
+def _l2_sql() -> str:
+    from knowledge_graph_spark.operators.kmeans import Q_SCALE
+
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(a.q) + 1), "
+        "i -> (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]) "
+        "* (a.q[CAST(i AS INT)] - b.q[CAST(i AS INT)]))), (x, y) -> x + y)"
+    )
+    return f"""
+WITH lpts AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {Q_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+),
+lsc AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {d2} AS d2
+  FROM lpts a JOIN lpts b
+    ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, neighbor_id) AS INT) AS rk
+FROM lsc QUALIFY rk <= {TOPK_K}
+"""
 
 
 _KM_BLOCK, _KM_FINAL = _kmeans_ctes(KM_K, KM_ITERS)
@@ -3656,6 +3787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_recall_mp": q_ann_recall_mp,
         "ann_recall_quant": q_ann_recall_quant,
+        "emb_l2_topk": q_emb_l2_topk,
+        "emb_pq_topk": q_emb_pq_topk,
+        "ann_recall_pq": q_ann_recall_pq,
         "assortativity": q_assortativity,
         "link_pred": q_link_pred,
         "bpe_pairs": q_bpe_pairs,
@@ -4061,6 +4195,9 @@ GROUP BY lang, pct
         "ann_recall_quant": _ANN_RECALL_SQL.format(
             topk=_EMB_TOPK_SQL, ivf=_EMB_QUANT_SQL
         ),
+        "emb_l2_topk": _l2_sql(),
+        "emb_pq_topk": _pq_sql(),
+        "ann_recall_pq": _ANN_RECALL_SQL.format(topk=_l2_sql(), ivf=_pq_sql()),
         "assortativity": _oracle(_ASSORT_BODY),
         "link_pred": _oracle(_AA_BODY),
         "tool_transitions": _oracle(_TOOL_TRANS_BODY),
