@@ -1090,6 +1090,24 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse-cell candidate pruning + PQ-ADC ranking — the
+    FAISS-IndexIVFPQ composition, built from the two gated primitives."""
+    from knowledge_graph_spark.operators.pq import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivfpq_topk(
+        embs,
+        embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT),
+        dim=EMB_DIM,
+        m=PQ_M,
+        k_codes=PQ_K,
+        iterations=PQ_ITERS,
+        bits=IVF_BITS,
+        k_top=TOPK_K,
+    )
+
+
 def q_emb_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF: each query probes its home cell plus the cells
     one least-confident sign-bit flip away (deterministic perturbation
@@ -1996,16 +2014,36 @@ def _kmeans_ctes(k: int, iterations: int) -> tuple[str, str]:
     return ",\n".join(parts), final
 
 
-def _pq_sql() -> str:
+def _pq_sql(ivf: bool = False) -> str:
     """PQ-ADC oracle: m independent unrolled sub-space Lloyd blocks
     (slice → quantize → fixed-round kmeans → final codes), per-subspace
     query distance tables, lookup-join contributions summed, per-query
-    top-k.  Mirrors operators/pq.pq_topk bit-for-bit."""
+    top-k.  Mirrors operators/pq.pq_topk bit-for-bit.  With ``ivf``
+    the contributions are restricted to same-coarse-cell candidates —
+    operators/pq.ivfpq_topk (FAISS IndexIVFPQ composition)."""
     from knowledge_graph_spark.operators.kmeans import Q_SCALE
 
     sub = EMB_DIM // PQ_M
     parts: list[str] = []
     branches: list[str] = []
+    if ivf:
+        parts.append(
+            "ipq_e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+        )
+        parts.append(
+            f"""ipq_cells AS MATERIALIZED (
+  SELECT vec_id, CAST({_IVF_CELL} AS BIGINT) AS cell
+  FROM (SELECT vec_id, e FROM ipq_e)
+)"""
+        )
+        parts.append(
+            f"""ipq_cand AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell
+  FROM ipq_cells c JOIN ipq_cells q
+    ON c.cell = q.cell AND q.vec_id < {TOPK_QUERY_LIMIT}
+   AND c.vec_id <> q.vec_id
+)"""
+        )
     for s in range(PQ_M):
         p = f"pq{s}"
         lo, hi = s * sub + 1, (s + 1) * sub
@@ -2035,15 +2073,40 @@ def _pq_sql() -> str:
   CROSS JOIN {p}_c{PQ_ITERS} c
 )"""
         )
-        parts.append(
-            f"""{p}_contrib AS (
+        if ivf:
+            parts.append(
+                f"""{p}_contrib AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.cell, t.qd2
+  FROM ipq_cand cd
+  JOIN {final} a ON a.vec_id = cd.neighbor_id
+  JOIN {p}_dt t ON t.cid = a.cid AND t.query_id = cd.query_id
+)"""
+            )
+            branches.append(
+                f"SELECT query_id, neighbor_id, cell, qd2 FROM {p}_contrib"
+            )
+        else:
+            parts.append(
+                f"""{p}_contrib AS (
   SELECT t.query_id, a.vec_id AS neighbor_id, t.qd2
   FROM {final} a JOIN {p}_dt t USING (cid)
 )"""
-        )
-        branches.append(f"SELECT query_id, neighbor_id, qd2 FROM {p}_contrib")
+            )
+            branches.append(f"SELECT query_id, neighbor_id, qd2 FROM {p}_contrib")
     block = ",\n".join(parts)
     union = " UNION ALL ".join(branches)
+    if ivf:
+        return f"""
+WITH {block},
+pq_tot AS (
+  SELECT query_id, neighbor_id, cell, CAST(sum(qd2) AS BIGINT) AS adc_d2
+  FROM ({union}) GROUP BY query_id, neighbor_id, cell
+)
+SELECT query_id, neighbor_id, cell, adc_d2,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, neighbor_id) AS INT) AS rk
+FROM pq_tot QUALIFY rk <= {TOPK_K}
+"""
     return f"""
 WITH {block},
 pq_tot AS (
@@ -3790,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_l2_topk": q_emb_l2_topk,
         "emb_pq_topk": q_emb_pq_topk,
         "ann_recall_pq": q_ann_recall_pq,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "assortativity": q_assortativity,
         "link_pred": q_link_pred,
         "bpe_pairs": q_bpe_pairs,
@@ -4198,6 +4262,7 @@ GROUP BY lang, pct
         "emb_l2_topk": _l2_sql(),
         "emb_pq_topk": _pq_sql(),
         "ann_recall_pq": _ANN_RECALL_SQL.format(topk=_l2_sql(), ivf=_pq_sql()),
+        "emb_ivfpq_topk": _pq_sql(ivf=True),
         "assortativity": _oracle(_ASSORT_BODY),
         "link_pred": _oracle(_AA_BODY),
         "tool_transitions": _oracle(_TOOL_TRANS_BODY),

@@ -147,3 +147,83 @@ def l2_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k_top)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    bits: int = 8,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse-cell candidate pruning + PQ-ADC ranking →
+    (query_id, neighbor_id, cell, adc_d2, rk) — the composition every
+    production billion-vector index runs (Jégou et al. 2011 §V; FAISS
+    IndexIVFPQ).
+
+    The IVF stage (sign-bit cells, similarity.ivf_cell) cuts candidates
+    to the query's own cell — the fraction of the corpus actually scored
+    — and the PQ stage ranks those candidates from m code lookups
+    instead of a d-dim scan.  At 100 TB this is the only shape that
+    works: the exhaustive ADC scan still touches every vector's codes,
+    whereas IVF-PQ touches |cell| of them.
+
+    Plan: the candidate set is one equi-join on cell (query side
+    broadcast), then each subspace adds one broadcast lookup join; the
+    only wide shuffle carries candidate rows into the per-query top-k
+    window.  Both stages are the already-gated primitives, so the oracle
+    composes their SQL verbatim.
+    """
+    from .similarity import ivf_cell
+
+    ccells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(F.col(vec_col).cast("array<double>"), bits).alias("cell"),
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        ivf_cell(F.col(vec_col).cast("array<double>"), bits).alias("cell"),
+    )
+    cand = (
+        ccells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell")
+    )
+
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    contribs = []
+    for s in range(m):
+        pts = _sub_corpus(corpus, s * sub + 1, sub, id_col, vec_col).persist()
+        codebook = train_codebook(pts, k_codes, iterations)
+        codes = assign(pts, codebook).select(
+            F.col("vec_id").alias("neighbor_id"), "cid"
+        )
+        qpts = _sub_corpus(queries, s * sub + 1, sub, id_col, vec_col)
+        dist_table = qpts.crossJoin(F.broadcast(codebook)).select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            _d2(F.col("q"), F.col("c")).alias("qd2"),
+        )
+        contribs.append(
+            cand.join(codes, "neighbor_id")
+            .join(F.broadcast(dist_table), ["query_id", "cid"])
+            .select("query_id", "neighbor_id", "cell", "qd2")
+        )
+        pts.unpersist()
+    union = contribs[0]
+    for c in contribs[1:]:
+        union = union.unionByName(c)
+    total = union.groupBy("query_id", "neighbor_id", "cell").agg(
+        F.sum("qd2").cast("bigint").alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        total.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k_top)
+    )

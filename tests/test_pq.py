@@ -78,3 +78,33 @@ def test_pq_coarse_codebook_is_lossy_but_wellformed(spark, vecs):
         by_q.setdefault(r.query_id, []).append(r.rk)
     assert set(by_q) == {0, 1, 2, 3}
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_ivfpq_subset_of_pq_within_cells(spark, vecs):
+    """IVF-PQ results must be exactly the PQ-ADC ranking restricted to
+    same-cell candidates: every returned neighbor shares the query's
+    cell, and its adc_d2 equals the unrestricted PQ distance."""
+    from knowledge_graph_spark.operators.pq import ivfpq_topk
+    from knowledge_graph_spark.operators.similarity import ivf_cell
+
+    df, _ = vecs
+    queries = df.filter(F.col("vec_id") < 4)
+    cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", ivf_cell(F.col("embedding").cast("array<double>"), 4).alias("cell")
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_d2
+        for r in pq_topk(
+            df, queries, dim=DIM, m=2, k_codes=N, iterations=1, k_top=N
+        ).collect()
+    }
+    got = ivfpq_topk(
+        df, queries, dim=DIM, m=2, k_codes=N, iterations=1, bits=4, k_top=K_TOP
+    ).collect()
+    assert got, "ivfpq returned nothing — cells too fine for the fixture"
+    for r in got:
+        assert cells[r.query_id] == r.cell == cells[r.neighbor_id]
+        assert full[(r.query_id, r.neighbor_id)] == r.adc_d2
