@@ -1282,6 +1282,28 @@ def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h width / 30 min hop): each event lands
+    in two epoch-aligned windows — the trailing-rate monitoring view."""
+    from knowledge_graph_spark.operators.temporal import sliding_rollup
+
+    load_views(spark, sf_dir)
+    return sliding_rollup(spark.table("events"), "1 hour", "30 minutes").select(
+        "window_start_us", "event_type", "n_events", "total_value"
+    )
+
+
+def q_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window gap sessions — cross-checked against the oracle's
+    INDEPENDENT lag/flag/running-sum construction (same 30 min gap)."""
+    from knowledge_graph_spark.operators.temporal import session_rollup
+
+    load_views(spark, sf_dir)
+    return session_rollup(spark.table("events"), "30 minutes").select(
+        "user_id", "start_us", "end_us", "n_events", "total_value"
+    )
+
+
 EA_SIGMA = 3
 
 
@@ -3844,6 +3866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "turn_latency": q_turn_latency,
         "tool_latency": q_tool_latency,
+        "event_sliding": q_event_sliding,
+        "sessions_native": q_sessions_native,
         "conv_shapes": q_conv_shapes,
         "widest_paths": q_widest_paths,
         "hits": q_hits,
@@ -4484,6 +4508,59 @@ GROUP BY source, target
                    ar.value_r AS value_r, ar.ts_us AS ts_r
             FROM al ASOF LEFT JOIN ar
               ON al.user_id = ar.user_id AND al.ts_us >= ar.ts_us
+            """
+        ),
+        # Sliding windows: start = slide_bucket(t) − k·slide for every
+        # k < width/slide — all epoch-aligned, all within width of t by
+        # construction (t − slide_bucket(t) < slide ≤ width − k·slide).
+        "event_sliding": _oracle(
+            """
+            , sw AS (
+              SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS sb,
+                     event_type, CAST(value AS DECIMAL(18,2)) AS val
+              FROM events
+            )
+            SELECT sb - k * 1800000000 AS window_start_us, event_type,
+                   count(*) AS n_events, CAST(sum(val) AS DOUBLE) AS total_value
+            FROM sw, unnest(range(0, 2)) u(k)
+            GROUP BY 1, 2
+            """
+        ),
+        # Native session windows cross-checked by the INDEPENDENT lag
+        # construction.  Boundary semantics verified by unit test: an
+        # event at EXACTLY gap after the previous one still merges
+        # (Spark treats the window end inclusively when extending), so
+        # is_new uses the same > as session_stats.
+        "sessions_native": _oracle(
+            """
+            , snev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CAST(value AS DECIMAL(18,2)) AS val
+              FROM events
+            ),
+            snlag AS (
+              SELECT *, lag(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+              FROM snev
+            ),
+            snflag AS (
+              SELECT *, CASE WHEN prev_us IS NULL
+                              OR ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+              FROM snlag
+            ),
+            snidx AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM snflag
+            )
+            SELECT user_id,
+                   min(ts_us) AS start_us,
+                   max(ts_us) + 1800000000 AS end_us,
+                   count(*) AS n_events,
+                   CAST(sum(val) AS DOUBLE) AS total_value
+            FROM snidx GROUP BY user_id, session_idx
             """
         ),
         "event_hourly": _oracle(

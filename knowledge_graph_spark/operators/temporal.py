@@ -223,3 +223,81 @@ def hourly_anomalies(
             (dev_num > bound_num).alias("is_anomaly"),
         )
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    dims: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) window aggregate → (window_start_us, *dims,
+    n_events, total_value); each event lands in width/slide windows.
+
+    The moving-average / trailing-rate view a monitoring pipeline needs
+    (tumbling windows jitter at bucket edges).  F.window with a slide is
+    the native streaming-compatible operator — Spark plans the per-event
+    window explosion itself; the oracle enumerates the same windows
+    closed-form (start = slide_bucket(t) − k·slide for k < width/slide,
+    all epoch-aligned).  DECIMAL-exact sums as in window_rollup.
+    """
+    dims = dims if dims is not None else ["event_type"]
+    return (
+        events.withColumn("_val", F.col(value_col).cast("decimal(18,2)"))
+        .groupBy(
+            F.window(F.col(ts_col).cast("timestamp"), width, slide).alias("__w"),
+            *dims,
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_val").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+            *dims,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session windows → (user_id, start_us, end_us, n_events,
+    total_value) via ``F.session_window`` — the streaming-compatible
+    twin of sessions.session_stats (which builds the same gap sessions
+    from lag/flag/running-sum).  Spark's session end is last event + gap
+    (the window stays open one gap past the last event); the gate's
+    oracle derives the identical sessions from the INDEPENDENT lag
+    construction, so the two implementations cross-check each other.
+
+    Scale shape: one shuffle on the key; Spark merges overlapping
+    per-event [t, t+gap) intervals inside the aggregation — no window
+    function pass, works unchanged under Structured Streaming with a
+    watermark.
+    """
+    return (
+        events.withColumn("_val", F.col(value_col).cast("decimal(18,2)"))
+        .groupBy(
+            F.col(key),
+            F.session_window(F.col(ts_col).cast("timestamp"), gap).alias("__w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_val").cast("double").alias("total_value"),
+        )
+        .select(
+            key,
+            F.unix_micros(F.col("__w.start")).alias("start_us"),
+            F.unix_micros(F.col("__w.end")).alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
