@@ -55,6 +55,9 @@ AUDIT = [
     ("widest_paths", "fixed-round bottleneck-path Pregel joins"),
     ("link_pred", "Adamic-Adar wedge join + anti-join"),
     ("bpe_pairs", "BPE pair counts, TakeOrderedAndProject top-k"),
+    ("emb_pq_topk", "PQ-ADC: codebook train + broadcast lookup join"),
+    ("emb_ivfpq_topk", "IVF-PQ: cell prune + ADC rank"),
+    ("sessions_native", "F.session_window gap sessions"),
 ]
 
 PY_NODES = (
