@@ -1356,6 +1356,20 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_latency(transcripts_from_events(spark, sf_dir))
 
 
+TOOL_NGRAM_N = 3
+TOOL_NGRAM_TOPK = 32
+
+
+def q_tool_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tool-call trigrams — recurring multi-step agent routines
+    (retry storms, search→fetch loops) as heavy sequences."""
+    from knowledge_graph_spark.operators.agent_trace import tool_ngrams
+
+    return tool_ngrams(
+        transcripts_from_events(spark, sf_dir), n=TOOL_NGRAM_N, k_top=TOOL_NGRAM_TOPK
+    )
+
+
 def q_conv_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation structural profile: role balance, tool usage,
     truncation signal (last_role), exact duration."""
@@ -3108,6 +3122,24 @@ FROM tg WHERE role = 'tool' AND tool <> ''
 GROUP BY tool
 """
 
+_TOOL_NGRAMS_BODY = """
+, tng_calls AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts
+  WHERE role = 'tool' AND tool <> ''
+),
+tng_seq AS (
+  SELECT lag(tool, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS g1,
+         lag(tool, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS g2,
+         tool AS g3
+  FROM tng_calls
+)
+SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tng_seq WHERE g1 IS NOT NULL AND g2 IS NOT NULL
+GROUP BY g1, g2, g3
+ORDER BY n_occurrences DESC, g1, g2, g3
+LIMIT 32
+"""
+
 _CONV_SHAPES_BODY = """
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
@@ -3869,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sliding": q_event_sliding,
         "sessions_native": q_sessions_native,
         "conv_shapes": q_conv_shapes,
+        "tool_ngrams": q_tool_ngrams,
         "widest_paths": q_widest_paths,
         "hits": q_hits,
         "ann_recall": q_ann_recall,
@@ -4293,6 +4326,7 @@ GROUP BY lang, pct
         "turn_latency": _oracle(_TURN_LATENCY_BODY),
         "tool_latency": _oracle(_TOOL_LATENCY_BODY),
         "conv_shapes": _oracle(_CONV_SHAPES_BODY),
+        "tool_ngrams": _oracle(_TOOL_NGRAMS_BODY),
         "bpe_pairs": _BPE_PAIRS_SQL,
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),

@@ -154,3 +154,39 @@ def conversation_shapes(transcripts: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("duration_us"),
     )
+
+
+def tool_ngrams(
+    transcripts: DataFrame, n: int = 3, k_top: int = 32
+) -> DataFrame:
+    """Top-``k_top`` tool-call n-grams (default trigrams) across the
+    corpus → (g1..gn, n_occurrences) — the sequence-mining upgrade of
+    ``tool_transitions`` (which is this with n=2, un-topped): recurring
+    multi-step tool routines (search→fetch→search loops, retry storms)
+    show up as heavy n-grams.
+
+    Windows never cross conversations (lag partitioned by conv_id); the
+    first n−1 calls of a conversation carry no complete n-gram and are
+    naturally excluded by the non-null filter.  The global top-k is
+    orderBy().limit() — TakeOrderedAndProject — under the tie-free
+    (count DESC, g1..gn ASC) total order.
+    """
+    calls = transcripts.filter(
+        (F.col("role") == "tool") & (F.col("tool") != "")
+    ).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cols = {}
+    for i in range(n):
+        lag_i = n - 1 - i  # g1 is the oldest call in the window
+        cols[f"g{i + 1}"] = (
+            F.lag("tool", lag_i).over(w) if lag_i > 0 else F.col("tool")
+        )
+    seq = calls.select(*[c.alias(name) for name, c in cols.items()])
+    complete = seq.dropna(how="any", subset=list(cols))
+    names = list(cols)
+    return (
+        complete.groupBy(*names)
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), *[F.asc(c) for c in names])
+        .limit(k_top)
+    )

@@ -239,3 +239,20 @@ def test_conversation_shapes(spark, transcripts):
         "c1": (6, 1, 2, 3, "tool", 31_000_000),
         "c2": (3, 0, 2, 1, "assistant", 49_000_000),
     }
+
+
+def test_tool_ngrams(spark, transcripts):
+    from knowledge_graph_spark.operators.agent_trace import tool_ngrams
+
+    got = [
+        (r.g1, r.g2, r.g3, r.n_occurrences)
+        for r in tool_ngrams(transcripts, n=3, k_top=8).collect()
+    ]
+    # c1's calls: search, fetch, search -> one complete trigram; c2 has
+    # a single call -> none.
+    assert got == [("search", "fetch", "search", 1)]
+    bigrams = {
+        (r.g1, r.g2): r.n_occurrences
+        for r in tool_ngrams(transcripts, n=2, k_top=8).collect()
+    }
+    assert bigrams == {("search", "fetch"): 1, ("fetch", "search"): 1}
