@@ -256,3 +256,37 @@ def test_tool_ngrams(spark, transcripts):
         for r in tool_ngrams(transcripts, n=2, k_top=8).collect()
     }
     assert bigrams == {("search", "fetch"): 1, ("fetch", "search"): 1}
+
+
+def test_null_robustness(spark):
+    """NULL text / tool / role / ts and duplicate turn_idx must flow
+    through the pipeline and every trace operator without ANSI-mode
+    throws — ingest garbage is a fact of life at 10^12 turns."""
+    from knowledge_graph_spark.operators.agent_trace import (
+        conversation_shapes,
+        tool_latency,
+    )
+    from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
+
+    rows = [
+        ("c1", 0, "user", None, "", 100),
+        ("c1", 1, "tool", "r", None, 110),
+        ("c1", 2, "assistant", "PERSON_1 met CITY_2", "", None),
+        ("c2", 0, None, "x", "", 50),
+        ("c3", 0, "tool", "r", "search", 60),
+        ("c3", 0, "tool", "r", "fetch", 61),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, sec long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+    stages = build_graph(t, PipelineConfig(chunk_size=16, chunk_overlap=4, tokenizer="ws"))
+    assert stages["nodes"].count() == 2 and stages["edges"].count() == 1
+    assert tool_transitions(t).count() == 2  # NULL-tool call is excluded
+    assert turn_latency(t).count() == 1      # NULL-ts turn yields no wait
+    assert tool_latency(t).count() == 2
+    shapes = {r.conv_id: r.n_tool_calls for r in conversation_shapes(t).collect()}
+    assert shapes == {"c1": 0, "c2": 0, "c3": 2}  # NULL tool != '' is false
