@@ -64,6 +64,23 @@ CHECK = [
     "length_quantiles",
     "hll_lang",
     "degree_hist",
+    # fifth-session families: agent-trace, graph additions, ANN audits,
+    # PQ, temporal windows
+    "tool_transitions",
+    "turn_latency",
+    "tool_latency",
+    "conv_shapes",
+    "tool_ngrams",
+    "widest_paths",
+    "link_pred",
+    "bpe_pairs",
+    "hits",
+    "assortativity",
+    "ann_recall_mp",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
+    "event_sliding",
+    "sessions_native",
 ]
 
 
