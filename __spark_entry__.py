@@ -1255,6 +1255,20 @@ def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(multimodal.extract_media_meta(media))
 
 
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (integer DIV scaling) — gates
+    the expensive pixel work behind needs_resize."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.resize_plan(multimodal.extract_media_meta(media))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature-extraction seam (mapInPandas, long-form
+    16-dim vectors; deterministic stand-in content)."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase event picks up the most recent
     signup (<= its timestamp) for the same user.  The oracle uses DuckDB's
@@ -2640,6 +2654,31 @@ SELECT doc_id, media_type, n_bytes,
 FROM m
 """
 
+RESIZE_MAX_EDGE = 512
+
+_RESIZE_PLAN_SQL = f"""
+WITH meta AS ({_MEDIA_META_SQL})
+SELECT doc_id, media_type, width, height,
+       CAST(CASE WHEN greatest(width, height) > {RESIZE_MAX_EDGE}
+                 THEN (width * {RESIZE_MAX_EDGE}) // greatest(width, height)
+                 ELSE width END AS INT) AS target_w,
+       CAST(CASE WHEN greatest(width, height) > {RESIZE_MAX_EDGE}
+                 THEN (height * {RESIZE_MAX_EDGE}) // greatest(width, height)
+                 ELSE height END AS INT) AS target_h,
+       greatest(width, height) > {RESIZE_MAX_EDGE} AS needs_resize
+FROM meta WHERE media_type IN ('image', 'video')
+"""
+
+_MEDIA_FEATURES_SQL = f"""
+WITH meta AS ({_MEDIA_META_SQL})
+SELECT doc_id, media_type, CAST(d AS INT) AS dim,
+       CAST(length(fingerprint)
+            - length(replace(fingerprint, substr('0123456789abcdef',
+                                                 CAST(d + 1 AS INT), 1), ''))
+            AS BIGINT) AS value
+FROM meta, LATERAL unnest(range(0, 16)) u(d)
+"""
+
 _FRAME_PLAN_SQL = f"""
 WITH meta AS ({_MEDIA_META_SQL})
 SELECT doc_id, CAST(unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS INT)
@@ -3894,6 +3933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_times": q_edge_times,
         "media_meta": q_media_meta,
         "frame_plan": q_frame_plan,
+        "resize_plan": q_resize_plan,
+        "media_features": q_media_features,
         "sessions": q_sessions,
         "tool_transitions": q_tool_transitions,
         "turn_latency": q_turn_latency,
@@ -4482,6 +4523,8 @@ GROUP BY source, target
         "emb_neardup": _EMB_NEARDUP_SQL,
         "media_meta": _MEDIA_META_SQL,
         "frame_plan": _FRAME_PLAN_SQL,
+        "resize_plan": _RESIZE_PLAN_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
         # Batch sessionization (gap 30 min): exact int64 micro timestamps
         # and DECIMAL(18,2) value sums keep both engines bit-identical
         # (double summation would be fold-order-dependent).
