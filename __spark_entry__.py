@@ -1370,6 +1370,21 @@ def q_tool_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_latency(transcripts_from_events(spark, sf_dir))
 
 
+def q_role_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role exact token-length order statistics over turn texts —
+    the dialogue-curation twin of length_stats (assistant walls, empty
+    tool outputs show up as per-role length outliers)."""
+    from knowledge_graph_spark.operators.corpus import length_profile
+
+    t = transcripts_from_events(spark, sf_dir)
+    p = t.select(
+        "role",
+        F.size(textqc.ws_tokens_col(F.col("text"))).alias("n_tokens"),
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+    )
+    return length_profile(p, strata_col="role")
+
+
 TOOL_NGRAM_N = 3
 TOOL_NGRAM_TOPK = 32
 
@@ -3161,6 +3176,27 @@ FROM tg WHERE role = 'tool' AND tool <> ''
 GROUP BY tool
 """
 
+_ROLE_PROFILE_BODY = """
+, rp AS (
+  SELECT role,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) AS did
+  FROM transcripts
+),
+rr AS (
+  SELECT role, n,
+         row_number() OVER (PARTITION BY role ORDER BY n ASC, did ASC) AS rn,
+         count(*) OVER (PARTITION BY role) AS cnt
+  FROM rp
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_docs,
+  max(CASE WHEN rn = ((cnt - 1) * 5) // 10 + 1 THEN n END) AS p50,
+  max(CASE WHEN rn = ((cnt - 1) * 9) // 10 + 1 THEN n END) AS p90,
+  max(n) AS max_tokens
+FROM rr GROUP BY role
+"""
+
 _TOOL_NGRAMS_BODY = """
 , tng_calls AS (
   SELECT conv_id, turn_idx, tool FROM transcripts
@@ -3943,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_native": q_sessions_native,
         "conv_shapes": q_conv_shapes,
         "tool_ngrams": q_tool_ngrams,
+        "role_profile": q_role_profile,
         "widest_paths": q_widest_paths,
         "hits": q_hits,
         "ann_recall": q_ann_recall,
@@ -4368,6 +4405,7 @@ GROUP BY lang, pct
         "tool_latency": _oracle(_TOOL_LATENCY_BODY),
         "conv_shapes": _oracle(_CONV_SHAPES_BODY),
         "tool_ngrams": _oracle(_TOOL_NGRAMS_BODY),
+        "role_profile": _oracle(_ROLE_PROFILE_BODY),
         "bpe_pairs": _BPE_PAIRS_SQL,
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),
