@@ -1385,6 +1385,38 @@ def q_role_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_profile(p, strata_col="role")
 
 
+def q_tool_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 tool-execution latency per tool, read off the
+    mergeable log2 histogram of gap_us — the ops-monitoring composition
+    of tool_latency's gaps with the sketch family (integer-exact
+    read-off, no division)."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    t = transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn("next_us", F.lead("ts_us").over(w))
+        .filter(
+            (F.col("role") == "tool") & (F.col("tool") != "") & F.col("next_us").isNotNull()
+        )
+        .select("tool", (F.col("next_us") - F.col("ts_us")).alias("gap_us"))
+    )
+    hist = log2_histogram(gaps, "gap_us", "tool")
+    return histogram_quantiles(hist, strata_col="tool")
+
+
 TOOL_NGRAM_N = 3
 TOOL_NGRAM_TOPK = 32
 
@@ -3176,6 +3208,40 @@ FROM tg WHERE role = 'tool' AND tool <> ''
 GROUP BY tool
 """
 
+_TOOL_LAT_Q_BODY = """
+, tlq_g AS (
+  SELECT tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - epoch_us(ts) AS gap_us,
+         role
+  FROM transcripts
+),
+tlq_gaps AS (
+  SELECT tool, gap_us FROM tlq_g
+  WHERE role = 'tool' AND tool <> '' AND gap_us IS NOT NULL
+),
+tlq_hist AS (
+  SELECT tool,
+         CAST(CASE WHEN gap_us <= 0 THEN 0
+                   ELSE length(bin(CAST(gap_us AS BIGINT))) END AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tlq_gaps GROUP BY 1, 2
+),
+tlq_c AS (
+  SELECT tool, bucket,
+         CAST(SUM(n) OVER (PARTITION BY tool ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY tool) AS BIGINT) AS total
+  FROM tlq_hist
+),
+tlq_p AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT tool, CAST(pct AS INT) AS pct,
+       CAST(MIN(bucket) AS INT) AS bucket,
+       CAST((CAST(1 AS BIGINT) << MIN(bucket)) - 1 AS BIGINT) AS upper
+FROM tlq_c CROSS JOIN tlq_p
+WHERE cum * 100 >= pct * total
+GROUP BY tool, pct
+"""
+
 _ROLE_PROFILE_BODY = """
 , rp AS (
   SELECT role,
@@ -3980,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_shapes": q_conv_shapes,
         "tool_ngrams": q_tool_ngrams,
         "role_profile": q_role_profile,
+        "tool_latency_q": q_tool_latency_quantiles,
         "widest_paths": q_widest_paths,
         "hits": q_hits,
         "ann_recall": q_ann_recall,
@@ -4406,6 +4473,7 @@ GROUP BY lang, pct
         "conv_shapes": _oracle(_CONV_SHAPES_BODY),
         "tool_ngrams": _oracle(_TOOL_NGRAMS_BODY),
         "role_profile": _oracle(_ROLE_PROFILE_BODY),
+        "tool_latency_q": _oracle(_TOOL_LAT_Q_BODY),
         "bpe_pairs": _BPE_PAIRS_SQL,
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),
