@@ -51,6 +51,14 @@ def _sub_corpus(
     return quantize(sliced, "vec_id", "sub")
 
 
+def _sub_slice(qfull: DataFrame, lo: int, length: int) -> DataFrame:
+    """Subspace slice of an already-quantized (vec_id, q) frame.  floor is
+    per-dimension, so slice∘quantize == quantize∘slice — this lets the
+    m subspaces share ONE persisted scan+quantize of the corpus instead
+    of re-reading the parquet per subspace (was m scans; plan-audited)."""
+    return qfull.select("vec_id", F.slice(F.col("q"), lo, length).alias("q"))
+
+
 def train_codebook(pts: DataFrame, k: int, iterations: int) -> DataFrame:
     """Fixed-round Lloyd on one subspace → (cid, c) codebook (k rows)."""
     centroids = init_centroids(pts, k).localCheckpoint(eager=True)
@@ -81,12 +89,14 @@ def pq_topk(
     """
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     sub = dim // m
+    qfull = quantize(corpus, id_col, vec_col).persist()
+    qqueries = quantize(queries, id_col, vec_col).persist()
     contribs = []
     for s in range(m):
-        pts = _sub_corpus(corpus, s * sub + 1, sub, id_col, vec_col).persist()
+        pts = _sub_slice(qfull, s * sub + 1, sub)
         codebook = train_codebook(pts, k_codes, iterations)
         codes = assign(pts, codebook).select("vec_id", "cid")
-        qpts = _sub_corpus(queries, s * sub + 1, sub, id_col, vec_col)
+        qpts = _sub_slice(qqueries, s * sub + 1, sub)
         # the per-query m×k distance table (tiny: |queries|·k rows)
         dist_table = qpts.crossJoin(F.broadcast(codebook)).select(
             F.col("vec_id").alias("query_id"),
@@ -98,7 +108,6 @@ def pq_topk(
                 "query_id", F.col("vec_id").alias("neighbor_id"), F.col("qd2")
             )
         )
-        pts.unpersist()
     union = contribs[0]
     for c in contribs[1:]:
         union = union.unionByName(c)
@@ -197,14 +206,16 @@ def ivfpq_topk(
 
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     sub = dim // m
+    qfull = quantize(corpus, id_col, vec_col).persist()
+    qqueries = quantize(queries, id_col, vec_col).persist()
     contribs = []
     for s in range(m):
-        pts = _sub_corpus(corpus, s * sub + 1, sub, id_col, vec_col).persist()
+        pts = _sub_slice(qfull, s * sub + 1, sub)
         codebook = train_codebook(pts, k_codes, iterations)
         codes = assign(pts, codebook).select(
             F.col("vec_id").alias("neighbor_id"), "cid"
         )
-        qpts = _sub_corpus(queries, s * sub + 1, sub, id_col, vec_col)
+        qpts = _sub_slice(qqueries, s * sub + 1, sub)
         dist_table = qpts.crossJoin(F.broadcast(codebook)).select(
             F.col("vec_id").alias("query_id"),
             "cid",
@@ -215,7 +226,6 @@ def ivfpq_topk(
             .join(F.broadcast(dist_table), ["query_id", "cid"])
             .select("query_id", "neighbor_id", "cell", "qd2")
         )
-        pts.unpersist()
     union = contribs[0]
     for c in contribs[1:]:
         union = union.unionByName(c)
