@@ -1318,6 +1318,20 @@ def q_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join over gap sessions: per session, how many
+    OTHER users' sessions overlap it in time (bucket-explode equi-join
+    Spark-side vs DuckDB's native IEJoin range join in the oracle)."""
+    from knowledge_graph_spark.operators.sessions import session_stats
+    from knowledge_graph_spark.operators.temporal import interval_overlaps
+
+    load_views(spark, sf_dir)
+    s = session_stats(spark.table("events")).select(
+        "user_id", "session_id", "start_us", "end_us"
+    )
+    return interval_overlaps(s)
+
+
 EA_SIGMA = 3
 
 
@@ -4043,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": q_tool_latency,
         "event_sliding": q_event_sliding,
         "sessions_native": q_sessions_native,
+        "session_overlaps": q_session_overlaps,
         "conv_shapes": q_conv_shapes,
         "tool_ngrams": q_tool_ngrams,
         "role_profile": q_role_profile,
@@ -4691,6 +4706,54 @@ GROUP BY source, target
                    ar.value_r AS value_r, ar.ts_us AS ts_r
             FROM al ASOF LEFT JOIN ar
               ON al.user_id = ar.user_id AND al.ts_us >= ar.ts_us
+            """
+        ),
+        # Interval overlap: DuckDB's native quadratic range join (IEJoin)
+        # vs Spark's bucket-explode equi-join — independent implementations
+        # of the same overlap semantics (endpoints inclusive).
+        "session_overlaps": _oracle(
+            """
+            , ov_e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            ov_l AS (
+              SELECT *, lag(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+              FROM ov_e
+            ),
+            ov_f AS (
+              SELECT *, CASE WHEN prev_us IS NULL
+                              OR ts_us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS is_new
+              FROM ov_l
+            ),
+            ov_i AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM ov_f
+            ),
+            ov_s AS MATERIALIZED (
+              SELECT user_id,
+                     CAST(user_id AS VARCHAR) || '-' ||
+                       CAST(session_idx AS VARCHAR) AS session_id,
+                     min(ts_us) AS start_us, max(ts_us) AS end_us
+              FROM ov_i GROUP BY user_id, session_idx
+            ),
+            ov_p AS (
+              SELECT a.session_id AS ia, b.session_id AS ib
+              FROM ov_s a JOIN ov_s b
+                ON a.user_id <> b.user_id AND a.session_id < b.session_id
+               AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+            ),
+            ov_c AS (
+              SELECT sid, CAST(count(*) AS BIGINT) AS n_concurrent
+              FROM (SELECT ia AS sid FROM ov_p UNION ALL SELECT ib AS sid FROM ov_p)
+              GROUP BY sid
+            )
+            SELECT s.user_id, s.session_id, s.start_us, s.end_us,
+                   CAST(coalesce(c.n_concurrent, 0) AS BIGINT) AS n_concurrent
+            FROM ov_s s LEFT JOIN ov_c c ON c.sid = s.session_id
             """
         ),
         # Sliding windows: start = slide_bucket(t) − k·slide for every
