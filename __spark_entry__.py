@@ -1318,6 +1318,26 @@ def q_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_DAYS = 7
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→signup attribution: the SAME join plan the watermarked
+    stream-stream job runs (streaming/join_stream.py), executed batch
+    over the events table — signups within 7 days before each purchase."""
+    from knowledge_graph_spark.streaming.join_stream import attribution_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", "ts"
+    )
+    return attribution_join(p, s, window_days=ATTR_WINDOW_DAYS)
+
+
 def q_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval overlap join over gap sessions: per session, how many
     OTHER users' sessions overlap it in time (bucket-explode equi-join
@@ -4058,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sliding": q_event_sliding,
         "sessions_native": q_sessions_native,
         "session_overlaps": q_session_overlaps,
+        "attribution": q_attribution,
         "conv_shapes": q_conv_shapes,
         "tool_ngrams": q_tool_ngrams,
         "role_profile": q_role_profile,
@@ -4706,6 +4727,28 @@ GROUP BY source, target
                    ar.value_r AS value_r, ar.ts_us AS ts_r
             FROM al ASOF LEFT JOIN ar
               ON al.user_id = ar.user_id AND al.ts_us >= ar.ts_us
+            """
+        ),
+        # Attribution range join: DuckDB evaluates the raw predicate
+        # (IEJoin) — independent of the Spark plan the streaming job runs.
+        "attribution": _oracle(
+            f"""
+            , at_p AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ),
+            at_s AS (
+              SELECT event_id AS signup_id, user_id, ts FROM events
+              WHERE event_type = 'signup'
+            )
+            SELECT p.event_id, p.user_id, s.signup_id,
+                   epoch_us(p.ts) AS purchase_us,
+                   epoch_us(s.ts) AS signup_us,
+                   p.value
+            FROM at_p p JOIN at_s s
+              ON p.user_id = s.user_id
+             AND p.ts >= s.ts
+             AND p.ts <= s.ts + INTERVAL {ATTR_WINDOW_DAYS} DAYS
             """
         ),
         # Interval overlap: DuckDB's native quadratic range join (IEJoin)
