@@ -722,6 +722,81 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_MOD = 13  # doc_id % DSIR_MOD == DSIR_RES defines the target domain
+DSIR_RES = 4
+DSIR_BUCKETS = 4096
+DSIR_K = 100
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance ranking (Xie et al. 2023): hashed-bigram
+    log-likelihood-ratio score of every raw document against the
+    deterministic target slice; top-K selected under a tie-free order."""
+    from knowledge_graph_spark.operators.corpus import dsir_scores
+
+    return dsir_scores(
+        _docs(spark, sf_dir),
+        target=(F.col("doc_id") % DSIR_MOD == DSIR_RES),
+        n_buckets=DSIR_BUCKETS,
+        keep_k=DSIR_K,
+    )
+
+
+AUDIT_MIN_TOKENS = 20
+AUDIT_QUALITY_TAU = 0.45
+AUDIT_DUP_LINE_TAU = 0.30
+AUDIT_REP_TOK_TAU = 0.60
+AUDIT_PII_MOD = 7  # docs with doc_id % 7 == 0 get deterministic PII appended
+
+
+def q_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style mixer audit: the QC profile, PII counts, near-dup
+    cluster membership and decontamination signals fused into one
+    keep/drop decision per document with a reasons-provenance string
+    (PII is injected into a deterministic doc slice so that rule is
+    non-vacuous; 'duplicate' uses the ngram-Jaccard clusters because the
+    synthetic corpus has no exact duplicates)."""
+    from knowledge_graph_spark.operators.corpus import mixer_audit
+
+    prof = q_text_profile(spark, sf_dir)
+    dupc = q_dedup_clusters(spark, sf_dir).select("doc_id", "is_duplicate")
+    aug = F.when(
+        F.col("doc_id") % AUDIT_PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org now"),
+        ),
+    ).otherwise(F.col("text"))
+    piic = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            pii_fns.email_count(aug)
+            + pii_fns.phone_count(aug)
+            + pii_fns.ipv4_count(aug)
+        ).alias("n_pii"),
+    )
+    contam = q_decontam(spark, sf_dir).select("doc_id", "is_contaminated")
+    signals = (
+        prof.join(piic, "doc_id").join(contam, "doc_id").join(dupc, "doc_id")
+    )
+    rules = [
+        ("too_short", F.col("n_ws_tokens") < AUDIT_MIN_TOKENS),
+        ("low_quality", F.col("quality") < AUDIT_QUALITY_TAU),
+        ("non_english", F.col("lang_pred") != "en"),
+        (
+            "repetitive",
+            (F.col("dup_line_frac") > AUDIT_DUP_LINE_TAU)
+            | (F.col("rep_token_frac") > AUDIT_REP_TOK_TAU),
+        ),
+        ("pii", F.col("n_pii") > 0),
+        ("duplicate", F.col("is_duplicate")),
+        ("contaminated", F.col("is_contaminated")),
+    ]
+    return mixer_audit(signals, rules)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style pruning: IVF-cell blocking + within-cell cosine."""
     return similarity.semantic_dedup(
@@ -1641,6 +1716,52 @@ JOIN sizes sb ON inter.id_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE) >= {NGRAM_THRESHOLD}
 """
 
+# Near-dup cluster resolution: the ngram-Jaccard pair graph closed into
+# connected components by a recursive CTE; min id per component is the
+# canonical survivor.  Shared by the dedup_clusters gate and the mixer
+# audit's 'duplicate' rule.
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[ci+1 : ci+{NGRAM_N}], ' ') AS gram
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {NGRAM_N} THEN 0
+                                           ELSE len(t) - {NGRAM_N} + 1 END)) AS u(ci)
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 1000),
+posting AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dpairs AS (
+  SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
+         lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE)
+        >= {NGRAM_THRESHOLD}
+),
+dsym AS (SELECT a, b FROM dpairs UNION SELECT b AS a, a AS b FROM dpairs),
+dnodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS node FROM documents),
+dreach(node, r) AS (
+  SELECT node, node FROM dnodes
+  UNION
+  SELECT s.a, dreach.r FROM dsym s JOIN dreach ON s.b = dreach.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(r) AS BIGINT) AS canonical_id,
+       node <> min(r) AS is_duplicate
+FROM dreach GROUP BY node
+"""
+
 # Cosine oracle mirrors the Spark fold EXACTLY: per-vector L2 normalize
 # (sequential sum-of-squares fold), then a sequential dot-product fold of
 # the unit vectors — identical float op order on both engines.
@@ -2066,6 +2187,100 @@ SELECT d.doc_id,
                  ELSE floor(CAST(c.n_repeated AS DOUBLE) * 1000000
                             / CAST(c.n_windows AS DOUBLE)) END AS BIGINT) AS rep_micro
 FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+"""
+
+# DSIR oracle: hashed-bigram bucket models (target vs raw, add-one
+# smoothing, bit-length log2), per-doc mean log-likelihood ratio in
+# floored micro-units, deterministic top-K selection.  The bigram
+# fingerprint is the same polynomial fold the Spark side uses
+# (rolling_fingerprint), evaluated on the space-joined token window.
+_DSIR_SQL = f"""
+WITH {_DTOKS_CTE},
+grams AS (
+  SELECT doc_id, array_to_string(t[ci+1 : ci+2], ' ') AS span
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < 2 THEN 0
+                                           ELSE len(t) - 1 END)) u(ci)
+),
+gb AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(span) + 1),
+             i -> CAST(ord(substr(span, CAST(i AS INT), 1)) AS BIGINT))),
+           (a, b) -> (a * {textqc.FP_BASE} + b) % {textqc.FP_MOD}) % {DSIR_BUCKETS} AS b
+  FROM grams
+),
+occ AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM gb GROUP BY doc_id, b),
+bkt AS (
+  SELECT b,
+         CAST(length(bin(CAST(sum(CASE WHEN doc_id % {DSIR_MOD} = {DSIR_RES}
+                                       THEN c ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT)
+         - CAST(length(bin(CAST(sum(c) + 1 AS BIGINT))) - 1 AS BIGINT) AS wt
+  FROM occ GROUP BY b
+),
+prof AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(c * wt) AS BIGINT) AS dsir_bits
+  FROM occ JOIN bkt USING (b) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_grams, dsir_bits,
+         CAST(floor(CAST(dsir_bits AS DOUBLE) * 1000000
+                    / CAST(n_grams AS DOUBLE)) AS BIGINT) AS mean_lr_micro
+  FROM prof
+),
+sel AS (SELECT doc_id FROM scored ORDER BY mean_lr_micro DESC, doc_id LIMIT {DSIR_K})
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.dsir_bits, 0) AS BIGINT) AS dsir_bits,
+       CAST(coalesce(s.mean_lr_micro, 0) AS BIGINT) AS mean_lr_micro,
+       s2.doc_id IS NOT NULL AS selected
+FROM documents d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+LEFT JOIN sel s2 ON d.doc_id = s2.doc_id
+"""
+
+# Mixer-audit oracle: composes the text-profile and decontamination
+# oracle bodies (nested WITH — DuckDB accepts full statements as CTE
+# bodies) plus the PII counting patterns, then evaluates the same fixed
+# rule list; concat_ws skips non-fired (NULL) rules in both engines.
+_FILTER_AUDIT_SQL = f"""
+WITH prof AS ({_TEXT_PROFILE_SQL}),
+dupc AS ({_DEDUP_CLUSTERS_SQL}),
+paug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {AUDIT_PII_MOD} = 0
+              THEN text || ' reach admin' || CAST(doc_id AS VARCHAR) || '@example.org now'
+              ELSE text END AS t
+  FROM documents
+),
+piic AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{pii_fns.EMAIL_RE}'))
+         + len(regexp_extract_all(t, '{pii_fns.PHONE_RE}'))
+         + len(regexp_extract_all(t, '{pii_fns.IPV4_RE}')) AS n_pii
+  FROM paug
+),
+contam AS ({_DECONTAM_SQL}),
+sig AS (
+  SELECT w.doc_id, w.n_ws_tokens, w.quality, w.lang_pred, w.dup_line_frac,
+         w.rep_token_frac, d.is_duplicate, p.n_pii, c.is_contaminated
+  FROM prof w JOIN piic p USING (doc_id) JOIN contam c USING (doc_id)
+       JOIN dupc d USING (doc_id)
+),
+flagged AS (
+  SELECT doc_id,
+    concat_ws(',',
+      CASE WHEN n_ws_tokens < {AUDIT_MIN_TOKENS} THEN 'too_short' END,
+      CASE WHEN quality < {AUDIT_QUALITY_TAU} THEN 'low_quality' END,
+      CASE WHEN lang_pred <> 'en' THEN 'non_english' END,
+      CASE WHEN dup_line_frac > {AUDIT_DUP_LINE_TAU}
+             OR rep_token_frac > {AUDIT_REP_TOK_TAU} THEN 'repetitive' END,
+      CASE WHEN n_pii > 0 THEN 'pii' END,
+      CASE WHEN is_duplicate THEN 'duplicate' END,
+      CASE WHEN is_contaminated THEN 'contaminated' END) AS reasons
+  FROM sig
+)
+SELECT doc_id, reasons, reasons = '' AS kept FROM flagged
 """
 
 _SEMANTIC_DEDUP_SQL = f"""
@@ -4027,6 +4242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_pairs": q_decontam_pairs,
         "familiarity": q_familiarity,
         "repeated_spans": q_repeated_spans,
+        "dsir_select": q_dsir_select,
+        "filter_audit": q_filter_audit,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_cells": q_kmeans,
         "semantic_dedup_km": q_semantic_dedup_km,
@@ -4408,6 +4625,8 @@ FROM c
         "decontam_pairs": _DECONTAM_PAIRS_SQL,
         "familiarity": _FAMILIARITY_SQL,
         "repeated_spans": _REPEATED_SPANS_SQL,
+        "dsir_select": _DSIR_SQL,
+        "filter_audit": _FILTER_AUDIT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "kmeans_cells": _KMEANS_SQL,
         "semantic_dedup_km": _SEMANTIC_DEDUP_KM_SQL,
@@ -4563,47 +4782,7 @@ SELECT * FROM nj WHERE jaccard_micro >= {int(NJ_TAU * 1_000_000)}
 """),
         "exact_dedup": _EXACT_DEDUP_SQL,
         "ngram_dedup": _NGRAM_DEDUP_SQL,
-        "dedup_clusters": f"""
-WITH RECURSIVE dtoks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                     '\\s+'), x -> x <> '') AS t
-  FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id, array_to_string(t[ci+1 : ci+{NGRAM_N}], ' ') AS gram
-  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {NGRAM_N} THEN 0
-                                           ELSE len(t) - {NGRAM_N} + 1 END)) AS u(ci)
-),
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 1000),
-posting AS (SELECT g.* FROM grams g JOIN rare USING (gram)),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM posting a JOIN posting b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-dpairs AS (
-  SELECT lpad(CAST(id_a AS VARCHAR), 12, '0') AS a,
-         lpad(CAST(id_b AS VARCHAR), 12, '0') AS b
-  FROM inter
-  JOIN sizes sa ON inter.id_a = sa.doc_id
-  JOIN sizes sb ON inter.id_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE)
-        >= {NGRAM_THRESHOLD}
-),
-dsym AS (SELECT a, b FROM dpairs UNION SELECT b AS a, a AS b FROM dpairs),
-dnodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS node FROM documents),
-dreach(node, r) AS (
-  SELECT node, node FROM dnodes
-  UNION
-  SELECT s.a, dreach.r FROM dsym s JOIN dreach ON s.b = dreach.node
-)
-SELECT CAST(node AS BIGINT) AS doc_id,
-       CAST(min(r) AS BIGINT) AS canonical_id,
-       node <> min(r) AS is_duplicate
-FROM dreach GROUP BY node
-""",
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "entity_search": _oracle(_ENTITY_SEARCH_BODY),
         "hybrid_entities": _oracle(
             f"""

@@ -389,3 +389,126 @@ def merge_pair_counts(
         .orderBy(F.desc("n_pairs"), F.asc("left_tok"), F.asc("right_tok"))
         .limit(k_top)
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    keep_k: int = 100,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much its hashed
+    n-gram distribution looks like a *target domain*, then keep the top
+    ``keep_k``.  This is the standard pretraining-data curation move when
+    you have a small in-domain seed set (the ``target`` predicate) and a
+    huge raw crawl.
+
+    Features are the paper's hashed bigrams: each whitespace-token bigram
+    is fingerprinted (`rolling_fingerprint`, the shared SQL-expressible
+    polynomial family) into ``n_buckets`` buckets.  Per bucket we fit two
+    add-one-smoothed count models — target vs raw — and the per-document
+    score is the mean log-likelihood ratio over its bigram occurrences.
+    All arithmetic is exact integers: log2 via bit_length
+    (``length(bin(c+1)) - 1``), the mean reported as a floored
+    micro-ratio, so the DuckDB oracle matches bit-for-bit.  Using raw
+    counts instead of probabilities shifts every occurrence's term by the
+    same constant log(|raw|/|target|); the per-gram mean makes that a
+    constant offset on every document, leaving the RANKING identical to
+    the normalized-probability form — which is all selection uses.
+
+    Selection is deterministic importance *ranking* (no RNG): top
+    ``keep_k`` under the tie-free total order (score DESC, id ASC) via
+    ``orderBy().limit()`` — TakeOrderedAndProject, a per-partition heap,
+    never a global sort — then a broadcast semi-join stamps ``selected``.
+
+    Scale shape: bigrams shuffle once keyed by (doc, bucket) — partial
+    aggregation collapses repeats map-side; the bucket model table is
+    ``n_buckets`` rows, always broadcast.  Nothing here grows with corpus
+    size except the two linear scans.
+
+    Returns (doc_id, n_grams, dsir_bits, mean_lr_micro, selected) for
+    every input document (docless-of-bigrams rows score 0).
+    """
+    from ..functions.textqc import rolling_fingerprint
+    from .dedup import token_windows
+
+    grams = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        F.explode(token_windows(F.col(text_col), 2, 1)).alias("span"),
+    ).withColumn(
+        "b", F.pmod(rolling_fingerprint(F.col("span")), F.lit(n_buckets))
+    )
+    occ = grams.groupBy("doc_id", "b").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.first("is_target").alias("is_target"),
+    )
+    bits = lambda c: (F.length(F.bin(c + F.lit(1))) - 1).cast("bigint")  # noqa: E731
+    buckets = (
+        occ.groupBy("b")
+        .agg(
+            F.sum("c").alias("cr"),
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
+        )
+        .select("b", (bits(F.col("ct")) - bits(F.col("cr"))).alias("wt"))
+    )
+    prof = (
+        occ.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("wt")).cast("bigint").alias("dsir_bits"),
+        )
+    )
+    mean = F.floor(
+        F.col("dsir_bits").cast("double") * 1_000_000 / F.col("n_grams").cast("double")
+    ).cast("bigint")
+    prof = prof.select("doc_id", "n_grams", "dsir_bits", mean.alias("mean_lr_micro"))
+    top = (
+        prof.orderBy(F.desc("mean_lr_micro"), F.asc("doc_id"))
+        .limit(keep_k)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    out = (
+        widen(docs).select(F.col(id_col).alias("doc_id"))
+        .join(prof, "doc_id", "left")
+        .join(F.broadcast(top), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("dsir_bits", F.lit(0)).cast("bigint").alias("dsir_bits"),
+        F.coalesce("mean_lr_micro", F.lit(0)).cast("bigint").alias("mean_lr_micro"),
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )
+
+
+def mixer_audit(
+    signals: DataFrame, rules: list[tuple[str, F.Column]], id_col: str = "doc_id"
+) -> DataFrame:
+    """Dolma-style tagger/mixer audit (Soldaini et al. 2024,
+    arXiv:2402.00159): given one row of quality signals per document and
+    an ordered list of (rule_name, fires) predicates, emit WHY each
+    document was kept or dropped — the provenance table a curation
+    pipeline ships alongside the filtered corpus so cut decisions are
+    auditable and re-mixable without recomputing the taggers.
+
+    ``reasons`` is the comma-joined names of the rules that fired, in the
+    given (fixed) rule order — `concat_ws` skips the NULLs from rules
+    that did not fire identically on every engine, so the string is
+    deterministic without a sort.  ``kept`` is "no rule fired".
+
+    Pure row-local Column algebra over the signals table: no shuffle, no
+    Python — the audit fuses into whatever scan produced the signals.
+    """
+    reasons = F.concat_ws(
+        ",", *[F.when(pred, F.lit(name)) for name, pred in rules]
+    )
+    return signals.select(
+        F.col(id_col).alias("doc_id"),
+        reasons.alias("reasons"),
+        (reasons == F.lit("")).alias("kept"),
+    )

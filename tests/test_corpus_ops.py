@@ -109,3 +109,57 @@ def test_length_profile_exact_order_stats(spark):
     assert (got["de"].n_docs, got["de"].p50, got["de"].p90, got["de"].max_tokens) == (
         3, 7, 7, 9,
     )
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    from knowledge_graph_spark.operators.corpus import dsir_scores
+
+    # Two disjoint bigram domains: target docs share "alpha beta gamma"
+    # vocabulary, off-domain docs share "delta epsilon zeta".  A raw doc
+    # written in target vocabulary must outscore one written off-domain.
+    rows = []
+    for i in range(10):  # target slice (ids 0-9, even => is_target below)
+        rows.append((i, "alpha beta gamma alpha beta"))
+    for i in range(10, 20):
+        rows.append((i, "delta epsilon zeta delta epsilon"))
+    # probes: 100/101 are raw docs written in each domain's vocabulary
+    rows.append((100, "alpha beta gamma"))
+    rows.append((101, "delta epsilon zeta"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dsir_scores(
+        docs, target=F.col("doc_id") < 10, n_buckets=64, keep_k=12
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[100].mean_lr_micro > by_id[101].mean_lr_micro
+    # n_grams = token count - 1 for a single-line doc
+    assert by_id[100].n_grams == 2
+    # exactly keep_k selected, and the top-scored probe is among them
+    assert sum(r.selected for r in out) == 12
+    assert by_id[100].selected
+    assert not by_id[101].selected
+    # every input doc appears exactly once (docs without bigrams too)
+    one = spark.createDataFrame([(200, "solo")], "doc_id bigint, text string")
+    out2 = dsir_scores(
+        docs.unionByName(one), target=F.col("doc_id") < 10, n_buckets=64
+    )
+    row200 = out2.filter(F.col("doc_id") == 200).first()
+    assert row200.n_grams == 0 and row200.mean_lr_micro == 0 and not row200.selected
+
+
+def test_mixer_audit_reasons_and_kept(spark):
+    from knowledge_graph_spark.operators.corpus import mixer_audit
+
+    sig = spark.createDataFrame(
+        [(1, 5, 0.9), (2, 50, 0.2), (3, 5, 0.2), (4, 50, 0.9)],
+        "doc_id bigint, n_tokens int, quality double",
+    )
+    rules = [
+        ("too_short", F.col("n_tokens") < 10),
+        ("low_quality", F.col("quality") < 0.5),
+    ]
+    out = {r.doc_id: r for r in mixer_audit(sig, rules).collect()}
+    assert out[1].reasons == "too_short" and not out[1].kept
+    assert out[2].reasons == "low_quality"
+    # fixed rule order, not alphabetical
+    assert out[3].reasons == "too_short,low_quality"
+    assert out[4].reasons == "" and out[4].kept

@@ -47,6 +47,8 @@ CHECK = [
     "fuzzy_aliases",
     "k_core",
     "hash_split",
+    "dsir_select",
+    "filter_audit",
     "length_stats",
     "bfs_hops",
     "kmeans_cells",
