@@ -1463,6 +1463,22 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_transitions(transcripts_from_events(spark, sf_dir))
 
 
+SCC_INNER = 4  # ≥ reachability diameter of the transition graph
+SCC_OUTER = 2
+
+
+def q_tool_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation of the directed tool-transition graph: the
+    recurrent tool core (retry/routine loops) vs transient entry states
+    (^START) — fixed-round FW-BW min-label peeling, unrolled oracle."""
+    from knowledge_graph_spark.operators.graphops import scc_fixed_rounds
+
+    edges = q_tool_transitions(spark, sf_dir).select(
+        F.col("prev_tool").alias("source"), F.col("tool").alias("target")
+    )
+    return scc_fixed_rounds(edges, inner_rounds=SCC_INNER, outer_rounds=SCC_OUTER)
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response-latency profile in exact
     integer microseconds (epoch-us lag subtraction, no float durations)."""
@@ -3543,6 +3559,70 @@ SELECT conv_id,
 FROM transcripts GROUP BY conv_id
 """
 
+def _scc_oracle_body(inner: int, outer: int) -> str:
+    """Unrolled FW-BW min-label SCC oracle over the tool-transition
+    edges — mirrors graphops.scc_fixed_rounds round for round (same
+    peeling, same '' sentinel for unresolved).  AS MATERIALIZED on every
+    per-round CTE: each is referenced twice downstream (the 2^rounds
+    inlining blowup the LPA oracle hit)."""
+    ctes = [
+        """tt_calls AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts
+  WHERE role = 'tool' AND tool <> ''
+)""",
+        """tt_seq AS (
+  SELECT conv_id, tool,
+         coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '^START') AS prev_tool
+  FROM tt_calls
+)""",
+        "er1 AS MATERIALIZED (SELECT DISTINCT prev_tool AS a, tool AS b FROM tt_seq)",
+        "rem1 AS MATERIALIZED (SELECT a AS node FROM er1 UNION SELECT b FROM er1)",
+    ]
+    res_names = []
+    for r in range(1, outer + 1):
+        for tag, frm, to in (("f", "a", "b"), ("bk", "b", "a")):
+            ctes.append(f"{tag}{r}_0 AS (SELECT node, node AS lab FROM rem{r})")
+            for i in range(1, inner + 1):
+                ctes.append(
+                    f"""{tag}{r}_{i} AS MATERIALIZED (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM {tag}{r}_{i - 1}
+    UNION ALL
+    SELECT e.{to} AS node, l.lab
+    FROM er{r} e JOIN {tag}{r}_{i - 1} l ON l.node = e.{frm}
+  ) GROUP BY node)"""
+                )
+        ctes.append(
+            f"""res{r} AS MATERIALIZED (
+  SELECT f.node, f.lab AS scc_id, CAST({r} AS INT) AS resolved_round
+  FROM f{r}_{inner} f JOIN bk{r}_{inner} b ON f.node = b.node AND f.lab = b.lab)"""
+        )
+        res_names.append(f"res{r}")
+        ctes.append(
+            f"rem{r + 1} AS MATERIALIZED "
+            f"(SELECT node FROM rem{r} ANTI JOIN res{r} USING (node))"
+        )
+        ctes.append(
+            f"""er{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM er{r}
+  WHERE a IN (SELECT node FROM rem{r + 1})
+    AND b IN (SELECT node FROM rem{r + 1}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT node, scc_id, resolved_round FROM {n}" for n in res_names
+    )
+    return (
+        ", "
+        + ",\n".join(ctes)
+        + f"""
+{union}
+UNION ALL
+SELECT node, '' AS scc_id, CAST(0 AS INT) AS resolved_round FROM rem{outer + 1}
+"""
+    )
+
+
 _TOOL_TRANS_BODY = """
 , tt_calls AS (
   SELECT conv_id, turn_idx, tool FROM transcripts
@@ -4290,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "sessions": q_sessions,
         "tool_transitions": q_tool_transitions,
+        "tool_scc": q_tool_scc,
         "turn_latency": q_turn_latency,
         "tool_latency": q_tool_latency,
         "event_sliding": q_event_sliding,
@@ -4723,6 +4804,7 @@ GROUP BY lang, pct
         "assortativity": _oracle(_ASSORT_BODY),
         "link_pred": _oracle(_AA_BODY),
         "tool_transitions": _oracle(_TOOL_TRANS_BODY),
+        "tool_scc": _oracle(_scc_oracle_body(SCC_INNER, SCC_OUTER)),
         "turn_latency": _oracle(_TURN_LATENCY_BODY),
         "tool_latency": _oracle(_TOOL_LATENCY_BODY),
         "conv_shapes": _oracle(_CONV_SHAPES_BODY),

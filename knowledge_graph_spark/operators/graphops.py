@@ -877,3 +877,103 @@ def assortativity_profile(edges: DataFrame, degrees: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("den"),
     )
+
+
+def scc_fixed_rounds(
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    inner_rounds: int = 4,
+    outer_rounds: int = 2,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph via fixed-round
+    forward-backward min-label peeling (the FW-BW-trim family, Fleischer
+    et al. 2000, distributed as in Pregel-style SCC) →
+    (node, scc_id, resolved_round).
+
+    Per outer round, every remaining node propagates the minimum label of
+    its *ancestors* forward (``inner_rounds`` join rounds) and of its
+    *descendants* backward; a node with forward-min == backward-min == m
+    is mutually reachable with m, so {v : fmin(v)=bmin(v)=m} is a subset
+    of SCC(m) — SOUND regardless of round counts (a propagated label
+    witnesses a real path).  Resolved nodes and their edges are peeled
+    and the next outer round resolves SCCs whose min member was shadowed
+    by a smaller external ancestor.  With inner_rounds ≥ reachability
+    diameter and enough outer rounds the partition is exact; a fixed
+    unroll is oracle-checkable exactly like pagerank_int / widest_paths
+    (extra rounds are no-ops).  Unresolved leftovers report scc_id '' and
+    resolved_round 0 — never a wrong id.  Under INSUFFICIENT inner rounds
+    a true SCC may resolve piecewise across outer rounds (peeling a
+    member can break the cycle for the rest), so groups can be finer than
+    the true partition — but never coarser, and every group's id is a
+    member of the same true SCC (both directions of the label carry a
+    real path witness; pytest property-checks this against networkx).
+
+    The undirected `connected_components` erases direction; SCC keeps it:
+    on the agent-trace transition graph it separates the recurrent tool
+    core (retry/routine loops) from transient entry/exit states.
+
+    Scale shape: each inner round is ONE equi-join of the label frontier
+    against the remaining edges plus a min-aggregate (the Pregel round;
+    map-side combinable).  Peeling uses left_anti joins.  localCheckpoint
+    caps plan growth, as in the other iterative kernels.
+    """
+    e0 = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    def _min_prop(rem: DataFrame, er: DataFrame, along_out: bool) -> DataFrame:
+        lab = rem.select("node", F.col("node").alias("lab"))
+        frm, to = ("a", "b") if along_out else ("b", "a")
+        for _ in range(inner_rounds):
+            # alias both sides: in outer round 2+ the label frontier and
+            # the peeled edge set share the round-1 lineage (self-join)
+            step = (
+                lab.alias("L")
+                .join(er.alias("E"), F.col("L.node") == F.col(f"E.{frm}"))
+                .select(F.col(f"E.{to}").alias("node"), F.col("L.lab").alias("lab"))
+            )
+            lab = (
+                lab.unionByName(step)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+                .localCheckpoint(eager=False)
+            )
+        return lab
+
+    remaining, er, out = nodes, e0, None
+    for r in range(1, outer_rounds + 1):
+        f = _min_prop(remaining, er, along_out=True).withColumnRenamed("lab", "fmin")
+        bk = _min_prop(remaining, er, along_out=False).withColumnRenamed("lab", "bmin")
+        res = (
+            f.join(bk, "node")
+            .filter(F.col("fmin") == F.col("bmin"))
+            .select(
+                "node",
+                F.col("fmin").alias("scc_id"),
+                F.lit(r).cast("int").alias("resolved_round"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = res if out is None else out.unionByName(res)
+        remaining = remaining.alias("R").join(
+            res.alias("S"), F.col("R.node") == F.col("S.node"), "left_anti"
+        )
+        er = (
+            er.alias("E1")
+            .join(res.alias("S1"), F.col("E1.a") == F.col("S1.node"), "left_anti")
+            .alias("E2")
+            .join(res.alias("S2"), F.col("E2.b") == F.col("S2.node"), "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    leftover = remaining.select(
+        "node", F.lit("").alias("scc_id"), F.lit(0).cast("int").alias("resolved_round")
+    )
+    return out.unionByName(leftover)
