@@ -4,6 +4,8 @@ The non-KG half of the engine as one checkpointed job: QC profiling →
 PII redaction → exact + MinHash-LSH dedup → cluster resolution →
 repeated-span boilerplate scoring → unigram familiarity scoring →
 (optional) benchmark decontamination (exact-index or Bloom-pruned) →
+drop-provenance audit table (mixer_audit — kept flag provably equals
+export membership) → (optional) DSIR importance-score table →
 filtered corpus export → (optional) per-language reservoir cap →
 split assignment + length stats + mergeable token sketches (HLL
 distinct, Count-Min).  This is the standard pretraining-data shape
@@ -37,9 +39,11 @@ from knowledge_graph_spark.checkpoint import StageRunner  # noqa: E402
 from knowledge_graph_spark.functions import pii, textqc  # noqa: E402
 from knowledge_graph_spark.io import TableIO  # noqa: E402
 from knowledge_graph_spark.operators.corpus import (  # noqa: E402
+    dsir_scores,
     familiarity_profile,
     hash_split,
     length_profile,
+    mixer_audit,
     stratum_cap,
     unigram_counts,
 )
@@ -130,6 +134,53 @@ def filtered_corpus(
     return scrubbed.join(keep, "doc_id")
 
 
+def audit_table(
+    profile,
+    resolution,
+    min_quality,
+    min_tokens,
+    max_rep,
+    spans=None,
+    max_span_micro=1_000_000,
+    familiarity=None,
+    min_mean_bits_micro=0,
+    contamination=None,
+):
+    """Dolma-style drop-provenance twin of ``filtered_corpus``: one row
+    per INPUT document with the comma-joined names of the drop rules that
+    fired and the resulting keep decision.  The rule predicates are the
+    exact negations of the filter's keep conditions, so ``kept`` here
+    equals membership in the exported corpus (pre-stratum-cap) — the e2e
+    test asserts that identity.  Shipping this table makes every cut
+    auditable and lets the mix be re-weighted without re-running the
+    taggers."""
+    signals = profile.join(
+        resolution.select("doc_id", "is_duplicate"), "doc_id"
+    )
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("low_quality", F.col("quality") < min_quality),
+        ("repetitive", F.col("rep_token_frac") > max_rep),
+        ("duplicate", F.col("is_duplicate")),
+    ]
+    if spans is not None and max_span_micro < 1_000_000:
+        signals = signals.join(spans.select("doc_id", "rep_micro"), "doc_id")
+        rules.append(("boilerplate", F.col("rep_micro") > max_span_micro))
+    if familiarity is not None and min_mean_bits_micro > 0:
+        signals = signals.join(
+            familiarity.select("doc_id", "mean_bits_micro"), "doc_id"
+        )
+        rules.append(
+            ("unfamiliar", F.col("mean_bits_micro") < min_mean_bits_micro)
+        )
+    if contamination is not None:
+        signals = signals.join(
+            contamination.select("doc_id", "is_contaminated"), "doc_id"
+        )
+        rules.append(("contaminated", F.col("is_contaminated")))
+    return mixer_audit(signals, rules)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="dir containing documents.parquet")
@@ -173,6 +224,16 @@ def parse_args(argv=None):
         default=0.0,
         help="drop docs whose mean unigram familiarity (bits/token) is below this",
     )
+    p.add_argument(
+        "--dsir-target-mod",
+        type=int,
+        default=0,
+        help="if > 0, add a DSIR importance-score table against the "
+        "target slice doc_id %% MOD == 0 (hashed-bigram LLR; the in-domain "
+        "seed set in production is a real table — the modulus slice is the "
+        "deterministic sandbox stand-in)",
+    )
+    p.add_argument("--dsir-keep-k", type=int, default=1000)
     p.add_argument(
         "--compact-target-mb",
         type=int,
@@ -243,6 +304,32 @@ def main(argv=None) -> dict:
             inputs=[],
         )
         corpus_inputs.append("decontam")
+    audit = runner.run(
+        "corpus_audit",
+        lambda: audit_table(
+            profile,
+            resolution,
+            args.min_quality,
+            args.min_tokens,
+            args.max_rep_frac,
+            spans=spans,
+            max_span_micro=int(args.max_span_rep_frac * 1_000_000),
+            familiarity=fam,
+            min_mean_bits_micro=int(args.min_familiarity_bits * 1_000_000),
+            contamination=contamination,
+        ),
+        inputs=corpus_inputs,
+    )
+    if args.dsir_target_mod > 0:
+        runner.run(
+            "dsir_scores",
+            lambda: dsir_scores(
+                docs,
+                target=(F.col("doc_id") % args.dsir_target_mod == 0),
+                keep_k=args.dsir_keep_k,
+            ),
+            inputs=[],
+        )
     corpus = runner.run(
         "corpus_filtered",
         lambda: filtered_corpus(
@@ -310,6 +397,7 @@ def main(argv=None) -> dict:
             "exact_groups": exact.count(),
             "neardup_pairs": pairs.count(),
             "kept": corpus.count(),
+            "audit_kept": audit.filter(F.col("kept")).count(),
             "split": {
                 r["split"]: r["n"]
                 for r in split.groupBy("split")

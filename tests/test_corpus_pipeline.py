@@ -13,6 +13,7 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
         "--input", "/root/testdata/sf0.001",
         "--output", out, "--master", "local[4]",
         "--compact-target-mb", "64",
+        "--dsir-target-mod", "13", "--dsir-keep-k", "50",
     ]
     s1 = job.main(argv)
     assert s1["rows"]["documents"] == 500
@@ -44,6 +45,17 @@ def test_corpus_job_end_to_end_and_resume(spark, tmp_path):
     langs = {r.lang for r in corpus.select("lang").distinct().collect()}
     assert {r.lang for r in stats.collect()} == langs
     assert stats.filter(F.col("p50") > F.col("max_tokens")).count() == 0
+
+    # audit provenance: kept flag is IDENTICAL to export membership, and
+    # every dropped doc carries at least one reason
+    audit = spark.read.parquet(f"{out}/corpus_audit")
+    assert audit.count() == 500
+    assert {r.doc_id for r in audit.filter(F.col("kept")).collect()} == kept
+    assert audit.filter(~F.col("kept") & (F.col("reasons") == "")).count() == 0
+    # DSIR side table: scores for every doc, exactly keep_k selected
+    dsir = spark.read.parquet(f"{out}/dsir_scores")
+    assert dsir.count() == 500
+    assert dsir.filter(F.col("selected")).count() == 50
 
     # mergeable corpus-accounting sketches over the kept text
     sk = spark.read.parquet(f"{out}/token_sketch")
