@@ -442,10 +442,12 @@ def dsir_scores(
     ).withColumn(
         "b", F.pmod(rolling_fingerprint(F.col("span")), F.lit(n_buckets))
     )
+    # occ feeds BOTH the bucket models and the per-doc scores; persist so
+    # the text scan + bigram explode run once (the ngram_dedup pattern)
     occ = grams.groupBy("doc_id", "b").agg(
         F.count("*").cast("bigint").alias("c"),
         F.first("is_target").alias("is_target"),
-    )
+    ).persist()
     bits = lambda c: (F.length(F.bin(c + F.lit(1))) - 1).cast("bigint")  # noqa: E731
     buckets = (
         occ.groupBy("b")
@@ -466,7 +468,11 @@ def dsir_scores(
     mean = F.floor(
         F.col("dsir_bits").cast("double") * 1_000_000 / F.col("n_grams").cast("double")
     ).cast("bigint")
-    prof = prof.select("doc_id", "n_grams", "dsir_bits", mean.alias("mean_lr_micro"))
+    # prof feeds the top-K heap AND the output join — persist (tiny: one
+    # row per doc)
+    prof = prof.select(
+        "doc_id", "n_grams", "dsir_bits", mean.alias("mean_lr_micro")
+    ).persist()
     top = (
         prof.orderBy(F.desc("mean_lr_micro"), F.asc("doc_id"))
         .limit(keep_k)

@@ -361,3 +361,33 @@ def test_link_pred_blocks_on_common_neighbor(spark):
         "BroadcastNestedLoop", ""
     )
     assert "LeftAnti" in p
+
+
+def test_dsir_broadcasts_bucket_model_and_heaps_topk(spark, docs):
+    """The bucket model (n_buckets rows) must join broadcast, the top-K
+    selection must be TakeOrderedAndProject (per-partition heap — never a
+    single-partition global sort), and scoring stays native (no Python)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_spark.operators.corpus import dsir_scores
+
+    p = plan(
+        dsir_scores(docs, target=F.col("doc_id") % 13 == 4, keep_k=10)
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "PythonUDF" not in p
+
+
+def test_scc_plan_no_cartesian_no_python(spark):
+    """Every SCC round is equi-join + partial-aggregate: no nested-loop /
+    cartesian product anywhere in the unrolled plan, and no Python."""
+    from knowledge_graph_spark.operators.graphops import scc_fixed_rounds
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "source string, target string"
+    )
+    p = plan(scc_fixed_rounds(e, inner_rounds=2, outer_rounds=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p

@@ -58,6 +58,8 @@ AUDIT = [
     ("emb_pq_topk", "PQ-ADC: codebook train + broadcast lookup join"),
     ("emb_ivfpq_topk", "IVF-PQ: cell prune + ADC rank"),
     ("sessions_native", "F.session_window gap sessions"),
+    ("dsir_select", "DSIR: broadcast bucket model + heap top-K"),
+    ("tool_scc", "fixed-round FW-BW SCC peeling joins"),
 ]
 
 PY_NODES = (
