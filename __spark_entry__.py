@@ -1601,6 +1601,18 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_pair_counts(_docs(spark, sf_dir), k_top=BPE_TOPK)
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING loop: 3 rounds of count-pairs →
+    argmax-merge → greedy re-segmentation over the word-frequency table
+    (character-level; native aggregate fold, no Python)."""
+    from knowledge_graph_spark.operators.corpus import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), rounds=BPE_ROUNDS)
+
+
 HITS_ROUNDS = 3
 
 
@@ -2254,6 +2266,60 @@ FROM documents d
 LEFT JOIN scored s ON d.doc_id = s.doc_id
 LEFT JOIN sel s2 ON d.doc_id = s2.doc_id
 """
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE-training oracle: per round, weighted adjacent-pair
+    counts over the word-frequency table, tie-free argmax, and the SAME
+    newline-anchored replace construction the Spark side uses for the
+    greedy merge (leftmost non-overlapping replace == greedy BPE; a
+    list_reduce struct fold would be equivalent but DuckDB 1.0 corrupts
+    list-in-struct accumulators — measured)."""
+    ctes = [
+        _DTOKS_CTE.strip(),
+        """vocab0 AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS w FROM dtoks) GROUP BY w
+)""",
+        """syms0 AS MATERIALIZED (
+  SELECT cnt, list_transform(range(1, length(word) + 1),
+                             i -> substr(word, CAST(i AS INT), 1)) AS syms
+  FROM vocab0
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        k = r - 1
+        ctes.append(
+            f"""pairs{r} AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT) + 1] AS l, syms[CAST(i AS INT) + 2] AS r,
+         CAST(sum(cnt) AS BIGINT) AS n
+  FROM syms{k}, LATERAL unnest(range(0, CASE WHEN len(syms) < 2 THEN 0
+                                             ELSE len(syms) - 1 END)) u(i)
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"best{r} AS MATERIALIZED "
+            f"(SELECT l, r, n FROM pairs{r} ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        if r < rounds:  # the last round's re-segmentation feeds nothing
+            ctes.append(
+                f"""syms{r} AS MATERIALIZED (
+  SELECT cnt,
+         str_split(substr(s2, 2, length(s2) - 2), chr(10) || chr(10)) AS syms
+  FROM (
+    SELECT s.cnt,
+           replace(chr(10) || array_to_string(s.syms, chr(10) || chr(10)) || chr(10),
+                   chr(10) || b.l || chr(10) || chr(10) || b.r || chr(10),
+                   chr(10) || b.l || b.r || chr(10)) AS s2
+    FROM syms{k} s CROSS JOIN best{r} b
+  ))"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, l AS left_tok, r AS right_tok, "
+        f"n AS n_pairs FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
 
 # Mixer-audit oracle: composes the text-profile and decontamination
 # oracle bodies (nested WITH — DuckDB accepts full statements as CTE
@@ -4393,6 +4459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "link_pred": q_link_pred,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_merges": q_bpe_merges,
         "events_asof": q_events_asof,
         "event_hourly": q_event_hourly,
         "event_anomaly": q_event_anomaly,
@@ -4812,6 +4879,7 @@ GROUP BY lang, pct
         "role_profile": _oracle(_ROLE_PROFILE_BODY),
         "tool_latency_q": _oracle(_TOOL_LAT_Q_BODY),
         "bpe_pairs": _BPE_PAIRS_SQL,
+        "bpe_merges": _bpe_oracle(BPE_ROUNDS),
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),
         "triangles": _oracle(f"""

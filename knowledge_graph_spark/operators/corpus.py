@@ -518,3 +518,100 @@ def mixer_audit(
         reasons.alias("reasons"),
         (reasons == F.lit("")).alias("kept"),
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, rounds: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016,
+    arXiv:1508.07909): ``rounds`` iterations of "count every adjacent
+    symbol pair, merge the most frequent everywhere" → the learned merge
+    table (round, left_tok, right_tok, n_pairs), which IS a BPE
+    tokenizer's core artifact.  Extends ``merge_pair_counts`` (one
+    counting round over words) to the full character-level training loop.
+
+    Like every real BPE trainer, the loop runs over the WORD-FREQUENCY
+    table, not the corpus: the text is scanned once into (word, cnt) —
+    Zipf-bounded (millions of rows at 100 TB, not trillions) — and every
+    subsequent round touches only that table.  Per round:
+
+    1. adjacent-pair counts weighted by word frequency (explode + one
+       combinable groupBy);
+    2. argmax under the tie-free total order (n DESC, left, right) via
+       ``orderBy().limit(1)`` — TakeOrderedAndProject;
+    3. apply the merge greedily left-to-right inside every word via plain
+       string ``replace`` over a newline-anchored rendering: symbols are
+       joined with two '\\n's and the word wrapped in single '\\n's, so
+       the pattern '\\n l \\n\\n r \\n' can only match WHOLE adjacent
+       symbols (tokens never contain whitespace), the shared boundary
+       newline lets consecutive pairs both merge, and replace's leftmost
+       non-overlapping scan IS greedy BPE semantics ("aaa" + merge(a,a)
+       → [aa, a]).  Native on both engines, no Python.  (A struct-
+       accumulator aggregate fold is equivalent in Spark, but DuckDB
+       1.0's list_reduce corrupts list-in-struct accumulators across
+       consecutive branches — measured — so both sides use replace.)
+
+    The oracle runs the identical construction, so the learned merges
+    hash-match exactly.  No end-of-word marker is appended (deviation
+    from Sennrich's </w>; merges are purely intra-word — documented,
+    same both engines).
+    """
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    vocab = (
+        widen(docs)
+        .select(F.explode(ws_tokens_col(normalized_text(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .persist()
+    )
+    merged = F.expr(
+        r"""
+        split(
+          substring(
+            replace(concat('\n', array_join(syms, '\n\n'), '\n'),
+                    concat('\n', _l, '\n\n', _r, '\n'),
+                    concat('\n', _l, _r, '\n')),
+            2,
+            length(replace(concat('\n', array_join(syms, '\n\n'), '\n'),
+                           concat('\n', _l, '\n\n', _r, '\n'),
+                           concat('\n', _l, _r, '\n'))) - 2),
+          '\n\n')
+        """
+    )
+    merges = None
+    for r in range(1, rounds + 1):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN CAST(array() AS array<struct<l:string,r:string>>) "
+                        "ELSE transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("_l"), F.col("p.r").alias("_r"))
+            .agg(F.sum("cnt").cast("bigint").alias("_n"))
+        )
+        best = pairs.orderBy(F.desc("_n"), F.asc("_l"), F.asc("_r")).limit(1).persist()
+        row = best.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("_l").alias("left_tok"),
+            F.col("_r").alias("right_tok"),
+            F.col("_n").alias("n_pairs"),
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("cnt", merged.alias("syms"))
+            .persist()
+        )
+    return merges

@@ -163,3 +163,58 @@ def test_mixer_audit_reasons_and_kept(spark):
     # fixed rule order, not alphabetical
     assert out[3].reasons == "too_short,low_quality"
     assert out[4].reasons == "" and out[4].kept
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The distributed loop must learn the same merge table as a plain
+    single-process BPE trainer (Sennrich-style count/argmax/greedy-apply
+    over word frequencies, no end-of-word marker)."""
+    from collections import Counter
+
+    from knowledge_graph_spark.operators.corpus import bpe_train_merges
+
+    texts = [
+        "the theme thesis then the the",
+        "there other the brother mother",
+        "aaa aab the banana bandana",
+        "single x yz the them",
+    ]
+
+    def reference(texts, rounds):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[w] += 1
+        words = {w: [c for c in w] for w in vocab}
+        merges = []
+        for _ in range(rounds):
+            pairs = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += vocab[w]
+            (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((l, r, n))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    rounds = 5
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = [
+        (r.left_tok, r.right_tok, r.n_pairs)
+        for r in bpe_train_merges(docs, rounds=rounds).orderBy("round").collect()
+    ]
+    assert got == reference(texts, rounds)
+    # the multi-char merged symbol must participate in later merges
+    # ("th"+"e" -> "the" is expected within 5 rounds on this corpus)
+    assert any(len(l) > 1 or len(r) > 1 for l, r, _ in got)

@@ -49,6 +49,8 @@ CHECK = [
     "hash_split",
     "dsir_select",
     "filter_audit",
+    "bpe_merges",
+    "tool_scc",
     "length_stats",
     "bfs_hops",
     "kmeans_cells",
