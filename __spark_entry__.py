@@ -1613,6 +1613,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_docs(spark, sf_dir), rounds=BPE_ROUNDS)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the freshly-trained BPE tokenizer: per-document token counts
+    via a broadcast dictionary join against the trained word→symbols
+    table (tokenization never re-runs the merges per occurrence)."""
+    from knowledge_graph_spark.operators.corpus import bpe_segment
+
+    return bpe_segment(_docs(spark, sf_dir), rounds=BPE_ROUNDS)
+
+
 HITS_ROUNDS = 3
 
 
@@ -2267,7 +2276,7 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id
 LEFT JOIN sel s2 ON d.doc_id = s2.doc_id
 """
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, segment: bool = False) -> str:
     """Unrolled BPE-training oracle: per round, weighted adjacent-pair
     counts over the word-frequency table, tie-free argmax, and the SAME
     newline-anchored replace construction the Spark side uses for the
@@ -2281,8 +2290,8 @@ def _bpe_oracle(rounds: int) -> str:
   FROM (SELECT unnest(t) AS w FROM dtoks) GROUP BY w
 )""",
         """syms0 AS MATERIALIZED (
-  SELECT cnt, list_transform(range(1, length(word) + 1),
-                             i -> substr(word, CAST(i AS INT), 1)) AS syms
+  SELECT word, cnt, list_transform(range(1, length(word) + 1),
+                                   i -> substr(word, CAST(i AS INT), 1)) AS syms
   FROM vocab0
 )""",
     ]
@@ -2300,19 +2309,30 @@ def _bpe_oracle(rounds: int) -> str:
             f"best{r} AS MATERIALIZED "
             f"(SELECT l, r, n FROM pairs{r} ORDER BY n DESC, l, r LIMIT 1)"
         )
-        if r < rounds:  # the last round's re-segmentation feeds nothing
+        if segment or r < rounds:  # merges-only mode skips the last one
             ctes.append(
                 f"""syms{r} AS MATERIALIZED (
-  SELECT cnt,
+  SELECT word, cnt,
          str_split(substr(s2, 2, length(s2) - 2), chr(10) || chr(10)) AS syms
   FROM (
-    SELECT s.cnt,
+    SELECT s.word, s.cnt,
            replace(chr(10) || array_to_string(s.syms, chr(10) || chr(10)) || chr(10),
                    chr(10) || b.l || chr(10) || chr(10) || b.r || chr(10),
                    chr(10) || b.l || b.r || chr(10)) AS s2
     FROM syms{k} s CROSS JOIN best{r} b
   ))"""
             )
+    if segment:
+        body = f"""dwords AS (SELECT doc_id, unnest(t) AS w FROM dtoks),
+seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM syms{rounds})
+SELECT d.doc_id,
+       CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_words, sum(n_syms) AS n_bpe
+  FROM dwords JOIN seg ON dwords.w = seg.word GROUP BY doc_id
+) c ON d.doc_id = c.doc_id"""
+        return "WITH " + ",\n".join(ctes) + ",\n" + body
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS round, l AS left_tok, r AS right_tok, "
         f"n AS n_pairs FROM best{r}"
@@ -4460,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred": q_link_pred,
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "events_asof": q_events_asof,
         "event_hourly": q_event_hourly,
         "event_anomaly": q_event_anomaly,
@@ -4880,6 +4901,7 @@ GROUP BY lang, pct
         "tool_latency_q": _oracle(_TOOL_LAT_Q_BODY),
         "bpe_pairs": _BPE_PAIRS_SQL,
         "bpe_merges": _bpe_oracle(BPE_ROUNDS),
+        "bpe_tokenize": _bpe_oracle(BPE_ROUNDS, segment=True),
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),
         "triangles": _oracle(f"""

@@ -615,3 +615,86 @@ def bpe_train_merges(
             .persist()
         )
     return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a freshly-trained ``rounds``-merge BPE tokenizer to the
+    corpus → (doc_id, n_words, n_bpe_tokens): the token-count table a
+    packing/budgeting stage consumes once the tokenizer exists.
+
+    Scale design: tokenization is a DICTIONARY JOIN, not a per-occurrence
+    re-run of the merges.  Training already segments every distinct word
+    (the word-frequency table); this keeps that final (word → |symbols|)
+    table — Zipf-bounded, broadcastable — and joins each document's word
+    occurrences against it, summing symbol counts per doc.  The merge
+    loop therefore runs once per ROUND over the vocab, never per word
+    occurrence — the shape that holds at 100 TB.
+    """
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    words = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(ws_tokens_col(normalized_text(F.col(text_col)))).alias("word"),
+    )
+    vocab = (
+        words.filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "word",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "cnt",
+        )
+        .persist()
+    )
+    merged = F.expr(
+        r"""
+        split(
+          substring(
+            replace(concat('\n', array_join(syms, '\n\n'), '\n'),
+                    concat('\n', _l, '\n\n', _r, '\n'),
+                    concat('\n', _l, _r, '\n')),
+            2,
+            length(replace(concat('\n', array_join(syms, '\n\n'), '\n'),
+                           concat('\n', _l, '\n\n', _r, '\n'),
+                           concat('\n', _l, _r, '\n'))) - 2),
+          '\n\n')
+        """
+    )
+    for _ in range(rounds):
+        pairs = (
+            vocab.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN CAST(array() AS array<struct<l:string,r:string>>) "
+                        "ELSE transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("_l"), F.col("p.r").alias("_r"))
+            .agg(F.sum("cnt").cast("bigint").alias("_n"))
+        )
+        best = pairs.orderBy(F.desc("_n"), F.asc("_l"), F.asc("_r")).limit(1)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("word", merged.alias("syms"), "cnt")
+            .persist()
+        )
+    seg = F.broadcast(vocab.select("word", F.size("syms").cast("bigint").alias("n_syms")))
+    return (
+        words.join(seg, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("word").cast("bigint").alias("n_words"),
+            F.coalesce(F.sum("n_syms"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
