@@ -1259,6 +1259,22 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split", "key_micro")
 
 
+def q_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: the near-dup CLUSTER is the split unit (key
+    hashed on the cluster canonical), so a document and its
+    near-duplicates can never straddle train/test — the dedup-aware
+    assignment eval hygiene requires."""
+    from knowledge_graph_spark.operators.corpus import hash_split
+
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "canonical_id")
+    return hash_split(
+        clusters,
+        id_col="canonical_id",
+        val_frac=SPLIT_VAL_FRAC,
+        test_frac=SPLIT_TEST_FRAC,
+    ).select("doc_id", "canonical_id", "split", "key_micro")
+
+
 BFS_HOPS = 2
 
 
@@ -4446,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_aliases": q_fuzzy_aliases,
         "k_core": q_k_core,
         "hash_split": q_hash_split,
+        "leakfree_split": q_leakfree_split,
         "length_stats": q_length_stats,
         "bfs_hops": q_bfs_hops,
         "link_scores": q_link_scores,
@@ -4992,6 +5009,18 @@ SELECT * FROM nj WHERE jaccard_micro >= {int(NJ_TAU * 1_000_000)}
         "fuzzy_aliases": _oracle(_FUZZY_ALIASES_BODY),
         "k_core": _kcore_sql(),
         "hash_split": _HASH_SPLIT_SQL,
+        "leakfree_split": f"""
+WITH dupc AS ({_DEDUP_CLUSTERS_SQL})
+SELECT doc_id, canonical_id,
+  CASE WHEN key < {SPLIT_TEST_FRAC} THEN 'test'
+       WHEN key < {SPLIT_TEST_FRAC + SPLIT_VAL_FRAC} THEN 'val'
+       ELSE 'train' END AS split,
+  CAST(floor(key * 1000000) AS BIGINT) AS key_micro
+FROM (SELECT doc_id, canonical_id,
+        CAST(({HASH_A} * (canonical_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS DOUBLE)
+          / {HASH_M31} AS key
+      FROM dupc)
+""",
         "length_stats": _LENGTH_STATS_SQL.format(profile=_TEXT_PROFILE_SQL),
         "bfs_hops": _oracle(_bfs_body()),
         "link_scores": _oracle(_LINK_SCORES_BODY),
