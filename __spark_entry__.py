@@ -1495,6 +1495,19 @@ def q_tool_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc_fixed_rounds(edges, inner_rounds=SCC_INNER, outer_rounds=SCC_OUTER)
 
 
+HYPERBALL_ROUNDS = 3
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-size estimation over the KG: per node, an
+    HLL sketch of its 3-hop ball, register MAX-merge once per round —
+    the neighborhood-function / effective-diameter statistic at graph
+    scales where per-node BFS is impossible."""
+    from knowledge_graph_spark.operators.sketches import hyperball
+
+    return hyperball(_stages(spark, sf_dir)["edges"], rounds=HYPERBALL_ROUNDS)
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response-latency profile in exact
     integer microseconds (epoch-us lag subtraction, no float durations)."""
@@ -2781,6 +2794,52 @@ SELECT CAST({_HLL_M} AS BIGINT) AS m,
            AS estimate
 FROM hagg
 """
+
+def _hyperball_oracle(rounds: int) -> str:
+    """Unrolled HyperBall oracle over the prelude's kg_edges: singleton
+    sketches from the shared hash family, register MAX-merge over the
+    symmetrized adjacency per round, then the standard raw-HLL estimate
+    arithmetic per node."""
+    poly = _POLY.format(s="node")
+    ctes = [
+        """hb_adj AS MATERIALIZED (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION
+  SELECT target AS a, source AS b FROM kg_edges
+)""",
+        "hb_nodes AS (SELECT DISTINCT a AS node FROM hb_adj)",
+        f"""hbr0 AS MATERIALIZED (
+  SELECT node, CAST(h % {_HLL_M} AS INT) AS register,
+         CAST(CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_MAXRANK}
+                   ELSE length(bin((h // {_HLL_M}) & (-(h // {_HLL_M})))) END AS INT)
+           AS max_rank
+  FROM (SELECT node, {_perm('x', '0')} AS h
+        FROM (SELECT node, {poly} AS x FROM hb_nodes)))""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""hbr{r} AS MATERIALIZED (
+  SELECT node, register, max(max_rank) AS max_rank FROM (
+    SELECT node, register, max_rank FROM hbr{r - 1}
+    UNION ALL
+    SELECT e.a AS node, x.register, x.max_rank
+    FROM hb_adj e JOIN hbr{r - 1} x ON x.node = e.b
+  ) GROUP BY node, register)"""
+        )
+    est_num = (_HLL_ALPHA * float(_HLL_M * _HLL_M)) * float(_sk.HLL_SCALE)
+    body = f"""hbagg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_regs,
+         CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit
+  FROM hbr{rounds} GROUP BY node)
+SELECT node, CAST({_HLL_M} AS BIGINT) AS m,
+       CAST({_HLL_M} - n_regs AS BIGINT) AS n_zero,
+       CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS BIGINT) AS sum_scaled,
+       CAST(floor(CAST({est_num!r} AS DOUBLE)
+            / CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS DOUBLE)) AS BIGINT)
+         AS estimate
+FROM hbagg"""
+    return ", " + ",\n".join(ctes) + ",\n" + body
+
 
 # per-language variant: one register table per lang_pred stratum (MAX is
 # idempotent, so the Spark side skips the DISTINCT — same registers)
@@ -4435,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur": q_cooccur,
         "node_diff": q_node_diff,
         "hll_tokens": q_hll_tokens,
+        "hyperball": q_hyperball,
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
         "length_quantiles": q_length_quantiles,
@@ -4820,6 +4880,7 @@ FROM c
         "bm25_search": _BM25_SEARCH_SQL,
         "vocab": _VOCAB_SQL,
         "hll_tokens": _HLL_SQL,
+        "hyperball": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS)),
         "cms_counts": _CMS_SQL,
         "length_hist": _LENGTH_HIST_SQL,
         "hll_lang": _HLL_LANG_SQL,

@@ -288,3 +288,59 @@ def cms_estimates(
         .groupBy("key", "true_cnt")
         .agg(F.min("total").cast("bigint").alias("est_cnt"))
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = HLL_P,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, arXiv:1308.2144): per-node
+    neighborhood-size estimation — for every node, an HLL sketch of the
+    set of nodes within ``rounds`` hops, computed by MAX-merging each
+    node's registers with its neighbors' once per round.  This is THE
+    way to get the neighborhood function / effective-diameter statistics
+    on graphs too big for per-node BFS: exact ball counting is
+    O(|V|·ball) state, HyperBall is 2^p ints per node, and the register
+    MAX-merge is exactly set union in sketch space — so the round
+    recursion ball_k(v) = {v} ∪ ⋃_{u∈N(v)} ball_{k-1}(u) holds for the
+    sketches identically (pytest asserts register-set equality against
+    locally-computed true balls).
+
+    Returns hll_estimate per node: (node, m, n_zero, sum_scaled,
+    estimate) with estimate ≈ |ball_rounds(node)| (raw FFGM estimator —
+    same caveats as hll_distinct; exposed components allow downstream
+    correction).
+
+    Scale shape: each round is ONE equi-join of the register table
+    against the symmetrized adjacency plus a max-aggregate (map-side
+    combinable — registers are tiny and idempotent under MAX).  Register
+    rows are ≤ 2^p per node.  localCheckpoint caps plan growth, like the
+    other fixed-round kernels."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = adj.select(F.col("a").alias("node")).distinct()
+    regs = hll_registers(nodes, col="node", p=p, strata_col="node")
+    for _ in range(rounds):
+        step = (
+            regs.alias("R")
+            .join(adj.alias("E"), F.col("R.node") == F.col("E.b"))
+            .select(
+                F.col("E.a").alias("node"),
+                F.col("R.register").alias("register"),
+                F.col("R.max_rank").alias("max_rank"),
+            )
+        )
+        regs = (
+            regs.unionByName(step)
+            .groupBy("node", "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .localCheckpoint(eager=False)
+        )
+    return hll_estimate(regs, p=p, strata_col="node")

@@ -185,3 +185,88 @@ def test_histogram_quantiles_readoff(spark):
         ("b", 90): (10, 1023),
         ("b", 99): (10, 1023),
     }
+
+
+def test_hyperball_registers_equal_true_ball_union(spark):
+    """The round recursion ball_k(v) = {v} ∪ ⋃_{u∈N(v)} ball_{k-1}(u)
+    must hold EXACTLY in sketch space: after R rounds, node v's register
+    table equals the MAX-union of the singleton sketches of every node
+    within R hops (computed locally).  Estimator bias is irrelevant to
+    this invariant — it checks the distributed merge itself."""
+    from collections import defaultdict
+
+    from knowledge_graph_spark.functions.hashing import poly_hash
+    from knowledge_graph_spark.operators.sketches import (
+        HLL_P,
+        hll_registers,
+        hyperball,
+    )
+    from knowledge_graph_spark.functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+
+    # ring of 24 nodes + two chords (so balls differ across nodes)
+    n = 24
+    names = [f"v{i:02d}" for i in range(n)]
+    edges = [(names[i], names[(i + 1) % n]) for i in range(n)]
+    edges += [(names[0], names[12]), (names[5], names[17])]
+    rounds = 3
+
+    # local truth: R-hop balls over the symmetrized graph
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    balls = {v: {v} for v in names}
+    for _ in range(rounds):
+        balls = {v: {v} | set().union(*(balls[u] for u in adj[v])) for v in names}
+
+    # local singleton sketches with the shared hash family
+    m, max_rank = 1 << HLL_P, 32 - HLL_P
+    def singleton(v):
+        h = (((HASH_A * 1) % HASH_M31) * poly_hash(v) + (HASH_B + HASH_C)) % HASH_M31
+        w = h // m
+        rank = max_rank if w == 0 else (w & -w).bit_length()
+        return (h % m, rank)
+
+    want = {}
+    for v in names:
+        regs = defaultdict(int)
+        for u in balls[v]:
+            reg, rank = singleton(u)
+            regs[reg] = max(regs[reg], rank)
+        want[v] = dict(regs)
+
+    e = spark.createDataFrame(edges, "source string, target string")
+    # reach inside: re-run the merge loop and inspect the register table
+    from pyspark.sql import functions as F
+    from knowledge_graph_spark.operators.sketches import hll_estimate
+
+    # replicate hyperball's internals up to the register table
+    ee = e.select(F.col("source").alias("a"), F.col("target").alias("b")).distinct()
+    adj_df = ee.unionByName(
+        ee.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = adj_df.select(F.col("a").alias("node")).distinct()
+    regs = hll_registers(nodes, col="node", strata_col="node")
+    for _ in range(rounds):
+        step = (
+            regs.alias("R")
+            .join(adj_df.alias("E"), F.col("R.node") == F.col("E.b"))
+            .select(
+                F.col("E.a").alias("node"),
+                F.col("R.register").alias("register"),
+                F.col("R.max_rank").alias("max_rank"),
+            )
+        )
+        regs = (
+            regs.unionByName(step)
+            .groupBy("node", "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+    got = defaultdict(dict)
+    for r in regs.collect():
+        got[r.node][r.register] = r.max_rank
+    assert dict(got) == want
+
+    # and the public API returns one estimate row per node, all positive
+    est = hyperball(e, rounds=rounds).collect()
+    assert len(est) == n and all(r.estimate > 0 for r in est)
