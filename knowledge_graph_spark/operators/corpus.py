@@ -391,6 +391,32 @@ def merge_pair_counts(
     )
 
 
+def dsir_bucket_counts(
+    docs: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The DSIR bucket models as a bare count table (b, cr, ct): raw and
+    target hashed-bigram occurrence counts per bucket.  Split out because
+    the counts are SUM-mergeable — shards and streaming micro-batches
+    fold exactly (streaming/dsir_stream.py), unlike the derived
+    log-ratio weights."""
+    from ..functions.textqc import rolling_fingerprint
+    from .dedup import token_windows
+
+    grams = widen(docs).select(
+        target.alias("is_target"),
+        F.explode(token_windows(F.col(text_col), 2, 1)).alias("span"),
+    ).withColumn(
+        "b", F.pmod(rolling_fingerprint(F.col("span")), F.lit(n_buckets))
+    )
+    return grams.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+
+
 def dsir_scores(
     docs: DataFrame,
     target: F.Column,
@@ -398,6 +424,7 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = 4096,
     keep_k: int = 100,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
     arXiv:2302.03169): score every raw document by how much its hashed
@@ -431,6 +458,12 @@ def dsir_scores(
 
     Returns (doc_id, n_grams, dsir_bits, mean_lr_micro, selected) for
     every input document (docless-of-bigrams rows score 0).
+
+    ``bucket_counts``: optionally score against EXTERNAL models — a
+    (b, cr, ct) table from ``dsir_bucket_counts`` or the streaming fold
+    (streaming/dsir_stream.py).  It must cover the scored docs' buckets
+    (true whenever the model corpus is a superset, e.g. the stream has
+    ingested them); by default the models are fit on ``docs`` itself.
     """
     from ..functions.textqc import rolling_fingerprint
     from .dedup import token_windows
@@ -449,13 +482,13 @@ def dsir_scores(
         F.first("is_target").alias("is_target"),
     ).persist()
     bits = lambda c: (F.length(F.bin(c + F.lit(1))) - 1).cast("bigint")  # noqa: E731
-    buckets = (
-        occ.groupBy("b")
-        .agg(
+    if bucket_counts is None:
+        bucket_counts = occ.groupBy("b").agg(
             F.sum("c").alias("cr"),
             F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("ct"),
         )
-        .select("b", (bits(F.col("ct")) - bits(F.col("cr"))).alias("wt"))
+    buckets = bucket_counts.select(
+        "b", (bits(F.col("ct")) - bits(F.col("cr"))).alias("wt")
     )
     prof = (
         occ.join(F.broadcast(buckets), "b")
