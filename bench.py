@@ -73,6 +73,11 @@ def _run_pass(spark, entry, sf_dir: str) -> tuple[dict, int, int, float]:
     # eval-gram probe) + SemDeDup semantic dedup (IVF-cell-blocked cosine)
     timed("decontam", lambda: entry.q_decontam(spark, sf_dir))
     timed("semantic_dedup", lambda: entry.q_semantic_dedup(spark, sf_dir))
+    # round-2 sixth-session additions: DSIR importance ranking (hashed-
+    # bigram LLR + top-K) and the BPE tokenizer-training loop (3 merge
+    # rounds over the word-frequency table) — subtract for comparability
+    timed("dsir_select", lambda: entry.q_dsir_select(spark, sf_dir))
+    timed("bpe_merges", lambda: entry.q_bpe_merges(spark, sf_dir))
     return timings, n_turns, n_edges, kg_secs
 
 
