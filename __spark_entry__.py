@@ -804,6 +804,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triples: per anchor the best same-cell
+    positive (sim ≥ τ) and the hardest same-cell negative (best sim
+    below τ) — the SimCLR/DPR data-prep mining step."""
+    return similarity.contrastive_pairs(
+        _embs(spark, sf_dir), pos_threshold=NEARDUP_TAU, bits=IVF_BITS
+    )
+
+
 KM_K = 8
 KM_ITERS = 3
 
@@ -4486,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "filter_audit": q_filter_audit,
         "semantic_dedup": q_semantic_dedup,
+        "contrastive_pairs": q_contrastive_pairs,
         "kmeans_cells": q_kmeans,
         "semantic_dedup_km": q_semantic_dedup_km,
         "top_terms": q_top_terms,
@@ -4874,6 +4884,31 @@ FROM c
         "dsir_select": _DSIR_SQL,
         "filter_audit": _FILTER_AUDIT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "contrastive_pairs": f"""
+WITH {_UNIT_CTE},
+cells AS (SELECT vec_id, CAST({_IVF_CELL} AS BIGINT) AS cell FROM emb),
+celled AS (SELECT u.vec_id, u.e, c.cell FROM uemb u JOIN cells c USING (vec_id)),
+prs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id, {_COS_MICRO} AS sim_micro
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+pos AS (
+  SELECT anchor_id, other_id AS pos_id, sim_micro AS pos_sim_micro
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim_micro DESC, other_id) AS rn
+        FROM prs WHERE sim_micro >= {int(NEARDUP_TAU * similarity.SIM_SCALE)})
+  WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, other_id AS neg_id, sim_micro AS neg_sim_micro
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim_micro DESC, other_id) AS rn
+        FROM prs WHERE sim_micro < {int(NEARDUP_TAU * similarity.SIM_SCALE)})
+  WHERE rn = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_sim_micro, n.neg_id, n.neg_sim_micro
+FROM pos p JOIN neg n USING (anchor_id)
+""",
         "kmeans_cells": _KMEANS_SQL,
         "semantic_dedup_km": _SEMANTIC_DEDUP_KM_SQL,
         "top_terms": _TOP_TERMS_SQL,

@@ -745,3 +745,86 @@ def topk_recall(
         .cast("bigint")
         .alias("recall_micro"),
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    pos_threshold: float = 0.35,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mine (anchor, positive, hard negative) training triples for
+    contrastive embedding training (the SimCLR/DPR data-prep step): for
+    every vector, the most similar SAME-CELL neighbor at or above
+    ``pos_threshold`` is its positive, and the most similar same-cell
+    neighbor strictly below it is its HARD negative (near misses teach
+    the margin; random negatives are too easy).  Anchors lacking either
+    side emit nothing — a triple needs both.
+
+    Determinism: per anchor both picks use the tie-free order
+    (sim DESC, id ASC) via a partitioned row_number — one window keyed
+    by anchor, never global.
+
+    Scale shape: candidate generation is the same within-cell self
+    equi-join as semantic_dedup (coarse sign-bit cells bound the O(n²)
+    term per cell; raise ``bits`` at larger corpora).  Returns
+    (anchor_id, pos_id, pos_sim_micro, neg_id, neg_sim_micro).
+    """
+    from pyspark.sql import Window
+
+    c = _with_unit(_as_double(corpus, vec_col), vec_col, "u").select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell(F.col(vec_col), bits).alias("cell"),
+        F.col("u"),
+    )
+    a = c.select(F.col("vec_id").alias("id_a"), "cell", F.col("u").alias("va"))
+    b = c.select(F.col("vec_id").alias("id_b"), "cell", F.col("u").alias("vb"))
+    half = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(_dot(F.col("va"), F.col("vb")) * SIM_SCALE)
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    sym = half.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("other_id"),
+        "sim_micro",
+    ).unionByName(
+        half.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("other_id"),
+            "sim_micro",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim_micro"), F.asc("other_id")
+    )
+    tau = int(pos_threshold * SIM_SCALE)
+
+    def best(df, lo_ok):
+        filtered = df.filter(
+            F.col("sim_micro") >= tau if lo_ok else F.col("sim_micro") < tau
+        )
+        return (
+            filtered.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    pos = best(sym, True).select(
+        "anchor_id",
+        F.col("other_id").alias("pos_id"),
+        F.col("sim_micro").alias("pos_sim_micro"),
+    )
+    neg = best(sym, False).select(
+        "anchor_id",
+        F.col("other_id").alias("neg_id"),
+        F.col("sim_micro").alias("neg_sim_micro"),
+    )
+    return pos.join(neg, "anchor_id")
