@@ -1517,6 +1517,17 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(_stages(spark, sf_dir)["edges"], rounds=HYPERBALL_ROUNDS)
 
 
+def q_neighborhood_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG's neighborhood function N(r) for r = 0..3 (per-round
+    HyperBall totals) — the effective-diameter / average-distance
+    summary."""
+    from knowledge_graph_spark.operators.sketches import neighborhood_function
+
+    return neighborhood_function(
+        _stages(spark, sf_dir)["edges"], rounds=HYPERBALL_ROUNDS
+    )
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response-latency profile in exact
     integer microseconds (epoch-us lag subtraction, no float durations)."""
@@ -2804,11 +2815,12 @@ SELECT CAST({_HLL_M} AS BIGINT) AS m,
 FROM hagg
 """
 
-def _hyperball_oracle(rounds: int) -> str:
+def _hyperball_oracle(rounds: int, nf: bool = False) -> str:
     """Unrolled HyperBall oracle over the prelude's kg_edges: singleton
     sketches from the shared hash family, register MAX-merge over the
     symmetrized adjacency per round, then the standard raw-HLL estimate
-    arithmetic per node."""
+    arithmetic per node — or, with ``nf``, the per-round neighborhood
+    function N(r) (0..rounds) summed over nodes."""
     poly = _POLY.format(s="node")
     ctes = [
         """hb_adj AS MATERIALIZED (
@@ -2836,6 +2848,24 @@ def _hyperball_oracle(rounds: int) -> str:
   ) GROUP BY node, register)"""
         )
     est_num = (_HLL_ALPHA * float(_HLL_M * _HLL_M)) * float(_sk.HLL_SCALE)
+    if nf:  # neighborhood function: per-round totals over the estimates
+        for r in range(rounds + 1):
+            ctes.append(
+                f"""lvl{r} AS (
+  SELECT CAST({r} AS INT) AS r, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(est) AS BIGINT) AS total_ball_est
+  FROM (SELECT CAST(floor(CAST({est_num!r} AS DOUBLE)
+               / CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS DOUBLE))
+               AS BIGINT) AS est
+        FROM (SELECT node, CAST(count(*) AS BIGINT) AS n_regs,
+                     CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit
+              FROM hbr{r} GROUP BY node)))"""
+            )
+        union = "\nUNION ALL\n".join(
+            f"SELECT r, n_nodes, total_ball_est FROM lvl{r}"
+            for r in range(rounds + 1)
+        )
+        return ", " + ",\n".join(ctes) + "\n" + union
     body = f"""hbagg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS n_regs,
          CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit
@@ -4505,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_diff": q_node_diff,
         "hll_tokens": q_hll_tokens,
         "hyperball": q_hyperball,
+        "neighborhood_fn": q_neighborhood_fn,
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
         "length_quantiles": q_length_quantiles,
@@ -4916,6 +4947,7 @@ FROM pos p JOIN neg n USING (anchor_id)
         "vocab": _VOCAB_SQL,
         "hll_tokens": _HLL_SQL,
         "hyperball": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS)),
+        "neighborhood_fn": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, nf=True)),
         "cms_counts": _CMS_SQL,
         "length_hist": _LENGTH_HIST_SQL,
         "hll_lang": _HLL_LANG_SQL,

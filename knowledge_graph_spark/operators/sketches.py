@@ -344,3 +344,54 @@ def hyperball(
             .localCheckpoint(eager=False)
         )
     return hll_estimate(regs, p=p, strata_col="node")
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = HLL_P,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """The graph's neighborhood function N(r) = Σ_v |ball_r(v)| for
+    r = 0..rounds, estimated from the per-round HyperBall register
+    tables — the summary the effective-diameter / average-distance
+    statistics read off (N(r) flattening ⇒ r covers most pairs).  Same
+    merge loop as ``hyperball``; per round one extra combinable
+    aggregate.  Returns (r, n_nodes, total_ball_est)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = adj.select(F.col("a").alias("node")).distinct()
+    regs = hll_registers(nodes, col="node", p=p, strata_col="node")
+
+    def level(regs_df: DataFrame, r: int) -> DataFrame:
+        est = hll_estimate(regs_df, p=p, strata_col="node")
+        return est.agg(
+            F.lit(r).cast("int").alias("r"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("estimate").cast("bigint").alias("total_ball_est"),
+        )
+
+    out = level(regs, 0)
+    for r in range(1, rounds + 1):
+        step = (
+            regs.alias("R")
+            .join(adj.alias("E"), F.col("R.node") == F.col("E.b"))
+            .select(
+                F.col("E.a").alias("node"),
+                F.col("R.register").alias("register"),
+                F.col("R.max_rank").alias("max_rank"),
+            )
+        )
+        regs = (
+            regs.unionByName(step)
+            .groupBy("node", "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(level(regs, r))
+    return out
