@@ -728,6 +728,19 @@ DSIR_BUCKETS = 4096
 DSIR_K = 100
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality tertiles per language: the
+    unigram-LM familiarity score ranked within each predicted language,
+    integer tertile cuts (3·rk vs n), tie-free."""
+    from knowledge_graph_spark.operators.corpus import tertile_buckets
+
+    lang = q_text_profile(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("lang")
+    )
+    fam = q_familiarity(spark, sf_dir).select("doc_id", "mean_bits_micro")
+    return tertile_buckets(lang.join(fam, "doc_id"))
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance ranking (Xie et al. 2023): hashed-bigram
     log-likelihood-ratio score of every raw document against the
@@ -4523,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "familiarity": q_familiarity,
         "repeated_spans": q_repeated_spans,
         "dsir_select": q_dsir_select,
+        "ccnet_buckets": q_ccnet_buckets,
         "filter_audit": q_filter_audit,
         "semantic_dedup": q_semantic_dedup,
         "contrastive_pairs": q_contrastive_pairs,
@@ -4913,6 +4927,25 @@ FROM c
         "familiarity": _FAMILIARITY_SQL,
         "repeated_spans": _REPEATED_SPANS_SQL,
         "dsir_select": _DSIR_SQL,
+        "ccnet_buckets": f"""
+WITH prof AS ({_TEXT_PROFILE_SQL}),
+fam AS ({_FAMILIARITY_SQL}),
+scored AS (
+  SELECT p.doc_id, p.lang_pred AS lang, f.mean_bits_micro
+  FROM prof p JOIN fam f USING (doc_id)
+),
+ranked AS (
+  SELECT s.*, CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY mean_bits_micro DESC, doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS _n
+  FROM scored s
+)
+SELECT doc_id, lang, mean_bits_micro, rk,
+       CASE WHEN 3 * rk <= _n THEN 'head'
+            WHEN 3 * rk <= 2 * _n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+""",
         "filter_audit": _FILTER_AUDIT_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "contrastive_pairs": f"""

@@ -731,3 +731,39 @@ def bpe_segment(
             F.coalesce(F.sum("n_syms"), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def tertile_buckets(
+    scored: DataFrame,
+    strata_col: str = "lang",
+    score_col: str = "mean_bits_micro",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): within each stratum, rank documents by the LM
+    quality score and cut into head / middle / tail tertiles — the
+    standard way pretraining mixes are then drawn (head-heavy sampling).
+
+    Integer-exact and tie-free: rk = row_number over (stratum, score
+    DESC, id ASC); head iff 3·rk ≤ n, middle iff 3·rk ≤ 2n, else tail —
+    no division, no percentile interpolation, so the SQL oracle matches
+    bit-for-bit.  One stratum-partitioned window (never global) + a
+    stratum-count broadcast join.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    n = F.broadcast(
+        scored.groupBy(strata_col).agg(F.count("*").cast("bigint").alias("_n"))
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w).cast("bigint")).join(
+        n, strata_col
+    )
+    bucket = (
+        F.when(3 * F.col("rk") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("rk") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        id_col, strata_col, score_col, F.col("rk"), bucket.alias("bucket")
+    )

@@ -50,7 +50,12 @@ CHECK = [
     "dsir_select",
     "filter_audit",
     "bpe_merges",
+    "bpe_tokenize",
     "tool_scc",
+    "leakfree_split",
+    "hyperball",
+    "neighborhood_fn",
+    "contrastive_pairs",
     "length_stats",
     "bfs_hops",
     "kmeans_cells",
