@@ -780,6 +780,9 @@ def contrastive_pairs(
     )
     a = c.select(F.col("vec_id").alias("id_a"), "cell", F.col("u").alias("va"))
     b = c.select(F.col("vec_id").alias("id_b"), "cell", F.col("u").alias("vb"))
+    # half feeds both union directions, each of which feeds both the
+    # positive and negative picks — persist so the within-cell pair join
+    # runs once, not four times (the ngram_dedup multi-consumer pattern)
     half = (
         a.join(b, ["cell"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -790,6 +793,7 @@ def contrastive_pairs(
             .cast("bigint")
             .alias("sim_micro"),
         )
+        .persist()
     )
     sym = half.select(
         F.col("id_a").alias("anchor_id"),

@@ -60,6 +60,9 @@ AUDIT = [
     ("sessions_native", "F.session_window gap sessions"),
     ("dsir_select", "DSIR: broadcast bucket model + heap top-K"),
     ("tool_scc", "fixed-round FW-BW SCC peeling joins"),
+    ("bpe_merges", "BPE training rounds over the word-frequency table"),
+    ("hyperball", "HyperBall register MAX-merge rounds"),
+    ("contrastive_pairs", "within-cell candidates + anchor-partitioned windows"),
 ]
 
 PY_NODES = (
