@@ -262,3 +262,59 @@ def test_bpe_segment_counts_match_reference(spark):
         for r in bpe_segment(docs, rounds=rounds).collect()
     }
     assert got == want
+
+
+def test_anchored_replace_merge_matches_greedy_fold(spark):
+    """The newline-anchored replace construction must implement greedy
+    left-to-right pair merging EXACTLY, including adversarial shapes:
+    overlapping runs (aaa), consecutive pairs (abab), tokens that are
+    prefixes/suffixes of each other (a/aa, b/ab), and multi-char merged
+    symbols.  200 seeded pseudo-random sequences, one Spark pass."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_spark.functions.hashing import HASH_A, HASH_C, HASH_M31
+
+    alphabet = ["a", "b", "aa", "ab", "ba", "x"]
+    cases = []
+    for i in range(200):
+        h = (HASH_A * (i + 1) + HASH_C) % HASH_M31
+        n = 1 + h % 9
+        syms = []
+        for j in range(n):
+            h = (HASH_A * (h + j + 1) + HASH_C) % HASH_M31
+            syms.append(alphabet[h % len(alphabet)])
+        l = alphabet[h % len(alphabet)]
+        r = alphabet[(h // 7) % len(alphabet)]
+        cases.append((i, syms, l, r))
+
+    def greedy(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        cases, "i int, syms array<string>, _l string, _r string"
+    )
+    merged = F.expr(
+        r"""
+        split(
+          substring(
+            replace(concat('\n', array_join(syms, '\n\n'), '\n'),
+                    concat('\n', _l, '\n\n', _r, '\n'),
+                    concat('\n', _l, _r, '\n')),
+            2,
+            length(replace(concat('\n', array_join(syms, '\n\n'), '\n'),
+                           concat('\n', _l, '\n\n', _r, '\n'),
+                           concat('\n', _l, _r, '\n'))) - 2),
+          '\n\n')
+        """
+    )
+    got = {r.i: r.m for r in df.select("i", merged.alias("m")).collect()}
+    for i, syms, l, r in cases:
+        assert got[i] == greedy(syms, l, r), (i, syms, l, r, got[i])
