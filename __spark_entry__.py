@@ -728,6 +728,27 @@ DSIR_BUCKETS = 4096
 DSIR_K = 100
 
 
+KMV_K = 64
+KMV_MOD = 3  # slice A: doc_id % 3 == 0; slice B: doc_id % 3 == 1
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation via KMV sketches: how much do two
+    document slices' bigram sets overlap — Jaccard and intersection
+    estimates computed purely from two k-minimum-values sketches (the
+    set-intersection question HLL cannot answer)."""
+    from knowledge_graph_spark.functions.textqc import rolling_fingerprint
+    from knowledge_graph_spark.operators.dedup import token_windows
+    from knowledge_graph_spark.operators.sketches import kmv_kmin, kmv_overlap
+
+    grams = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(token_windows(F.col("text"), 2, 1)).alias("span")
+    ).withColumn("x", rolling_fingerprint(F.col("span")))
+    a = kmv_kmin(grams.filter(F.col("doc_id") % KMV_MOD == 0).select("x"), k=KMV_K)
+    b = kmv_kmin(grams.filter(F.col("doc_id") % KMV_MOD == 1).select("x"), k=KMV_K)
+    return kmv_overlap(a, b, k=KMV_K)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail quality tertiles per language: the
     unigram-LM familiarity score ranked within each predicted language,
@@ -2893,6 +2914,51 @@ FROM hbagg"""
     return ", " + ",\n".join(ctes) + ",\n" + body
 
 
+# KMV corpus-overlap oracle: per slice the k smallest distinct permuted
+# bigram fingerprints, then the Beyer et al. union-sample overlap math —
+# every double expression parenthesized exactly as the Spark side.
+_KMV_EST = (
+    "CASE WHEN {n} < " + str(64) + " THEN CAST({n} AS DOUBLE) "
+    "ELSE (CAST(63 AS DOUBLE) * " + repr(float(HASH_M31)) + ") / CAST({hk} AS DOUBLE) END"
+)
+_KMV_SQL = f"""
+WITH {_DTOKS_CTE},
+kgrams AS (
+  SELECT doc_id, array_to_string(t[ci+1 : ci+2], ' ') AS span
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < 2 THEN 0
+                                           ELSE len(t) - 1 END)) u(ci)
+),
+gx AS (SELECT doc_id, {_POLY.format(s="span")} AS x FROM kgrams),
+ha AS (SELECT DISTINCT {_perm('x', '0')} AS h FROM gx WHERE doc_id % {{M}} = 0),
+hb AS (SELECT DISTINCT {_perm('x', '0')} AS h FROM gx WHERE doc_id % {{M}} = 1),
+ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ha)
+       WHERE rk <= {{K}}),
+kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM hb)
+       WHERE rk <= {{K}}),
+uni AS (
+  SELECT coalesce(ka.h, kb.h) AS h,
+         CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ka FULL JOIN kb ON ka.h = kb.h
+),
+samp AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY h) AS rk FROM uni)
+         WHERE rk <= {{K}}),
+astats AS (SELECT CAST(count(*) AS BIGINT) AS n_a, max(h) AS hk_a FROM ka),
+bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_b, max(h) AS hk_b FROM kb),
+ustats AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS hk_u,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS n_match FROM samp)
+SELECT CAST({{K}} AS INT) AS k, n_a, n_b,
+  CAST(floor({_KMV_EST.format(n='n_a', hk='hk_a')}) AS BIGINT) AS a_est,
+  CAST(floor({_KMV_EST.format(n='n_b', hk='hk_b')}) AS BIGINT) AS b_est,
+  CAST(floor({_KMV_EST.format(n='n_u', hk='hk_u')}) AS BIGINT) AS union_est,
+  n_match,
+  CAST(floor((CAST(n_match AS DOUBLE) / CAST(n_u AS DOUBLE)) * 1000000) AS BIGINT)
+    AS jaccard_micro,
+  CAST(floor((CAST(n_match AS DOUBLE) / CAST(n_u AS DOUBLE))
+             * ({_KMV_EST.format(n='n_u', hk='hk_u')})) AS BIGINT) AS inter_est
+FROM astats, bstats, ustats
+"""
+
 # per-language variant: one register table per lang_pred stratum (MAX is
 # idempotent, so the Spark side skips the DISTINCT — same registers)
 _HLL_LANG_SQL = f"""
@@ -4537,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
+        "kmv_overlap": q_kmv_overlap,
         "filter_audit": q_filter_audit,
         "semantic_dedup": q_semantic_dedup,
         "contrastive_pairs": q_contrastive_pairs,
@@ -4927,6 +4994,7 @@ FROM c
         "familiarity": _FAMILIARITY_SQL,
         "repeated_spans": _REPEATED_SPANS_SQL,
         "dsir_select": _DSIR_SQL,
+        "kmv_overlap": _KMV_SQL.format(M=KMV_MOD, K=KMV_K),
         "ccnet_buckets": f"""
 WITH prof AS ({_TEXT_PROFILE_SQL}),
 fam AS ({_FAMILIARITY_SQL}),

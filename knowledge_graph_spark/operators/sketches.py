@@ -395,3 +395,99 @@ def neighborhood_function(
         )
         out = out.unionByName(level(regs, r))
     return out
+
+
+def kmv_kmin(
+    df: DataFrame,
+    hash_col: str = "x",
+    k: int = 64,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007): per stratum, the k smallest DISTINCT uniform hash
+    values of ``hash_col`` — the sketch family that, unlike HLL, supports
+    SET INTERSECTION estimates, so two crawls / shards / snapshots can be
+    asked "how much do you overlap?" without a distinct-join.
+
+    Input is an already-fingerprinted integer column (the shared
+    polynomial family, < 2^30); it is re-permuted onto [0, 2^31-1) so the
+    order statistics are uniform.  The k-min per stratum is a
+    rank-limited window — Spark's WindowGroupLimit pre-prunes each map
+    partition to its local k smallest BEFORE the shuffle (the stratum_cap
+    pattern), so a stratum ships O(k·partitions) rows, never its
+    population.  Returns (stratum?, h) with h ascending-distinct."""
+    keys = [strata_col] if strata_col else []
+    h = perm_col(F.col(hash_col) % F.lit(FP_MOD), 0)
+    hs = df.select(*keys, h.cast("bigint").alias("h")).distinct()
+    if not keys:
+        # global k-min: orderBy().limit() plans TakeOrderedAndProject —
+        # a per-partition heap + driver merge, never a global sort
+        return hs.orderBy("h").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*keys, "h")
+    )
+
+
+def kmv_overlap(a_kmin: DataFrame, b_kmin: DataFrame, k: int = 64) -> DataFrame:
+    """Set-overlap estimates from two KMV sketches: the k smallest values
+    of A ∪ B form a uniform sample of the union; the fraction of that
+    sample present in BOTH sketches estimates the Jaccard similarity, and
+    jaccard × union_estimate estimates |A ∩ B| (Beyer et al. 2007).
+
+    All inputs are the sketches (≤ k rows each) — the overlap math never
+    touches the original sets.  Estimates use the unbiased
+    (k-1)·M/h_k form; when a side has fewer than k values its exact
+    distinct count is used.  One output row: (k, n_a, n_b, a_est, b_est,
+    union_est, n_match, jaccard_micro, inter_est)."""
+    m = HASH_M31
+    a = a_kmin.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
+    b = b_kmin.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    both = (
+        a.join(b, "h", "full")
+        .select(
+            "h",
+            F.coalesce("_a", F.lit(0)).alias("in_a"),
+            F.coalesce("_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")  # ≤ 2k rows — bounded by construction
+    sample = both.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+    def est(n_col, hk_col):
+        exact = n_col < k
+        return F.when(exact, n_col.cast("double")).otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(m))) / hk_col.cast("double")
+        )
+
+    a_stats = a_kmin.agg(
+        F.count("*").cast("bigint").alias("n_a"), F.max("h").alias("hk_a")
+    )
+    b_stats = b_kmin.agg(
+        F.count("*").cast("bigint").alias("n_b"), F.max("h").alias("hk_b")
+    )
+    u_stats = sample.agg(
+        F.count("*").cast("bigint").alias("n_u"),
+        F.max("h").alias("hk_u"),
+        F.sum((F.col("in_a") * F.col("in_b"))).cast("bigint").alias("n_match"),
+    )
+    out = a_stats.crossJoin(b_stats).crossJoin(u_stats)
+    jac = F.col("n_match").cast("double") / F.col("n_u").cast("double")
+    union_est = est(F.col("n_u"), F.col("hk_u"))
+    return out.select(
+        F.lit(k).cast("int").alias("k"),
+        "n_a",
+        "n_b",
+        F.floor(est(F.col("n_a"), F.col("hk_a"))).cast("bigint").alias("a_est"),
+        F.floor(est(F.col("n_b"), F.col("hk_b"))).cast("bigint").alias("b_est"),
+        F.floor(union_est).cast("bigint").alias("union_est"),
+        "n_match",
+        F.floor(jac * 1_000_000).cast("bigint").alias("jaccard_micro"),
+        F.floor(jac * union_est).cast("bigint").alias("inter_est"),
+    )

@@ -270,3 +270,28 @@ def test_hyperball_registers_equal_true_ball_union(spark):
     # and the public API returns one estimate row per node, all positive
     est = hyperball(e, rounds=rounds).collect()
     assert len(est) == n and all(r.estimate > 0 for r in est)
+
+
+def test_kmv_overlap_estimates(spark):
+    """KMV set-overlap: on sets of known overlap the Jaccard/union/
+    intersection estimates land within the sketch's error regime, and
+    below-k sets are counted exactly."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_spark.operators.sketches import kmv_kmin, kmv_overlap
+
+    a = spark.range(0, 1000).select((F.col("id") * 7919 + 13).alias("x"))
+    b = spark.range(500, 1500).select((F.col("id") * 7919 + 13).alias("x"))
+    r = kmv_overlap(kmv_kmin(a, k=64), kmv_kmin(b, k=64), k=64).first()
+    assert abs(r.jaccard_micro / 1e6 - 1 / 3) < 0.2
+    assert 0.6 * 1500 < r.union_est < 1.6 * 1500
+    assert 0.3 * 500 < r.inter_est < 2.2 * 500
+    assert 0.6 * 1000 < r.a_est < 1.6 * 1000
+
+    # below-k sets: exact counts, disjoint -> zero match
+    s = spark.range(0, 10).select((F.col("id") * 31 + 1).alias("x"))
+    t = spark.range(100, 110).select((F.col("id") * 31 + 1).alias("x"))
+    r2 = kmv_overlap(kmv_kmin(s, k=64), kmv_kmin(t, k=64), k=64).first()
+    assert r2.n_a == 10 and r2.a_est == 10 and r2.b_est == 10
+    assert r2.n_match == 0 and r2.jaccard_micro == 0 and r2.inter_est == 0
+    assert r2.union_est == 20  # below k: the union sample IS the union
