@@ -728,6 +728,23 @@ DSIR_BUCKETS = 4096
 DSIR_K = 100
 
 
+MIS_ROUNDS = 3
+
+
+def q_diverse_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity keep-set: Luby maximal independent set over the
+    near-dup pair graph — keep as many documents as possible with no
+    two near-duplicates (strictly more than one-per-cluster on chains);
+    every dropped doc is covered by a kept near-duplicate."""
+    from knowledge_graph_spark.operators.graphops import luby_mis
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b")
+    return luby_mis(docs, pairs, rounds=MIS_ROUNDS)
+
+
 KMV_K = 64
 KMV_MOD = 3  # slice A: doc_id % 3 == 0; slice B: doc_id % 3 == 1
 
@@ -2914,6 +2931,88 @@ FROM hbagg"""
     return ", " + ",\n".join(ctes) + ",\n" + body
 
 
+def _mis_oracle(rounds: int) -> str:
+    """Unrolled Luby-MIS oracle over the ngram near-dup pair graph: the
+    same per-round packed priority key (perm_r(id)·2^31 + id), strict
+    local-minimum selection, and neighbour/member peeling the Spark
+    kernel runs.  AS MATERIALIZED on every multiply-referenced CTE."""
+    pk = 1 << 31
+    ctes = [
+        _DTOKS_CTE.strip(),
+        f"""mgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[ci+1 : ci+{NGRAM_N}], ' ') AS gram
+  FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {NGRAM_N} THEN 0
+                                           ELSE len(t) - {NGRAM_N} + 1 END)) AS u(ci)
+)""",
+        "msizes AS (SELECT doc_id, count(*) AS n_grams FROM mgrams GROUP BY doc_id)",
+        "mrare AS (SELECT gram FROM mgrams GROUP BY gram HAVING count(*) <= 1000)",
+        "mposting AS (SELECT g.* FROM mgrams g JOIN mrare USING (gram))",
+        """minter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM mposting a JOIN mposting b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)""",
+        f"""mpairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM minter
+  JOIN msizes sa ON minter.id_a = sa.doc_id
+  JOIN msizes sb ON minter.id_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - inter AS DOUBLE)
+        >= {NGRAM_THRESHOLD})""",
+        "me1 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mpairs "
+        "UNION SELECT id_b AS a, id_a AS b FROM mpairs)",
+        "act1 AS MATERIALIZED (SELECT doc_id AS node FROM documents)",
+    ]
+    for r in range(1, rounds + 1):
+        a_r = (HASH_A * (r + 1)) % HASH_M31
+        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        ctes.append(
+            f"""mk{r} AS MATERIALIZED (
+  SELECT node, (({a_r} * (node % {textqc.FP_MOD}) + {b_r}) % {HASH_M31}) * {pk} + node AS key
+  FROM act{r})"""
+        )
+        ctes.append(
+            f"""mn{r} AS MATERIALIZED (
+  SELECT e.a AS node, min(k.key) AS nmin
+  FROM me{r} e JOIN mk{r} k ON k.node = e.b GROUP BY e.a)"""
+        )
+        ctes.append(
+            f"""mis{r} AS MATERIALIZED (
+  SELECT k.node FROM mk{r} k LEFT JOIN mn{r} n ON k.node = n.node
+  WHERE n.nmin IS NULL OR k.key < n.nmin)"""
+        )
+        ctes.append(
+            f"""mdom{r} AS MATERIALIZED (
+  SELECT DISTINCT e.a AS node FROM me{r} e JOIN mis{r} m ON e.b = m.node
+  WHERE e.a NOT IN (SELECT node FROM mis{r}))"""
+        )
+        ctes.append(
+            f"""act{r + 1} AS MATERIALIZED (
+  SELECT node FROM act{r}
+  WHERE node NOT IN (SELECT node FROM mis{r})
+    AND node NOT IN (SELECT node FROM mdom{r}))"""
+        )
+        ctes.append(
+            f"""me{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM me{r}
+  WHERE a IN (SELECT node FROM act{r + 1})
+    AND b IN (SELECT node FROM act{r + 1}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT node, 'in_mis' AS status, CAST({r} AS INT) AS round FROM mis{r}\n"
+        f"UNION ALL\n"
+        f"SELECT node, 'dominated' AS status, CAST({r} AS INT) AS round FROM mdom{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+{union}
+UNION ALL
+SELECT node, 'undecided' AS status, CAST(0 AS INT) AS round FROM act{rounds + 1}
+"""
+    )
+
+
 # KMV corpus-overlap oracle: per slice the k smallest distinct permuted
 # bigram fingerprints, then the Beyer et al. union-sample overlap math —
 # every double expression parenthesized exactly as the Spark side.
@@ -4604,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
         "kmv_overlap": q_kmv_overlap,
+        "diverse_keep": q_diverse_keep,
         "filter_audit": q_filter_audit,
         "semantic_dedup": q_semantic_dedup,
         "contrastive_pairs": q_contrastive_pairs,
@@ -4995,6 +5095,7 @@ FROM c
         "repeated_spans": _REPEATED_SPANS_SQL,
         "dsir_select": _DSIR_SQL,
         "kmv_overlap": _KMV_SQL.format(M=KMV_MOD, K=KMV_K),
+        "diverse_keep": _mis_oracle(MIS_ROUNDS),
         "ccnet_buckets": f"""
 WITH prof AS ({_TEXT_PROFILE_SQL}),
 fam AS ({_FAMILIARITY_SQL}),

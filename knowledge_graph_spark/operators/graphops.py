@@ -977,3 +977,124 @@ def scc_fixed_rounds(
         "node", F.lit("").alias("scc_id"), F.lit(0).cast("int").alias("resolved_round")
     )
     return out.unionByName(leftover)
+
+
+def luby_mis(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    id_col: str = "node",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby 1986) with
+    deterministic per-round hash priorities → (node, status, round).
+
+    On the near-duplicate pair graph this is the DIVERSITY KEEP-SET: the
+    largest-style set of documents no two of which are near-duplicates.
+    It strictly dominates keep-one-per-cluster: on a chain a—b—c the
+    cluster canonical keeps {a}, the MIS keeps {a, c} — every discarded
+    doc is discarded BECAUSE a kept near-duplicate covers it.
+
+    Per round every active node draws priority p = perm_r(id) (the
+    shared affine family, coefficients varying by round) packed with the
+    id into one int64 key (p·2^31 + id — tie-free, int64-safe); a node
+    with the strictly smallest key among its active neighbours joins the
+    MIS, its neighbours become 'dominated', both leave the active set.
+    Luby's theorem gives expected O(log n) rounds; a fixed unroll is
+    oracle-checkable like the other iterative kernels, and leftovers
+    report 'undecided' / round 0 — never a wrong status.  The decided
+    output is ALWAYS sound: 'in_mis' nodes are pairwise non-adjacent and
+    every 'dominated' node has an 'in_mis' neighbour (pytest-verified).
+
+    Scale shape per round: one equi-join of active edges against the
+    keyed actives + a min-aggregate (map-side combinable), then
+    left_anti peels — the Pregel round, same as SCC/LPA.
+    """
+    from ..functions.hashing import FP_MOD, HASH_A, HASH_B, HASH_C, HASH_M31
+
+    n0 = nodes.select(F.col(id_col).cast("bigint").alias("node")).distinct()
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    er = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active, out = n0, None
+    for r in range(1, rounds + 1):
+        a_r = (HASH_A * (r + 1)) % HASH_M31
+        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        pri = F.pmod(
+            F.lit(a_r) * F.pmod(F.col("node"), F.lit(FP_MOD)) + F.lit(b_r),
+            F.lit(HASH_M31),
+        )
+        keyed = active.select(
+            "node", (pri * F.lit(1 << 31) + F.col("node")).alias("key")
+        ).localCheckpoint(eager=True)
+        # every probe side gets RENAMED columns: checkpointed frames keep
+        # their output exprIds, so joining the same frame twice by alias
+        # trips Spark's relation dedup ("key not found" at analysis)
+        kb = keyed.select(F.col("node").alias("__nb"), F.col("key").alias("__kb"))
+        nmin = (
+            er.join(kb, F.col("b") == F.col("__nb"))
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("__kb").alias("nmin"))
+        )
+        mis = (
+            keyed.join(nmin, "node", "left")
+            .filter(F.col("nmin").isNull() | (F.col("key") < F.col("nmin")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        dom = (
+            er.join(
+                mis.select(F.col("node").alias("__mb")),
+                F.col("b") == F.col("__mb"),
+            )
+            .select(F.col("a").alias("node"))
+            .distinct()
+            .join(
+                mis.select(F.col("node").alias("__mn")),
+                F.col("node") == F.col("__mn"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+        res = mis.select(
+            "node", F.lit("in_mis").alias("status"), F.lit(r).cast("int").alias("round")
+        ).unionByName(
+            dom.select(
+                "node",
+                F.lit("dominated").alias("status"),
+                F.lit(r).cast("int").alias("round"),
+            )
+        )
+        out = res if out is None else out.unionByName(res)
+        # rename each anti-join probe to a fresh column: three references
+        # to the same removed-set otherwise trip Spark's relation dedup
+        # ("key not found" at checkpoint time on the chained left_anti)
+        removed = mis.unionByName(dom).localCheckpoint(eager=True)
+        active = active.join(
+            removed.select(F.col("node").alias("__rn")),
+            F.col("node") == F.col("__rn"),
+            "left_anti",
+        )
+        er = (
+            er.join(
+                removed.select(F.col("node").alias("__ra")),
+                F.col("a") == F.col("__ra"),
+                "left_anti",
+            )
+            .join(
+                removed.select(F.col("node").alias("__rb")),
+                F.col("b") == F.col("__rb"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    leftover = active.select(
+        "node", F.lit("undecided").alias("status"), F.lit(0).cast("int").alias("round")
+    )
+    return out.unionByName(leftover)

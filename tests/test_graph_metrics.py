@@ -170,3 +170,57 @@ def test_scc_sound_on_random_digraph(spark):
         # round-trip path), though it may itself resolve only in a later
         # round — so assert members ∪ {id} sit inside one true component
         assert any(members | {sid} <= c for c in true_sccs), (sid, members)
+
+
+def test_luby_mis_properties(spark):
+    """Luby MIS soundness on a pseudo-random graph: the 'in_mis' set is
+    INDEPENDENT (no internal edge), every 'dominated' node has an
+    'in_mis' neighbour, statuses partition the node universe — and on a
+    chain the MIS keeps both endpoints where cluster-canonical keeps one."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_spark.functions.hashing import HASH_A, HASH_C, HASH_M31
+    from knowledge_graph_spark.operators.graphops import luby_mis
+
+    n = 60
+    edges = sorted(
+        {
+            tuple(
+                sorted(
+                    (
+                        ((HASH_A * (i + 1) + HASH_C) % HASH_M31) % n,
+                        (((HASH_A * (i + 1) + HASH_C) % HASH_M31) // n) % n,
+                    )
+                )
+            )
+            for i in range(150)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes_df = spark.range(n).select(F.col("id").alias("node"))
+    edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = luby_mis(nodes_df, edges_df, rounds=6).collect()
+    status = {r.node: r.status for r in out}
+    assert len(status) == n  # partition: every node exactly once
+    mis = {v for v, s in status.items() if s == "in_mis"}
+    dom = {v for v, s in status.items() if s == "dominated"}
+    assert not any(a in mis and b in mis for a, b in edges)  # independent
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in dom:  # every dominated node is covered by a kept neighbour
+        assert adj.get(v, set()) & mis, v
+    # with enough rounds nothing is left undecided, so the set is MAXIMAL
+    # (an undominated non-member could still be added)
+    assert not [v for v, s in status.items() if s == "undecided"]
+    # isolated nodes are always kept
+    isolated = set(range(n)) - set(adj)
+    assert isolated <= mis
+
+    # chain a-b-c: MIS keeps {a, c}; one-per-cluster keeps only the min
+    chain_nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    chain_edges = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    ch = {r.node: r.status for r in luby_mis(chain_nodes, chain_edges, rounds=4).collect()}
+    assert sum(s == "in_mis" for s in ch.values()) == 2
+    assert ch[1] == "dominated" or (ch[0] == "dominated" and ch[2] == "dominated")
