@@ -56,6 +56,9 @@ CHECK = [
     "hyperball",
     "neighborhood_fn",
     "contrastive_pairs",
+    "ccnet_buckets",
+    "kmv_overlap",
+    "diverse_keep",
     "length_stats",
     "bfs_hops",
     "kmeans_cells",
