@@ -46,6 +46,7 @@ from knowledge_graph_spark.functions.hashing import (
     HASH_M31,
 )
 from knowledge_graph_spark.operators import claims as claims_ops
+from knowledge_graph_spark.operators.corpus import SALT_CAP, SALT_SPLIT, salt_ab
 from knowledge_graph_spark.operators import dedup, multimodal, reports, similarity
 from knowledge_graph_spark.operators import query as query_ops
 from knowledge_graph_spark.operators.community import hierarchical_lpa
@@ -2184,6 +2185,11 @@ LEFT JOIN ls_ed ed USING (name_a, name_b)
 LEFT JOIN ls_st st USING (name_a, name_b)
 """
 
+# hash_split draws the salted key family at SALT_SPLIT (decorrelated from
+# the cap priority and the mix keep key — see corpus.salt_ab)
+_SPLIT_A, _SPLIT_B = salt_ab(SALT_SPLIT)
+_CAP_A, _CAP_B = salt_ab(SALT_CAP)
+
 _HASH_SPLIT_SQL = f"""
 SELECT doc_id,
   CASE WHEN key < {SPLIT_TEST_FRAC} THEN 'test'
@@ -2191,7 +2197,7 @@ SELECT doc_id,
        ELSE 'train' END AS split,
   CAST(floor(key * 1000000) AS BIGINT) AS key_micro
 FROM (SELECT doc_id,
-        CAST(({HASH_A} * (doc_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS DOUBLE)
+        CAST(({_SPLIT_A} * (doc_id % {textqc.FP_MOD}) + {_SPLIT_B}) % {HASH_M31} AS DOUBLE)
           / {HASH_M31} AS key
       FROM documents)
 """
@@ -2933,9 +2939,10 @@ FROM hbagg"""
 
 def _mis_oracle(rounds: int) -> str:
     """Unrolled Luby-MIS oracle over the ngram near-dup pair graph: the
-    same per-round packed priority key (perm_r(id)·2^31 + id), strict
-    local-minimum selection, and neighbour/member peeling the Spark
-    kernel runs.  AS MATERIALIZED on every multiply-referenced CTE."""
+    same per-round packed priority key (perm_r(id)·2^31 + (id mod 2^31),
+    full id as lexicographic tiebreak — int64-safe for any bigint id),
+    strict local-minimum selection, and neighbour/member peeling the
+    Spark kernel runs.  AS MATERIALIZED on every multiply-referenced CTE."""
     pk = 1 << 31
     ctes = [
         _DTOKS_CTE.strip(),
@@ -2966,18 +2973,20 @@ def _mis_oracle(rounds: int) -> str:
         b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
         ctes.append(
             f"""mk{r} AS MATERIALIZED (
-  SELECT node, (({a_r} * (node % {textqc.FP_MOD}) + {b_r}) % {HASH_M31}) * {pk} + node AS key
+  SELECT node,
+         (({a_r} * (node % {textqc.FP_MOD}) + {b_r}) % {HASH_M31}) * {pk} + (node % {pk}) AS key
   FROM act{r})"""
         )
         ctes.append(
             f"""mn{r} AS MATERIALIZED (
-  SELECT e.a AS node, min(k.key) AS nmin
+  SELECT e.a AS node, min({{'k': k.key, 'n': k.node}}) AS nm
   FROM me{r} e JOIN mk{r} k ON k.node = e.b GROUP BY e.a)"""
         )
         ctes.append(
             f"""mis{r} AS MATERIALIZED (
   SELECT k.node FROM mk{r} k LEFT JOIN mn{r} n ON k.node = n.node
-  WHERE n.nmin IS NULL OR k.key < n.nmin)"""
+  WHERE n.nm IS NULL OR k.key < n.nm.k
+     OR (k.key = n.nm.k AND k.node < n.nm.n))"""
         )
         ctes.append(
             f"""mdom{r} AS MATERIALIZED (
@@ -3017,8 +3026,9 @@ SELECT node, 'undecided' AS status, CAST(0 AS INT) AS round FROM act{rounds + 1}
 # bigram fingerprints, then the Beyer et al. union-sample overlap math —
 # every double expression parenthesized exactly as the Spark side.
 _KMV_EST = (
-    "CASE WHEN {n} < " + str(64) + " THEN CAST({n} AS DOUBLE) "
-    "ELSE (CAST(63 AS DOUBLE) * " + repr(float(HASH_M31)) + ") / CAST({hk} AS DOUBLE) END"
+    "CASE WHEN {n} < " + str(KMV_K) + " THEN CAST({n} AS DOUBLE) "
+    "ELSE (CAST(" + str(KMV_K - 1) + " AS DOUBLE) * " + repr(float(HASH_M31))
+    + ") / CAST({hk} AS DOUBLE) END"
 )
 _KMV_SQL = f"""
 WITH {_DTOKS_CTE},
@@ -5060,7 +5070,7 @@ FROM j WHERE key < rate
 WITH prof AS ({_TEXT_PROFILE_SQL}),
 p AS (
   SELECT doc_id, lang_pred AS lang,
-         CAST(({HASH_A} * (doc_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS BIGINT) AS pri
+         CAST(({_CAP_A} * (doc_id % {textqc.FP_MOD}) + {_CAP_B}) % {HASH_M31} AS BIGINT) AS pri
   FROM prof
 ),
 rk AS (
@@ -5347,7 +5357,7 @@ SELECT doc_id, canonical_id,
        ELSE 'train' END AS split,
   CAST(floor(key * 1000000) AS BIGINT) AS key_micro
 FROM (SELECT doc_id, canonical_id,
-        CAST(({HASH_A} * (canonical_id % {textqc.FP_MOD}) + {HASH_C}) % {HASH_M31} AS DOUBLE)
+        CAST(({_SPLIT_A} * (canonical_id % {textqc.FP_MOD}) + {_SPLIT_B}) % {HASH_M31} AS DOUBLE)
           / {HASH_M31} AS key
       FROM dupc)
 """,

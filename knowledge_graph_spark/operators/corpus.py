@@ -26,18 +26,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import FP_MOD, HASH_A, HASH_C, HASH_M31
+from ..functions.hashing import FP_MOD, HASH_A, HASH_B, HASH_C, HASH_M31
 from ..partitioning import widen
 
 KEY_SCALE = 1_000_000  # sample keys reported as micro-units for exact compare
 
 
-def sample_key(id_col: F.Column) -> F.Column:
-    """Deterministic uniform key in [0, 1): affine hash of the id over
-    the Mersenne-31 modulus.  id is first reduced mod FP_MOD so the
+def salt_ab(salt: int) -> tuple[int, int]:
+    """(a, b) affine coefficients for the salted key family:
+    a = (HASH_A·(salt+1)) mod M31, b = (HASH_B·salt + HASH_C) mod M31.
+    salt 0 reproduces the original (HASH_A, HASH_C) key.  Every sampling
+    operator draws a DISTINCT salt so their keep/priority/split decisions
+    are decorrelated: with one shared key, stratum_cap keeps exactly the
+    smallest split keys per stratum and (for small caps) nearly all
+    survivors land in 'test'/'val' — observed and flagged in round 2.
+    a < 2^31 and x < FP_MOD = 2^30 → a·x + b < 2^62: int64-safe."""
+    return (HASH_A * (salt + 1)) % HASH_M31, (HASH_B * salt + HASH_C) % HASH_M31
+
+
+# fixed operator salts (documented here, mirrored in the gate oracles)
+SALT_SAMPLE = 0  # weighted_sample / corpus mix
+SALT_CAP = 1  # stratum_cap reservoir priority
+SALT_SPLIT = 2  # hash_split / leak-free split
+
+
+def sample_key(id_col: F.Column, salt: int = SALT_SAMPLE) -> F.Column:
+    """Deterministic uniform key in [0, 1): salted affine hash of the id
+    over the Mersenne-31 modulus.  id is first reduced mod FP_MOD so the
     product stays < 2^62 on every engine (int64-safe)."""
+    a, b = salt_ab(salt)
     x = F.pmod(id_col.cast("long"), F.lit(FP_MOD))
-    h = F.pmod(F.lit(HASH_A).cast("long") * x + F.lit(HASH_C), F.lit(HASH_M31))
+    h = F.pmod(F.lit(a).cast("long") * x + F.lit(b), F.lit(HASH_M31))
     return h.cast("double") / F.lit(float(HASH_M31))
 
 
@@ -77,17 +96,20 @@ def stratum_cap(
     reproducible across engines, re-runs, and resumes — unlike
     ``df.sampleBy``, whose output moves when partitioning does.
 
-    Scale shape: priority is the affine integer hash (the same key that
-    drives hash_split/weighted_sample, kept unscaled so collisions need
-    id collisions mod FP_MOD; id tiebreak covers even those).  The
+    Scale shape: priority is the affine integer hash at its OWN salt
+    (SALT_CAP — decorrelated from hash_split/weighted_sample so the cap
+    survivors are not biased toward one split; kept unscaled so
+    collisions need id collisions mod FP_MOD; id tiebreak covers even
+    those).  The
     ``row_number() ≤ k`` filter triggers Spark's rank-limit pushdown
     (WindowGroupLimit): each map partition pre-prunes to its local top-k
     per stratum BEFORE the shuffle, so a hot stratum ships
     O(k · n_input_partitions) rows, never its population — the window
     analogue of map-side partial aggregation (asserted in
     tests/test_physical_plans.py).  Adds (pri, rk)."""
+    cap_a, cap_b = salt_ab(SALT_CAP)
     x = F.pmod(F.col(id_col).cast("long"), F.lit(FP_MOD))
-    pri = F.pmod(F.lit(HASH_A).cast("long") * x + F.lit(HASH_C), F.lit(HASH_M31))
+    pri = F.pmod(F.lit(cap_a).cast("long") * x + F.lit(cap_b), F.lit(HASH_M31))
     w = Window.partitionBy(strata_col).orderBy("pri", id_col)
     return (
         docs.withColumn("pri", pri.cast("bigint"))
@@ -229,14 +251,16 @@ def hash_split(
     """Deterministic train/val/test assignment — adds (split, key_micro).
 
     The standard training-corpus splitter: the same closed-form uniform
-    key as weighted_sample (affine hash over M31 — no RNG, no seed state,
-    so assignment is stable under re-runs, resumes, and engine changes;
-    a document NEVER migrates between splits when the corpus grows,
-    unlike randomSplit).  Thresholds: key < test_frac → test,
-    < test_frac+val_frac → val, else train.  Pure Column algebra, zero
-    shuffle — the split column is computed in the scan stage.
+    key FAMILY as weighted_sample at its own salt (SALT_SPLIT — the
+    split decision must be independent of cap priority and sample keep;
+    affine hash over M31 — no RNG, no seed state, so assignment is
+    stable under re-runs, resumes, and engine changes; a document NEVER
+    migrates between splits when the corpus grows, unlike randomSplit).
+    Thresholds: key < test_frac → test, < test_frac+val_frac → val, else
+    train.  Pure Column algebra, zero shuffle — the split column is
+    computed in the scan stage.
     """
-    key = sample_key(F.col(id_col))
+    key = sample_key(F.col(id_col), salt=SALT_SPLIT)
     split = (
         F.when(key < F.lit(test_frac), F.lit("test"))
         .when(key < F.lit(test_frac + val_frac), F.lit("val"))
@@ -490,8 +514,15 @@ def dsir_scores(
     buckets = bucket_counts.select(
         "b", (bits(F.col("ct")) - bits(F.col("cr"))).alias("wt")
     )
+    # LEFT join: an external model that doesn't cover a bucket must not
+    # silently drop its occurrences from n_grams (biasing the mean) — an
+    # unmodeled bucket scores the add-one-smoothed unseen value,
+    # bits(0+1) - bits(0+1) = 0, exactly what fitting with ct=cr=0 gives.
+    # The internal fit (bucket_counts from occ itself) always matches, so
+    # this is a no-op on the default path.
     prof = (
-        occ.join(F.broadcast(buckets), "b")
+        occ.join(F.broadcast(buckets), "b", "left")
+        .withColumn("wt", F.coalesce("wt", F.lit(0).cast("bigint")))
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_grams"),

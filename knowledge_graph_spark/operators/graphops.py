@@ -998,9 +998,15 @@ def luby_mis(
 
     Per round every active node draws priority p = perm_r(id) (the
     shared affine family, coefficients varying by round) packed with the
-    id into one int64 key (p·2^31 + id — tie-free, int64-safe); a node
-    with the strictly smallest key among its active neighbours joins the
+    LOW 31 BITS of the id into one int64 key (p·2^31 + (id mod 2^31) —
+    int64-safe for ANY bigint id since p < 2^31), with the full id as a
+    secondary tiebreak: a node whose (key, id) is strictly
+    lexicographically smallest among its active neighbours joins the
     MIS, its neighbours become 'dominated', both leave the active set.
+    Distinct nodes always differ on the tiebreak column, so selection
+    stays total and tie-free even when ids ≥ 2^31 alias in the low bits
+    (for ids < 2^31 the key alone is already injective and the packed
+    value is bit-identical to the pre-fix p·2^31 + id).
     Luby's theorem gives expected O(log n) rounds; a fixed unroll is
     oracle-checkable like the other iterative kernels, and leftovers
     report 'undecided' / round 0 — never a wrong status.  The decided
@@ -1031,7 +1037,8 @@ def luby_mis(
             F.lit(HASH_M31),
         )
         keyed = active.select(
-            "node", (pri * F.lit(1 << 31) + F.col("node")).alias("key")
+            "node",
+            (pri * F.lit(1 << 31) + F.pmod(F.col("node"), F.lit(1 << 31))).alias("key"),
         ).localCheckpoint(eager=True)
         # every probe side gets RENAMED columns: checkpointed frames keep
         # their output exprIds, so joining the same frame twice by alias
@@ -1040,11 +1047,16 @@ def luby_mis(
         nmin = (
             er.join(kb, F.col("b") == F.col("__nb"))
             .groupBy(F.col("a").alias("node"))
-            .agg(F.min("__kb").alias("nmin"))
+            .agg(F.min(F.struct(F.col("__kb").alias("k"), F.col("__nb").alias("n"))).alias("nm"))
+            .select("node", F.col("nm.k").alias("nmin"), F.col("nm.n").alias("nmin_node"))
         )
         mis = (
             keyed.join(nmin, "node", "left")
-            .filter(F.col("nmin").isNull() | (F.col("key") < F.col("nmin")))
+            .filter(
+                F.col("nmin").isNull()
+                | (F.col("key") < F.col("nmin"))
+                | ((F.col("key") == F.col("nmin")) & (F.col("node") < F.col("nmin_node")))
+            )
             .select("node")
             .localCheckpoint(eager=True)
         )

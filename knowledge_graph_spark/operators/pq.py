@@ -40,17 +40,6 @@ from pyspark.sql import functions as F
 from .kmeans import _d2, assign, init_centroids, quantize, update_centroids
 
 
-def _sub_corpus(
-    corpus: DataFrame, lo: int, length: int, id_col: str, vec_col: str
-) -> DataFrame:
-    """One subspace's slice, quantized to the integer grid."""
-    sliced = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.slice(F.col(vec_col).cast("array<double>"), lo, length).alias("sub"),
-    )
-    return quantize(sliced, "vec_id", "sub")
-
-
 def _sub_slice(qfull: DataFrame, lo: int, length: int) -> DataFrame:
     """Subspace slice of an already-quantized (vec_id, q) frame.  floor is
     per-dimension, so slice∘quantize == quantize∘slice — this lets the

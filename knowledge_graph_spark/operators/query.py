@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from knowledge_graph_spark.operators.graphops import with_global_index
+
 
 def top_entities_by_rank(nodes_with_degree: DataFrame, k: int = 10) -> DataFrame:
     """Q1 fallback path: empty query → top-k entities by (degree desc,
@@ -245,5 +247,17 @@ def rank_text_units(
         F.min("entity_rank").cast("int").alias("best_entity_rank"),
         F.count("*").cast("int").alias("n_entities"),
     )
-    w = Window.orderBy(F.asc("best_entity_rank"), F.desc("n_entities"), F.asc("text_unit_id"))
-    return agg.withColumn("order", F.row_number().over(w).cast("int"))
+    # Two-phase global index instead of a partitionless Window.orderBy:
+    # the reference bounds the input to the top-k entities' units, but
+    # nothing in this signature enforces that, so a whole-corpus caller
+    # must not funnel through one task.  desc(n_entities) is expressed as
+    # asc(-n_entities); text_unit_id is unique, so the index is identical
+    # to the row_number it replaces.
+    ranked = with_global_index(
+        agg.withColumn("__neg_n", (-F.col("n_entities")).cast("int")),
+        ["best_entity_rank", "__neg_n", "text_unit_id"],
+        out_col="__order0",
+    )
+    return ranked.withColumn("order", (F.col("__order0") + 1).cast("int")).drop(
+        "__neg_n", "__order0"
+    )

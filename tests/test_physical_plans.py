@@ -175,6 +175,22 @@ def test_backlinks_and_sentence_chunker_stay_native(spark):
     assert "PythonUDF" not in p2 and "ArrowEval" not in p2
 
 
+def test_rank_text_units_has_no_single_partition_window(spark):
+    """Q6 ranking must use the two-phase global index: a whole-corpus
+    caller must not funnel every ranked unit through one task (round-2
+    verdict item #2)."""
+    from knowledge_graph_spark.operators.query import rank_text_units
+
+    tue = spark.createDataFrame(
+        [("t1", "A"), ("t2", "B")], "text_unit_id string, title string"
+    )
+    order = spark.createDataFrame([("A", 1), ("B", 2)], "title string, entity_rank int")
+    p = plan(rank_text_units(tue, order))
+    assert "rangepartitioning" in p.lower()
+    # only the #partitions-row offset subtree may single-partition
+    assert p.count("SinglePartition") <= 1
+
+
 def test_global_index_has_no_single_partition_exchange(spark):
     """Two-phase id assignment: the big-table side must be range-
     partitioned (parallel), never funneled through SinglePartition; only
