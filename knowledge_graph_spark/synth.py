@@ -84,11 +84,21 @@ def synth_transcripts(
     n_convs: int = 8,
     base_turns: int = 8,
     seed: int = 42,
+    n_person: int = 20,
+    n_city: int = 6,
 ) -> DataFrame:
     """Deterministic transcripts: heavy-tailed turn counts, hot entities,
     alias-group mentions, and a few conversations with no extractable
     mentions (empty-result path).  ts order == turn_idx order except every
-    5th turn shares the previous ts (proves ordering uses turn_idx)."""
+    5th turn shares the previous ts (proves ordering uses turn_idx).
+
+    ``n_person`` / ``n_city`` size the planted entity vocabulary.  The
+    defaults reproduce the original fixed ~30-name pool bit-for-bit; the
+    graph-scale bench passes sf-proportional values (e.g.
+    ``n_person = n_convs // 10``) so the extracted KG grows with the
+    input instead of saturating at a toy graph — the round-2 verdict's
+    headline gap (every iterative graph operator had only ever been
+    measured below the driver-local cutover)."""
     convs = spark.range(n_convs).select(
         F.concat(F.lit("c"), F.format_string("%06d", F.col("id"))).alias("conv_id"),
         F.col("id").alias("conv_no"),
@@ -111,11 +121,11 @@ def synth_transcripts(
     acme = ALIAS_GROUPS["ACME"]
     slot1 = F.when(
         h % 10 < 4, F.element_at(F.array(*[F.lit(a) for a in acme]), (h % 3 + 1).cast("int"))
-    ).otherwise(F.concat(F.lit("PERSON_"), (h % 20).cast("string")))
+    ).otherwise(F.concat(F.lit("PERSON_"), (h % n_person).cast("string")))
     slot2 = F.element_at(
         F.array(*[F.lit(a) for a in alias_pool]), (h % len(alias_pool) + 1).cast("int")
     )
-    slot3 = F.concat(F.lit("CITY_"), (F.floor(h / 7) % 6).cast("string"))
+    slot3 = F.concat(F.lit("CITY_"), (F.floor(h / 7) % n_city).cast("string"))
 
     # every 11th conversation has zero extractable mentions
     text = F.when(
