@@ -292,6 +292,49 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(s["nodes"], s["edges"]).select("title", "community")
 
 
+def q_components_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED pointer-doubling CC path forced (local_threshold=0).
+
+    Below the 200k-edge cutover `connected_components` normally runs the
+    driver-local twin of the same min-label fixpoint; this gate pins the
+    iterative-join implementation itself to the recursive-SQL oracle so
+    the driver hash-checks the code path a big graph would take, not just
+    the small-graph shortcut."""
+    s = _stages(spark, sf_dir)
+    return connected_components(s["nodes"], s["edges"], local_threshold=0).select(
+        "title", "component"
+    )
+
+
+def q_communities_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted-LPA path forced (local_threshold=0) — same
+    fixpoint, hash-checked against the unrolled 10-round oracle."""
+    s = _stages(spark, sf_dir)
+    return label_propagation(s["nodes"], s["edges"], local_threshold=0).select(
+        "title", "community"
+    )
+
+
+def q_qa_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA-pair folding of each conversation (reference
+    conversation_history.py:42-56 to_qa_turns)."""
+    from knowledge_graph_spark.operators.assemble import qa_turns
+
+    return qa_turns(transcripts_from_events(spark, sf_dir)).select(
+        "conv_id", "qa_idx", "user_query", "answer_text", "n_answers"
+    )
+
+
+def q_last_user_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-K user turns, most recent first (reference
+    conversation_history.py:58-66 get_user_turns)."""
+    from knowledge_graph_spark.operators.assemble import last_user_turns
+
+    return last_user_turns(transcripts_from_events(spark, sf_dir), k=2).select(
+        "conv_id", "recency", "text"
+    )
+
+
 def _alias_only_map(spark: SparkSession, s: dict[str, DataFrame]) -> DataFrame:
     """Canonical map from the dictionary alone (SQL-checkable path; the
     MinHash-LSH variant layers probabilistic pairs on top)."""
@@ -4683,6 +4726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "largest_component": q_largest_component,
         "communities_lpa": q_communities,
+        "cc_dist": q_components_dist,
+        "lpa_dist": q_communities_dist,
+        "qa_turns": q_qa_turns,
+        "last_user_turns": q_last_user_turns,
         "node2vec_emb": q_node2vec,
         "canonicalization": q_canonicalization,
         "canonical_nodes": q_canonical_nodes,
@@ -4885,6 +4932,51 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "communities_lpa": _oracle(_lpa_body()),
+        # distributed-path twins: identical fixpoints, so identical oracles
+        "cc_dist": _oracle(
+            """
+            , sym AS (
+                SELECT source AS a, target AS b FROM kg_edges
+                UNION SELECT target AS a, source AS b FROM kg_edges
+            ),
+            reach(node, r) AS (
+                SELECT title, title FROM kg_nodes
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+            )
+            SELECT node AS title, min(r) AS component FROM reach GROUP BY node
+            """
+        ),
+        "lpa_dist": _oracle(_lpa_body()),
+        "qa_turns": _oracle(
+            """
+            , qa AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT)
+                       AS qa_idx
+              FROM transcripts
+            )
+            SELECT conv_id, qa_idx,
+                   max(CASE WHEN role = 'user' THEN text END) AS user_query,
+                   string_agg(CASE WHEN role <> 'user' THEN text END, chr(10)
+                              ORDER BY turn_idx) AS answer_text,
+                   CAST(count(CASE WHEN role <> 'user' THEN 1 END) AS INT)
+                     AS n_answers
+            FROM qa WHERE qa_idx > 0
+            GROUP BY conv_id, qa_idx
+            """
+        ),
+        "last_user_turns": _oracle(
+            """
+            SELECT conv_id, recency, text FROM (
+              SELECT conv_id, text,
+                     CAST(row_number() OVER (PARTITION BY conv_id
+                          ORDER BY turn_idx DESC) AS INT) AS recency
+              FROM transcripts WHERE role = 'user'
+            ) WHERE recency <= 2
+            """
+        ),
         "community_hierarchy": _oracle(_hierarchy_body()),
         "canonicalization": _oracle(_CANONICALIZATION_BODY),
         "canonical_nodes": _oracle(_CANON_CTE + """

@@ -21,7 +21,7 @@ repartition by hash(conv_id) before the (wider) extraction stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TURN_SEP = "\n"
@@ -56,4 +56,69 @@ def assemble_conversations(transcripts: DataFrame) -> DataFrame:
             "text",
             "n_turns",
         )
+    )
+
+
+def qa_turns(transcripts: DataFrame) -> DataFrame:
+    """QA-pair folding of a conversation → (conv_id, qa_idx, user_query,
+    answer_text, n_answers), one row per QA turn.
+
+    Reference semantics (conversation_history.py:42-56 ``to_qa_turns``):
+    every USER turn opens a QA turn; every subsequent NON-user turn
+    (assistant / system / tool — the reference's ``else`` branch takes
+    them all) is appended to the open QA turn's answers; turns arriving
+    before the first user turn belong to no QA turn and are dropped;
+    ``answer_text`` is the '\\n'-join of the answers in turn order
+    (QATurn.get_answer_text, typing.py:52-57) and is NULL when a QA turn
+    has no answers — exactly the reference's ``None``.
+
+    Spark shape: the fold is a running count of user turns over a
+    (conv_id, turn_idx) window — qa_idx — which turns the reference's
+    sequential loop into one partitioned window pass plus one conv-keyed
+    groupBy; both shuffles key on conv_id, so an input bucketed by
+    conv_id takes this stage shuffle-free."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_user = F.col("role") == "user"
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.sum(is_user.cast("int")).over(w).cast("int").alias("qa_idx"),
+    ).filter(F.col("qa_idx") > 0)
+    answers = F.array_sort(
+        F.collect_list(F.when(~is_user, F.struct(F.col("turn_idx"), F.col("text"))))
+    )
+    return t.groupBy("conv_id", "qa_idx").agg(
+        F.max(F.when(is_user, F.col("text"))).alias("user_query"),
+        F.when(
+            F.size(answers) > 0,
+            F.array_join(F.transform(answers, lambda s: s["text"]), TURN_SEP),
+        ).alias("answer_text"),
+        F.count(F.when(~is_user, F.lit(1))).cast("int").alias("n_answers"),
+    )
+
+
+def last_user_turns(transcripts: DataFrame, k: int = 1) -> DataFrame:
+    """Last ``k`` user turns per conversation, most recent first →
+    (conv_id, recency, text) with recency 1 = latest.
+
+    Reference semantics (conversation_history.py:58-66
+    ``get_user_turns(max_user_turns)``): walk the history backwards,
+    keep user-role contents only, stop after ``k``.  One filtered
+    conv-keyed window (WindowGroupLimit pushes the rank filter into the
+    sort, so no full per-conversation materialization)."""
+    w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    return (
+        transcripts.filter(F.col("role") == "user")
+        .select(
+            "conv_id",
+            F.row_number().over(w).cast("int").alias("recency"),
+            "text",
+        )
+        .filter(F.col("recency") <= k)
     )

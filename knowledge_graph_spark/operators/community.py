@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import time
 from collections import defaultdict
 
 from pyspark.sql import DataFrame
@@ -105,10 +106,16 @@ def connected_components(
     dst: str = "target",
     max_iter: int = 50,
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    round_log: list | None = None,
 ) -> DataFrame:
     """(title, component) where component = lexicographic-min reachable
     node id — the fixpoint of min-label propagation.  Matches the recursive
-    min-reachability SQL oracle exactly."""
+    min-reachability SQL oracle exactly.
+
+    ``round_log``, when supplied, receives one wall-clock seconds entry
+    per executed round (each round ends in an eager localCheckpoint, so
+    the entry measures real work, not plan construction) — the
+    graph-scale bench's per-round evidence."""
     spark = nodes.sparkSession
     if local_threshold and edges.limit(local_threshold + 1).count() <= local_threshold:
         node_ids = [r[0] for r in nodes.select(node_col).distinct().collect()]
@@ -121,6 +128,7 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("comp"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
+        _t0 = time.perf_counter()
         nbr = (
             adj.join(labels.select(F.col("node").alias("b"), "comp"), "b")
             .groupBy("a")
@@ -152,6 +160,8 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        if round_log is not None:
+            round_log.append(time.perf_counter() - _t0)
         if changed == 0:
             break
     return labels.select(F.col("node").alias(node_col), F.col("comp").alias("component"))
@@ -176,6 +186,7 @@ def label_propagation(
     weight: str = "weight",
     max_iter: int = 10,
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    round_log: list | None = None,
 ) -> DataFrame:
     """Weighted synchronous LPA → (title, community).
 
@@ -197,6 +208,7 @@ def label_propagation(
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
+        _t0 = time.perf_counter()
         scored = (
             adj.join(labels.select(F.col("node").alias("b"), "label"), "b")
             .groupBy("a", "label")
@@ -227,6 +239,8 @@ def label_propagation(
             .count()
         )
         labels = new_labels
+        if round_log is not None:
+            round_log.append(time.perf_counter() - _t0)
         if changed == 0:
             break
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("community"))

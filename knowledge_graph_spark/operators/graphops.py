@@ -18,6 +18,8 @@ Reference analogues:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,6 +140,7 @@ def pagerank_int(
     damping_num: int = PR_DAMP_NUM,
     damping_den: int = PR_DAMP_DEN,
     symmetric: bool = True,
+    round_log: list | None = None,
 ) -> DataFrame:
     """Fixed-round PageRank in exact integer arithmetic → (title,
     rank_scaled) with rank as units of 1/``scale`` (default 1e-12).
@@ -182,6 +185,7 @@ def pagerank_int(
     ranks = nodes.select("title", F.lit(init).cast("bigint").alias("rank_scaled"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
+        _t0 = time.perf_counter()
         contrib = (
             adj.join(ranks.select(F.col("title").alias("u"), "rank_scaled"), "u")
             .select(
@@ -203,6 +207,8 @@ def pagerank_int(
             )
             .localCheckpoint(eager=True)
         )
+        if round_log is not None:
+            round_log.append(time.perf_counter() - _t0)
     e.unpersist()
     adj.unpersist()
     nodes.unpersist()
@@ -885,6 +891,7 @@ def scc_fixed_rounds(
     dst: str = "target",
     inner_rounds: int = 4,
     outer_rounds: int = 2,
+    round_log: list | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph via fixed-round
     forward-backward min-label peeling (the FW-BW-trim family, Fleischer
@@ -949,7 +956,12 @@ def scc_fixed_rounds(
         return lab
 
     remaining, er, out = nodes, e0, None
+    # when the caller asks for per-outer-round walls, materialize each
+    # round's resolution eagerly so the entry measures real work (the
+    # default lazy checkpoints defer everything to the final action)
+    eager = round_log is not None
     for r in range(1, outer_rounds + 1):
+        _t0 = time.perf_counter()
         f = _min_prop(remaining, er, along_out=True).withColumnRenamed("lab", "fmin")
         bk = _min_prop(remaining, er, along_out=False).withColumnRenamed("lab", "bmin")
         res = (
@@ -960,7 +972,7 @@ def scc_fixed_rounds(
                 F.col("fmin").alias("scc_id"),
                 F.lit(r).cast("int").alias("resolved_round"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=eager)
         )
         out = res if out is None else out.unionByName(res)
         remaining = remaining.alias("R").join(
@@ -971,8 +983,10 @@ def scc_fixed_rounds(
             .join(res.alias("S1"), F.col("E1.a") == F.col("S1.node"), "left_anti")
             .alias("E2")
             .join(res.alias("S2"), F.col("E2.b") == F.col("S2.node"), "left_anti")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=eager)
         )
+        if round_log is not None:
+            round_log.append(time.perf_counter() - _t0)
     leftover = remaining.select(
         "node", F.lit("").alias("scc_id"), F.lit(0).cast("int").alias("resolved_round")
     )

@@ -167,3 +167,45 @@ def synth_alias_dict(spark: SparkSession) -> DataFrame:
         for alias in aliases
     ]
     return spark.createDataFrame(rows, schema="alias string, canonical_name string, score double")
+
+
+def synth_graph(
+    spark: SparkSession,
+    n_nodes: int,
+    n_edges: int,
+    seed: int = 7,
+    hub_pct: int = 0,
+) -> DataFrame:
+    """Deterministic random graph in the KG edge schema
+    (source, target, weight) — executor-side only (spark.range +
+    xxhash64 endpoint draws, no Python row loop), so a 10M-edge graph
+    materializes in parallel.
+
+    Used by the graph-scale bench (tools/bench_graph.py) to measure the
+    distributed iterative kernels (CC / LPA / PageRank / SCC / HyperBall)
+    past the 200k-edge driver-local cutover — the round-2 verdict's
+    headline evidence gap.  ``hub_pct`` re-points that percentage of all
+    edge sources at node 0, planting a super-hub whose degree is
+    ~hub_pct% of |E| (the verdict's graph-skew scenario).
+
+    Self-loops are dropped and duplicate (source, target) draws collapse
+    via distinct, so the realized edge count is slightly below
+    ``n_edges`` when the pair space is tight; callers wanting an exact
+    count should oversample.  Node ids are zero-padded strings (the
+    node_col convention of the KG tables)."""
+    e = spark.range(n_edges)
+    h1 = F.abs(F.xxhash64(F.lit(seed), F.col("id")))
+    h2 = F.abs(F.xxhash64(F.lit(seed + 1), F.col("id")))
+    src_no = h1 % n_nodes
+    if hub_pct:
+        src_no = F.when(h1 % 100 < hub_pct, F.lit(0)).otherwise(src_no)
+    dst_no = h2 % n_nodes
+    return (
+        e.select(
+            F.format_string("N%09d", src_no).alias("source"),
+            F.format_string("N%09d", dst_no).alias("target"),
+            (h1 % 5 + 1).cast("double").alias("weight"),
+        )
+        .filter(F.col("source") != F.col("target"))
+        .distinct()
+    )

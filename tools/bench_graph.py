@@ -1,0 +1,215 @@
+"""Graph-scale bench: the distributed iterative kernels measured PAST the
+200k-edge driver-local cutover (round-2 verdict headline gap — every
+iterative graph operator had only ever been timed on a toy ~161-edge KG).
+
+Two graph sources, both deterministic and executor-side:
+
+1. ``synth_graph`` — seeded endpoint draws at an exact target |E|
+   (default 1.2M edges / 150k nodes; GRAPH_EDGES / GRAPH_NODES env to
+   resize).  ``GRAPH_HUB_PCT=10`` re-points 10% of all edge sources at
+   one node, planting a super-hub with degree ~10% of |E| — the verdict's
+   graph-skew scenario; run uniform then hub and compare walls.
+2. ``--from-kg`` — the KG actually EXTRACTED by the full pipeline from
+   sf-proportional-vocabulary transcripts (synth_transcripts with
+   n_person = n_convs // 10), proving the extraction→graph path itself
+   produces a past-cutover graph, not just a synthetic stand-in.
+
+Measured per operator: total wall, per-round walls (the operators'
+``round_log`` hook — every round ends in an eager localCheckpoint, so
+entries are real work), and shuffle read/write byte deltas from the
+Spark status REST API (the session enables the UI just for this).
+
+Output: one JSON line per operator plus a markdown table to paste into
+BENCH_SCALING.md.
+
+Usage:
+    python tools/bench_graph.py                         # 1.2M-edge synthetic
+    GRAPH_HUB_PCT=10 python tools/bench_graph.py        # super-hub skew run
+    python tools/bench_graph.py --from-kg               # extracted-KG variant
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+EDGES = int(os.environ.get("GRAPH_EDGES", "1200000"))
+NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
+HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
+KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+class ShuffleMeter:
+    """Cumulative shuffle bytes via the status REST API; deltas per op."""
+
+    def __init__(self, spark):
+        self.ui = spark.sparkContext.uiWebUrl
+        self.app = _get(f"{self.ui}/api/v1/applications")[0]["id"]
+
+    def totals(self) -> tuple[int, int]:
+        stages = _get(
+            f"{self.ui}/api/v1/applications/{self.app}/stages?status=COMPLETE"
+        )
+        w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+        return w, r
+
+
+def build_synthetic(spark):
+    from knowledge_graph_spark.synth import synth_graph
+
+    return synth_graph(spark, n_nodes=NODES, n_edges=EDGES, hub_pct=HUB_PCT)
+
+
+def build_from_kg(spark):
+    """Extract the KG from sf-proportional-vocabulary transcripts.
+
+    Vocabulary grows with the input (n_person = n_convs // 10), so —
+    unlike the fixed ~30-name test fixture — the extracted edge set
+    scales with the corpus instead of saturating at a toy graph.  Chunk
+    size 160 keeps per-chunk co-occurrence cliques small (all-pairs in a
+    chunk is quadratic in DISTINCT mentions per chunk)."""
+    from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
+    from knowledge_graph_spark.synth import synth_transcripts
+
+    transcripts = synth_transcripts(
+        spark,
+        n_convs=KG_CONVS,
+        base_turns=8,
+        n_person=KG_CONVS // 10,
+        n_city=KG_CONVS // 30,
+    )
+    stages = build_graph(
+        transcripts,
+        PipelineConfig(chunk_size=160, chunk_overlap=0, tokenizer="ws"),
+    )
+    return stages["edges"]
+
+
+def main() -> None:
+    from knowledge_graph_spark.operators.community import (
+        connected_components,
+        label_propagation,
+    )
+    from knowledge_graph_spark.operators.graphops import (
+        node_degrees,
+        pagerank_int,
+        scc_fixed_rounds,
+    )
+    from knowledge_graph_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    from_kg = "--from-kg" in sys.argv
+    spark = get_spark(
+        app_name="bench-graph",
+        master=f"local[{CPUS}]",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "20000",
+            "spark.ui.retainedJobs": "20000",
+        },
+    )
+    meter = ShuffleMeter(spark)
+
+    t0 = time.perf_counter()
+    edges = (build_from_kg(spark) if from_kg else build_synthetic(spark)).persist()
+    m = edges.count()
+    build_sec = time.perf_counter() - t0
+    nodes = (
+        edges.select(F.col("source").alias("title"))
+        .unionByName(edges.select(F.col("target").alias("title")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    max_deg = node_degrees(edges).agg(F.max("degree")).first()[0]
+    header = {
+        "source": "kg_pipeline" if from_kg else "synth_graph",
+        "n_nodes": n,
+        "n_edges": m,
+        "max_degree": max_deg,
+        "hub_pct": HUB_PCT,
+        "cpus": int(CPUS),
+        "build_sec": round(build_sec, 2),
+    }
+    print(json.dumps({"graph": header}), flush=True)
+
+    results: dict[str, dict] = {}
+
+    def timed(name: str, fn) -> None:
+        w0, r0 = meter.totals()
+        rlog: list[float] = []
+        t = time.perf_counter()
+        out_rows = fn(rlog)
+        wall = time.perf_counter() - t
+        w1, r1 = meter.totals()
+        results[name] = {
+            "wall_sec": round(wall, 2),
+            "rounds": [round(x, 2) for x in rlog],
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "out_rows": out_rows,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    timed(
+        "connected_components",
+        lambda rl: connected_components(
+            nodes, edges, local_threshold=0, max_iter=50, round_log=rl
+        ).count(),
+    )
+    timed(
+        "label_propagation",
+        lambda rl: label_propagation(
+            nodes, edges, local_threshold=0, max_iter=10, round_log=rl
+        ).count(),
+    )
+    timed(
+        "pagerank",
+        lambda rl: pagerank_int(edges, iterations=10, round_log=rl).count(),
+    )
+    timed(
+        "scc",
+        lambda rl: scc_fixed_rounds(edges, round_log=rl).count(),
+    )
+
+    total = round(sum(r["wall_sec"] for r in results.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "graph_bench_total",
+                "value": total,
+                "unit": "sec",
+                **header,
+                "ops": results,
+            }
+        ),
+        flush=True,
+    )
+    # markdown rows for BENCH_SCALING.md
+    print("\n| op | wall sec | rounds (sec each) | shuffle write MB | shuffle read MB |")
+    print("|---|---|---|---|---|")
+    for k, v in results.items():
+        rounds = ", ".join(f"{x:.1f}" for x in v["rounds"])
+        print(
+            f"| {k} | {v['wall_sec']} | {rounds} | "
+            f"{v['shuffle_write_mb']} | {v['shuffle_read_mb']} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
