@@ -3449,8 +3449,12 @@ cmap AS (
   FROM kg_nodes n LEFT JOIN amap m USING (title)
 ),
 ctype AS (
+  -- "last non-empty wins" mirrored: argmax of (latest source id, type)
+  -- over non-empty types (linking.apply_canonicalization)
   SELECT c.canonical AS title,
-         coalesce(max(CASE WHEN n.type <> '' THEN n.type END), '') AS type
+         coalesce((max(CASE WHEN n.type <> '' THEN
+             {'o': list_extract(string_split(n.source_ids, ','), -1),
+              't': n.type} END)).t, '') AS type
   FROM kg_nodes n JOIN cmap c USING (title) GROUP BY c.canonical
 ),
 cdesc_agg AS (

@@ -240,16 +240,25 @@ def apply_canonicalization(
 ) -> tuple[DataFrame, DataFrame]:
     """Re-key nodes/edges by canonical name and re-merge with the same
     semantics as parse (descriptions set-union sorted, source ids unioned,
-    weights summed, canonical (least,greatest) pairs)."""
+    weights summed, canonical (least,greatest) pairs).
+
+    Type rule mirrors the extraction merge's "last non-empty wins"
+    (reference graph_extractor.py:228-230): the winning type comes from
+    the member node whose provenance extends latest in record order —
+    argmax of (last source id, type) over non-empty types.  source_id is
+    sorted, so element_at(-1) is each node's latest chunk."""
     m = mapping.select("title", "canonical")
     cn = (
         nodes.join(m, "title", "left")
         .withColumn("canonical", F.coalesce("canonical", "title"))
         .groupBy(F.col("canonical").alias("title"))
         .agg(
-            F.max(F.when(F.col("type") != "", F.struct(F.lit(0).alias("o"), "type"))).alias(
-                "_t"
-            ),
+            F.max(
+                F.when(
+                    F.col("type") != "",
+                    F.struct(F.element_at("source_id", -1).alias("o"), "type"),
+                )
+            ).alias("_t"),
             F.concat_ws(
                 "\n",
                 F.array_sort(

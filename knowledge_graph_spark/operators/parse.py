@@ -221,12 +221,16 @@ def merge_edges(relationships: DataFrame) -> DataFrame:
 
 
 def auto_endpoint_nodes(relationships: DataFrame) -> DataFrame:
-    """Relationship endpoints as empty node contributions (reference
-    :253-266 auto-creates missing endpoints).  The reference adds the edge's
-    source id only when the endpoint is not yet declared — an
-    order-dependent rule; we deterministically take the superset (endpoints
-    ALWAYS contribute edge provenance), which the vendored oracle mirrors.
-    Empty type/description lose every merge against declared entities."""
+    """Relationship endpoints as empty node contributions, one row per
+    endpoint occurrence with its record ordinal (reference :253-266
+    auto-creates missing endpoints).  The reference's rule is
+    order-dependent: an endpoint node is created — carrying the edge's
+    source id — only by the FIRST record that touches it; edges touching
+    an existing node add nothing.  ``parse_and_merge`` applies that rule
+    exactly over the stable record order (min-ord occurrence per name,
+    kept only when it precedes the name's first entity declaration); the
+    vendored sequential oracle mirrors it (oracle.py:78-86).  Empty
+    type/description lose every merge against declared entities."""
     return relationships.select(
         F.explode(F.array("source", "target")).alias("name"),
         F.lit("").alias("type"),
@@ -250,10 +254,34 @@ def parse_and_merge(
         records = records.persist()
     entities = parse_entities(records)
     rels = parse_relationships(records)
-    auto = auto_endpoint_nodes(rels)
     ent_with_ord = entities.withColumn("ord", _ordinal()).select(
         "name", "type", "description", F.col("text_unit_id").alias("source_id"), "ord"
     )
-    nodes = merge_nodes(ent_with_ord, auto_nodes=auto)
+    # reference-exact endpoint auto-create (graph_extractor.py:253-266):
+    # only a name's FIRST edge occurrence (min ord) can create the node,
+    # and only when no entity declaration precedes it in record order.
+    # Both joins key on name — the same key as the merge shuffle.
+    auto_first = (
+        auto_endpoint_nodes(rels)
+        .groupBy("name")
+        .agg(
+            F.min("ord").alias("ord"),
+            F.min_by("source_id", "ord").alias("source_id"),
+        )
+        .select(
+            "name",
+            F.lit("").alias("type"),
+            F.lit("").alias("description"),
+            "source_id",
+            "ord",
+        )
+    )
+    first_decl = ent_with_ord.groupBy("name").agg(F.min("ord").alias("_decl_ord"))
+    auto_kept = (
+        auto_first.join(first_decl, "name", "left")
+        .filter(F.col("_decl_ord").isNull() | (F.col("ord") < F.col("_decl_ord")))
+        .drop("_decl_ord")
+    )
+    nodes = merge_nodes(ent_with_ord, auto_nodes=auto_kept)
     edges = merge_edges(rels)
     return nodes, edges

@@ -75,13 +75,15 @@ def parse_records_oracle(
                     weight = float(attrs[-1])
                 except ValueError:
                     weight = 1.0
-                # endpoints always contribute edge provenance (deterministic
-                # superset of the reference's order-dependent auto-create,
-                # reference :253-266 — see operators/parse.py docstring)
+                # reference-exact auto-create (reference :253-266): an
+                # endpoint node is created — with the edge's provenance —
+                # only when it is NOT already in the graph; edges touching
+                # an existing node never add provenance
                 for endpoint in (src, tgt):
-                    n = nodes.setdefault(endpoint, OracleNode())
-                    n.descriptions.add("")
-                    n.source_ids.add(unit_id)
+                    if endpoint not in nodes:
+                        n = nodes[endpoint] = OracleNode()
+                        n.descriptions.add("")
+                        n.source_ids.add(unit_id)
                 key = (min(src, tgt), max(src, tgt))
                 edge = edges.setdefault(key, OracleEdge())
                 edge.weight += weight

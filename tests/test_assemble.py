@@ -54,3 +54,58 @@ def test_doc_id_deterministic(spark):
     a = {r.doc_id for r in assemble_conversations(t).collect()}
     b = {r.doc_id for r in assemble_conversations(t).collect()}
     assert a == b and len(a) == 2
+
+
+# ---------------------------------------------------------------------------
+# QA folding + last-K user turns (reference conversation_history.py:42-66)
+# ---------------------------------------------------------------------------
+
+QA_ROWS = [
+    # system turn BEFORE any user turn → belongs to no QA turn (dropped)
+    ("q1", 0, "system", "preamble", "", None),
+    ("q1", 1, "user", "ask one", "", None),
+    ("q1", 2, "assistant", "ans a", "", None),
+    ("q1", 3, "tool", "ans b", "search", None),
+    ("q1", 4, "user", "ask two", "", None),  # QA turn with NO answers
+    ("q2", 0, "user", "only question", "", None),
+    ("q2", 1, "assistant", "only answer", "", None),
+]
+
+
+def _qa(spark):
+    from knowledge_graph_spark.operators.assemble import qa_turns
+
+    df = spark.createDataFrame(QA_ROWS, SCHEMA)
+    return {
+        (r.conv_id, r.qa_idx): (r.user_query, r.answer_text, r.n_answers)
+        for r in qa_turns(df).collect()
+    }
+
+
+def test_qa_fold_semantics(spark):
+    got = _qa(spark)
+    # pre-user turns dropped; non-user turns '\n'-joined in turn order
+    assert got[("q1", 1)] == ("ask one", "ans a\nans b", 2)
+    # open QA turn with no answers → answer_text is NULL (reference None)
+    assert got[("q1", 2)] == ("ask two", None, 0)
+    assert got[("q2", 1)] == ("only question", "only answer", 1)
+    assert set(got) == {("q1", 1), ("q1", 2), ("q2", 1)}
+
+
+def test_last_user_turns(spark):
+    from knowledge_graph_spark.operators.assemble import last_user_turns
+
+    df = spark.createDataFrame(QA_ROWS, SCHEMA)
+    got = {
+        (r.conv_id, r.recency): r.text for r in last_user_turns(df, k=2).collect()
+    }
+    # most recent first; non-user roles never counted
+    assert got == {
+        ("q1", 1): "ask two",
+        ("q1", 2): "ask one",
+        ("q2", 1): "only question",
+    }
+    one = {
+        (r.conv_id, r.recency): r.text for r in last_user_turns(df, k=1).collect()
+    }
+    assert one == {("q1", 1): "ask two", ("q2", 1): "only question"}

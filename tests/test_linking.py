@@ -171,3 +171,27 @@ def test_link_scores_fuses_three_signals(spark):
     # weighted mean is the exact integer formula
     for r in got.values():
         assert r.score_micro == (4 * r.name_micro + 3 * r.struct_micro + 3 * r.edit_micro) // 10
+
+
+def test_canonical_type_last_nonempty_wins(spark):
+    """Type of the canonical node follows the extraction merge's
+    "last non-empty wins": the member whose provenance extends latest in
+    record order supplies the type, even when lexicographically smaller."""
+    nodes = spark.createDataFrame(
+        [
+            ("A1", "ZTYPE", "d1", ["u1", "u2"]),
+            ("A2", "ATYPE", "d2", ["u3"]),  # latest chunk u3 → ATYPE wins
+            ("A3", "", "d3", ["u9"]),  # empty type never wins
+        ],
+        "title string, type string, description string, source_id array<string>",
+    )
+    edges = spark.createDataFrame(
+        [], "source string, target string, weight double, description string,"
+        " text_unit_ids array<string>"
+    )
+    mapping = spark.createDataFrame(
+        [("A1", "A1"), ("A2", "A1"), ("A3", "A1")], "title string, canonical string"
+    )
+    cn, _ = apply_canonicalization(nodes, edges, mapping)
+    row = cn.collect()[0]
+    assert row.title == "A1" and row.type == "ATYPE"

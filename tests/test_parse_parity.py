@@ -108,8 +108,11 @@ def test_node_merge_parity(spark):
     #    skipped and create no nodes
     assert "ONLYNAME" not in s_nodes
     assert "A" not in s_nodes and "B" not in s_nodes
-    #  - endpoint provenance unioned across declaration + edges
-    assert s_nodes["BOB"][2] == ("u01", "u02", "u03")
+    #  - endpoint provenance is reference-exact: the FIRST touching record
+    #    (edge in u01, before BOB's declaration in u02) creates the node
+    #    with its source id; the u03 edge touches an existing node and
+    #    adds nothing (reference graph_extractor.py:253-266)
+    assert s_nodes["BOB"][2] == ("u01", "u02")
     #  - inner parens preserved
     assert "DELTA (CORP)" in s_nodes
 
