@@ -29,7 +29,7 @@ from knowledge_graph_spark.session import get_spark
 from knowledge_graph_spark.synth import load_views, transcripts_from_events
 
 
-def _run_pass(spark, entry, sf_dir: str) -> tuple[dict, int, int, float]:
+def _run_pass(spark, entry, sf_dir: str, graph_edges: int) -> tuple[dict, int, int, float]:
     timings: dict[str, float] = {}
 
     def timed(name, make_df):
@@ -78,6 +78,40 @@ def _run_pass(spark, entry, sf_dir: str) -> tuple[dict, int, int, float]:
     # rounds over the word-frequency table) — subtract for comparability
     timed("dsir_select", lambda: entry.q_dsir_select(spark, sf_dir))
     timed("bpe_merges", lambda: entry.q_bpe_merges(spark, sf_dir))
+    # round-3 additions: the distributed iterative graph family on an
+    # sf-proportional synthetic graph (3M·sf edges — PAST the 200k
+    # driver-local cutover at sf0.1), so regressions in the iterative
+    # kernels are visible round-over-round.  Graph build/materialize is
+    # excluded from the timings; subtract these four entries for
+    # round-1/2 comparability.  Full per-round/shuffle study:
+    # tools/bench_graph.py → BENCH_SCALING.md.
+    from knowledge_graph_spark.operators.community import (
+        label_propagation as lpa_op,
+    )
+    from knowledge_graph_spark.operators.graphops import pagerank_int, scc_fixed_rounds
+    from knowledge_graph_spark.operators.sketches import hyperball
+    from knowledge_graph_spark.synth import synth_graph
+
+    g_edges = synth_graph(
+        spark, n_nodes=max(graph_edges // 8, 8), n_edges=graph_edges
+    ).persist()
+    g_edges.count()
+    g_nodes = (
+        g_edges.selectExpr("source AS title")
+        .union(g_edges.selectExpr("target AS title"))
+        .distinct()
+        .persist()
+    )
+    g_nodes.count()
+    timed("pagerank_graph", lambda: pagerank_int(g_edges, iterations=5))
+    timed("scc_graph", lambda: scc_fixed_rounds(g_edges))
+    timed(
+        "lpa_graph",
+        lambda: lpa_op(g_nodes, g_edges, local_threshold=0, max_iter=5),
+    )
+    timed("hyperball_graph", lambda: hyperball(g_edges, rounds=2, p=6))
+    g_edges.unpersist()
+    g_nodes.unpersist()
     return timings, n_turns, n_edges, kg_secs
 
 
@@ -93,6 +127,10 @@ def run_bench(sf_dir: str, cpus: str, passes: int = 2) -> dict:
 
     import __spark_entry__ as entry
 
+    m_sf = re.search(r"sf([0-9.]+)", sf_dir)
+    sf_val = float(m_sf.group(1).rstrip(".")) if m_sf else 0.1
+    graph_edges = int(3_000_000 * sf_val)
+
     best: dict[str, float] = {}
     best_kg = float("inf")
     n_turns = n_edges = 0
@@ -101,7 +139,7 @@ def run_bench(sf_dir: str, cpus: str, passes: int = 2) -> dict:
             key = (spark.sparkContext.applicationId, sf_dir)
             for df in entry._STAGE_CACHE.pop(key, {}).values():
                 df.unpersist()
-        timings, n_turns, n_edges, kg_secs = _run_pass(spark, entry, sf_dir)
+        timings, n_turns, n_edges, kg_secs = _run_pass(spark, entry, sf_dir, graph_edges)
         best_kg = min(best_kg, kg_secs)
         best = {k: min(best.get(k, v), v) for k, v in timings.items()}
 
