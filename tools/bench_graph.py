@@ -89,8 +89,8 @@ def build_from_kg(spark):
         spark,
         n_convs=KG_CONVS,
         base_turns=8,
-        n_person=KG_CONVS // 10,
-        n_city=KG_CONVS // 30,
+        n_person=KG_CONVS,
+        n_city=KG_CONVS // 3,
     )
     stages = build_graph(
         transcripts,
