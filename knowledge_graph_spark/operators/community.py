@@ -30,7 +30,7 @@ from __future__ import annotations
 import time
 from collections import defaultdict
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Graphs whose EDGE LIST fits comfortably on the driver skip the
@@ -214,17 +214,17 @@ def label_propagation(
             .groupBy("a", "label")
             .agg(F.sum("w").alias("score"))
         )
-        # argmax by (score, label-min): max_by over struct with inverted
-        # label can't express "min label on max score" directly, so order
-        # explicitly: max score first, then lexicographic min label.
-        # deterministic argmax: min label among the max-score candidates
+        # deterministic argmax — min label among the max-score candidates —
+        # as a per-node top-1 window ((score desc, label asc) is a total
+        # order within a node: labels are distinct group keys).  One pass:
+        # Spark's WindowGroupLimit pushes the rn=1 filter into a per-node
+        # top-k, vs the previous max-score self-join that aggregated the
+        # scored table twice and joined the branches back together.
+        wa = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("label"))
         best = (
-            scored.join(
-                scored.groupBy("a").agg(F.max("score").alias("mx")), "a"
-            )
-            .filter(F.col("score") == F.col("mx"))
-            .groupBy("a")
-            .agg(F.min("label").alias("new_label"))
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("a", F.col("label").alias("new_label"))
         )
         new_labels = (
             labels.join(best, labels["node"] == best["a"], "left")
