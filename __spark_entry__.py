@@ -335,6 +335,17 @@ def q_last_user_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-biased token-budgeted history context (reference
+    conversation_history.py:67-128 build_context).  max_tokens=30 so the
+    budget truncation actually bites at gate scale."""
+    from knowledge_graph_spark.operators.assemble import conversation_context
+
+    return conversation_context(
+        transcripts_from_events(spark, sf_dir), max_qa_turns=5, max_tokens=30
+    )
+
+
 def _alias_only_map(spark: SparkSession, s: dict[str, DataFrame]) -> DataFrame:
     """Canonical map from the dictionary alone (SQL-checkable path; the
     MinHash-LSH variant layers probabilistic pairs on top)."""
@@ -4734,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_dist": q_communities_dist,
         "qa_turns": q_qa_turns,
         "last_user_turns": q_last_user_turns,
+        "conv_context": q_conv_context,
         "node2vec_emb": q_node2vec,
         "canonicalization": q_canonicalization,
         "canonical_nodes": q_canonical_nodes,
@@ -4979,6 +4991,42 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY turn_idx DESC) AS INT) AS recency
               FROM transcripts WHERE role = 'user'
             ) WHERE recency <= 2
+            """
+        ),
+        "conv_context": _oracle(
+            """
+            , qa2 AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT)
+                       AS qa_idx
+              FROM transcripts
+            ),
+            qsel AS (
+              SELECT conv_id, qa_idx,
+                     max(CASE WHEN role = 'user' THEN text END) AS content
+              FROM qa2 WHERE qa_idx > 0 GROUP BY conv_id, qa_idx
+            ),
+            rec AS (
+              SELECT conv_id, content,
+                     CAST(row_number() OVER (PARTITION BY conv_id
+                          ORDER BY qa_idx DESC) AS INT) AS rk
+              FROM qsel
+            ),
+            cap AS (
+              SELECT conv_id, rk, content,
+                     CAST(len(list_filter(regexp_split_to_array(content, '\\s+'),
+                          x -> x <> '')) AS INT) AS n_tokens
+              FROM rec WHERE rk <= 5
+            ),
+            run AS (
+              SELECT conv_id, rk, content, n_tokens,
+                     CAST(SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY rk)
+                          AS INT) AS cum_tokens
+              FROM cap
+            )
+            SELECT conv_id, rk, content, n_tokens, cum_tokens
+            FROM run WHERE cum_tokens <= 30
             """
         ),
         "community_hierarchy": _oracle(_hierarchy_body()),

@@ -103,6 +103,57 @@ def qa_turns(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def conversation_context(
+    transcripts: DataFrame,
+    max_qa_turns: int = 5,
+    max_tokens: int = 8000,
+) -> DataFrame:
+    """Recency-biased, token-budgeted conversation-history context rows →
+    (conv_id, rk, content, n_tokens, cum_tokens), rk 1 = most recent.
+
+    Reference semantics (conversation_history.py:67-128 ``build_context``
+    with its defaults): fold to QA turns, keep USER queries only
+    (include_user_turns_only=True), reverse for recency bias, cap at
+    ``max_qa_turns``, then accumulate rows while the running context
+    stays within ``max_tokens``.  The reference's budget counts the
+    rendered CSV; per the north rule the rendering is replaced by the
+    table itself, so the budget here is the running whitespace-token sum
+    of the kept contents — the same simplification the local/global
+    search context builders use (operators/search.py), and expressible
+    verbatim in the SQL oracle.
+
+    Shape: one conv-keyed window for recency rank + one running-sum
+    window over at most ``max_qa_turns`` rows per conversation — both
+    shuffles on conv_id."""
+    qa = qa_turns(transcripts)
+    w = Window.partitionBy("conv_id").orderBy(F.desc("qa_idx"))
+    recent = (
+        qa.select(
+            "conv_id",
+            "qa_idx",
+            F.col("user_query").alias("content"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= max_qa_turns)
+        .withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split("content", r"\s+"), lambda t: t != F.lit(""))).cast(
+                "int"
+            ),
+        )
+    )
+    wc = (
+        Window.partitionBy("conv_id")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        recent.withColumn("cum_tokens", F.sum("n_tokens").over(wc).cast("int"))
+        .filter(F.col("cum_tokens") <= max_tokens)
+        .select("conv_id", "rk", "content", "n_tokens", "cum_tokens")
+    )
+
+
 def last_user_turns(transcripts: DataFrame, k: int = 1) -> DataFrame:
     """Last ``k`` user turns per conversation, most recent first →
     (conv_id, recency, text) with recency 1 = latest.

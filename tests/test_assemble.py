@@ -109,3 +109,32 @@ def test_last_user_turns(spark):
         (r.conv_id, r.recency): r.text for r in last_user_turns(df, k=1).collect()
     }
     assert one == {("q1", 1): "ask two", ("q2", 1): "only question"}
+
+
+def test_conversation_context_budget(spark):
+    from knowledge_graph_spark.operators.assemble import conversation_context
+
+    df = spark.createDataFrame(QA_ROWS, SCHEMA)
+    # budget 4 tokens: most recent q1 query "ask two" (2 tokens) fits,
+    # adding "ask one" (2 tokens) still fits at cum 4
+    got = {
+        (r.conv_id, r.rk): (r.content, r.n_tokens, r.cum_tokens)
+        for r in conversation_context(df, max_qa_turns=5, max_tokens=4).collect()
+    }
+    assert got == {
+        ("q1", 1): ("ask two", 2, 2),
+        ("q1", 2): ("ask one", 2, 4),
+        ("q2", 1): ("only question", 2, 2),
+    }
+    # budget 2: only the most recent query per conversation survives
+    tight = {
+        (r.conv_id, r.rk)
+        for r in conversation_context(df, max_qa_turns=5, max_tokens=2).collect()
+    }
+    assert tight == {("q1", 1), ("q2", 1)}
+    # cap of 1 QA turn beats the budget
+    capped = {
+        (r.conv_id, r.rk)
+        for r in conversation_context(df, max_qa_turns=1, max_tokens=99).collect()
+    }
+    assert capped == {("q1", 1), ("q2", 1)}
