@@ -45,6 +45,11 @@ NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
 HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# comma-separated subset of {cc,lpa,pagerank,scc} — e.g. the 10M-edge
+# probe runs "cc,pagerank" to bound wall clock
+OPS = set(
+    os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc").replace(" ", "").split(",")
+)
 
 
 def _get(url: str):
@@ -165,26 +170,30 @@ def main() -> None:
         }
         print(json.dumps({name: results[name]}), flush=True)
 
-    timed(
-        "connected_components",
-        lambda rl: connected_components(
-            nodes, edges, local_threshold=0, max_iter=50, round_log=rl
-        ).count(),
-    )
-    timed(
-        "label_propagation",
-        lambda rl: label_propagation(
-            nodes, edges, local_threshold=0, max_iter=10, round_log=rl
-        ).count(),
-    )
-    timed(
-        "pagerank",
-        lambda rl: pagerank_int(edges, iterations=10, round_log=rl).count(),
-    )
-    timed(
-        "scc",
-        lambda rl: scc_fixed_rounds(edges, round_log=rl).count(),
-    )
+    if "cc" in OPS:
+        timed(
+            "connected_components",
+            lambda rl: connected_components(
+                nodes, edges, local_threshold=0, max_iter=50, round_log=rl
+            ).count(),
+        )
+    if "lpa" in OPS:
+        timed(
+            "label_propagation",
+            lambda rl: label_propagation(
+                nodes, edges, local_threshold=0, max_iter=10, round_log=rl
+            ).count(),
+        )
+    if "pagerank" in OPS:
+        timed(
+            "pagerank",
+            lambda rl: pagerank_int(edges, iterations=10, round_log=rl).count(),
+        )
+    if "scc" in OPS:
+        timed(
+            "scc",
+            lambda rl: scc_fixed_rounds(edges, round_log=rl).count(),
+        )
 
     total = round(sum(r["wall_sec"] for r in results.values()), 2)
     print(
