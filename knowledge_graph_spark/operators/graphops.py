@@ -98,6 +98,44 @@ def with_global_index(
     )
 
 
+def with_running_sum(
+    df: DataFrame, order_cols: list, val_col: str, out_col: str = "running"
+) -> DataFrame:
+    """Inclusive prefix sum of ``val_col`` in global (order_cols) order
+    WITHOUT a single-partition window — the same two-phase pattern as
+    ``with_global_index``: range-partition on the order key, local
+    running sum per partition, then per-partition totals → cumulative
+    offsets (a window over #partitions rows) broadcast back.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak;
+    express desc by negating the column) — with ties, rows sharing a key
+    could land in different range partitions and the tie-internal prefix
+    would be partitioner-dependent.  Identical output to
+    ``sum(val) over (order by …  rows unbounded preceding)`` under that
+    contract.  Same persist-pinning note as with_global_index: the
+    offsets subtree re-reads the ranged frame, and an unpinned
+    repartitionByRange re-samples its partitioner per subtree."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__lrun", F.sum(val_col).over(w_local)).persist()
+    totals = local.groupBy("__pid").agg(F.sum(val_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lrun"))
+        .drop("__pid", "__lrun", "__off")
+    )
+
+
 def with_node_ids(nodes: DataFrame) -> DataFrame:
     """Deterministic id = sha2(title); human_readable_id = rank in stable
     name order (reference G8 enumerate-after-stable-sort semantics) via

@@ -245,12 +245,25 @@ def global_search_context(
         score.cast("int").alias("score"),
         _ws_count(F.col("summary")).alias("__t"),
     ).filter(F.col("score") >= min_score)
-    w = Window.orderBy(F.desc("score"), F.desc("rank"), F.asc("community")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # Two-phase distributed prefix sum instead of a partitionless window:
+    # unlike the local-search packers (inputs pre-bounded to the selected
+    # entities' neighborhoods), this runs over EVERY community report —
+    # millions of rows at corpus scale — and every row stays in the
+    # output (the in_context flag, not a top-k, is the contract), so the
+    # single-task global sort had no row bound.  (score desc, rank desc,
+    # community) is a total order: desc expressed by negation.
+    from .graphops import with_running_sum
+
+    run = with_running_sum(
+        scored.withColumn("__ns", (-F.col("score")).cast("int")).withColumn(
+            "__nr", -F.col("rank")  # rank is double — negate, don't cast
+        ),
+        ["__ns", "__nr", "community"],
+        "__t",
+        out_col="__run",
     )
     return (
-        scored.withColumn("__run", F.sum("__t").over(w))
-        .withColumn("in_context", F.col("__run") <= max_tokens)
+        run.withColumn("in_context", F.col("__run") <= max_tokens)
         .select(
             F.lit(query).alias("query"),
             "community",

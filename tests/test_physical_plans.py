@@ -407,3 +407,21 @@ def test_scc_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "PythonUDF" not in p
+
+
+def test_global_search_has_no_single_partition_window(spark):
+    """Global search packs under the token budget with the two-phase
+    running sum: the whole-corpus report table must not funnel through a
+    single-task global sort (every row stays in the output, so a top-k
+    rewrite cannot save it — the prefix sum itself must distribute)."""
+    from knowledge_graph_spark.operators.search import global_search_context
+
+    reports = spark.createDataFrame(
+        [("c1", 2.0, "ACME report", "ACME body"), ("c2", 1.0, "B report", "B body")],
+        "community string, rank double, summary string, full_content string",
+    )
+    p = plan(global_search_context("ACME", reports))
+    assert "rangepartitioning" in p.lower()
+    # only the #partitions-row offset subtree may single-partition
+    assert p.count("SinglePartition") <= 1
+    assert "BroadcastHashJoin" in p
