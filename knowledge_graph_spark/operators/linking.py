@@ -246,7 +246,10 @@ def apply_canonicalization(
     (reference graph_extractor.py:228-230): the winning type comes from
     the member node whose provenance extends latest in record order —
     argmax of (last source id, type) over non-empty types.  source_id is
-    sorted, so element_at(-1) is each node's latest chunk."""
+    sorted, so element_at(-1) is each node's latest chunk.  (If the
+    merge capped provenance via max_source_ids, "latest" means the
+    latest SURVIVING id — the cap keeps the sorted prefix — which stays
+    deterministic; the uncapped gates match the oracle exactly.)"""
     m = mapping.select("title", "canonical")
     cn = (
         nodes.join(m, "title", "left")

@@ -44,3 +44,24 @@ def test_distributed_lpa_equals_local_past_cutover(spark):
     local = label_propagation(nodes, edges, local_threshold=2 * N_EDGES, max_iter=3)
     assert dist.count() == local.count()
     assert dist.exceptAll(local).limit(1).count() == 0
+
+
+def test_with_running_sum_matches_single_window(spark):
+    """The two-phase distributed prefix sum is value-identical to the
+    partitionless running-sum window it replaces, for any total order."""
+    from pyspark.sql import Window
+
+    from knowledge_graph_spark.operators.graphops import with_running_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).alias("v"),
+        (-(F.col("id") % 13)).alias("neg_major"),
+    ).repartition(16)
+    got = {
+        r.k: r.run
+        for r in with_running_sum(df, ["neg_major", "k"], "v", out_col="run").collect()
+    }
+    w = Window.orderBy("neg_major", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {r.k: r.run for r in df.withColumn("run", F.sum("v").over(w)).collect()}
+    assert got == want
