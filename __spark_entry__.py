@@ -3025,10 +3025,12 @@ def _mis_oracle(rounds: int) -> str:
     for r in range(1, rounds + 1):
         a_r = (HASH_A * (r + 1)) % HASH_M31
         b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        # ((x % m) + m) % m mirrors Spark's pmod for negative ids too —
+        # DuckDB's bare % is signed, which would diverge on negative keys
         ctes.append(
             f"""mk{r} AS MATERIALIZED (
   SELECT node,
-         (({a_r} * (node % {textqc.FP_MOD}) + {b_r}) % {HASH_M31}) * {pk} + (node % {pk}) AS key
+         (({a_r} * (((node % {textqc.FP_MOD}) + {textqc.FP_MOD}) % {textqc.FP_MOD}) + {b_r}) % {HASH_M31}) * {pk} + (((node % {pk}) + {pk}) % {pk}) AS key
   FROM act{r})"""
         )
         ctes.append(

@@ -114,7 +114,11 @@ def with_running_sum(
     ``sum(val) over (order by …  rows unbounded preceding)`` under that
     contract.  Same persist-pinning note as with_global_index: the
     offsets subtree re-reads the ranged frame, and an unpinned
-    repartitionByRange re-samples its partitioner per subtree."""
+    repartitionByRange re-samples its partitioner per subtree.  The pin
+    lives until the session drops it (Spark evicts LRU blocks under
+    pressure); a long-lived service issuing many corpus-scale calls
+    should materialize results and `spark.catalog.clearCache()` between
+    queries — same lifetime contract as with_global_index's pin."""
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -254,9 +254,12 @@ def global_search_context(
     # community) is a total order: desc expressed by negation.
     from .graphops import with_running_sum
 
+    # NULL-rank handling matches the window this replaced (desc → nulls
+    # LAST): coalesce to -inf so -rank = +inf sorts last under asc.
+    # rank is double — negate, don't cast (fractional ranks).
     run = with_running_sum(
         scored.withColumn("__ns", (-F.col("score")).cast("int")).withColumn(
-            "__nr", -F.col("rank")  # rank is double — negate, don't cast
+            "__nr", -F.coalesce(F.col("rank"), F.lit(float("-inf")))
         ),
         ["__ns", "__nr", "community"],
         "__t",

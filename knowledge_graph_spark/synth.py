@@ -200,11 +200,16 @@ def synth_graph(
     if hub_pct:
         src_no = F.when(h1 % 100 < hub_pct, F.lit(0)).otherwise(src_no)
     dst_no = h2 % n_nodes
+    # weight is a function of the ENDPOINT PAIR (not the draw id) so the
+    # trailing distinct truly collapses duplicate (source, target) draws
+    # — with a draw-keyed weight, parallel edges would survive distinct
+    # and the hub runs would time a multigraph
+    weight = F.abs(F.xxhash64(F.lit(seed + 2), src_no, dst_no)) % 5 + 1
     return (
         e.select(
             F.format_string("N%09d", src_no).alias("source"),
             F.format_string("N%09d", dst_no).alias("target"),
-            (h1 % 5 + 1).cast("double").alias("weight"),
+            weight.cast("double").alias("weight"),
         )
         .filter(F.col("source") != F.col("target"))
         .distinct()

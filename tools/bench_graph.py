@@ -11,8 +11,9 @@ Two graph sources, both deterministic and executor-side:
    graph-skew scenario; run uniform then hub and compare walls.
 2. ``--from-kg`` — the KG actually EXTRACTED by the full pipeline from
    sf-proportional-vocabulary transcripts (synth_transcripts with
-   n_person = n_convs // 10), proving the extraction→graph path itself
-   produces a past-cutover graph, not just a synthetic stand-in.
+   n_person = KG_CONVS, n_city = KG_CONVS // 3), proving the
+   extraction→graph path itself produces a past-cutover graph, not just
+   a synthetic stand-in.
 
 Measured per operator: total wall, per-round walls (the operators'
 ``round_log`` hook — every round ends in an eager localCheckpoint, so
@@ -82,11 +83,12 @@ def build_synthetic(spark):
 def build_from_kg(spark):
     """Extract the KG from sf-proportional-vocabulary transcripts.
 
-    Vocabulary grows with the input (n_person = n_convs // 10), so —
-    unlike the fixed ~30-name test fixture — the extracted edge set
-    scales with the corpus instead of saturating at a toy graph.  Chunk
-    size 160 keeps per-chunk co-occurrence cliques small (all-pairs in a
-    chunk is quadratic in DISTINCT mentions per chunk)."""
+    Vocabulary grows with the input (n_person = n_convs, n_city =
+    n_convs // 3), so — unlike the fixed ~30-name test fixture — the
+    extracted edge set scales with the corpus instead of saturating at a
+    toy graph.  Chunk size 160 keeps per-chunk co-occurrence cliques
+    small (all-pairs in a chunk is quadratic in DISTINCT mentions per
+    chunk)."""
     from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
     from knowledge_graph_spark.synth import synth_transcripts
 
