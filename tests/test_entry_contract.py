@@ -27,6 +27,11 @@ CHECK = [
     "conv_docs",
     "text_units",
     "sentence_units",
+    "qa_turns",
+    "last_user_turns",
+    "conv_context",
+    "cc_dist",
+    "lpa_dist",
     "kg_nodes",
     "kg_edges",
     "edge_rank",
