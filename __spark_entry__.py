@@ -1634,6 +1634,17 @@ def q_neighborhood_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality from the per-round HyperBall ball
+    sizes (Boldi & Vigna 2013's headline application) — closeness-style
+    salience without all-pairs BFS."""
+    from knowledge_graph_spark.operators.sketches import harmonic_centrality
+
+    return harmonic_centrality(
+        _stages(spark, sf_dir)["edges"], rounds=HYPERBALL_ROUNDS
+    )
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response-latency profile in exact
     integer microseconds (epoch-us lag subtraction, no float durations)."""
@@ -2926,12 +2937,14 @@ SELECT CAST({_HLL_M} AS BIGINT) AS m,
 FROM hagg
 """
 
-def _hyperball_oracle(rounds: int, nf: bool = False) -> str:
+def _hyperball_oracle(rounds: int, nf: bool = False, hc: bool = False) -> str:
     """Unrolled HyperBall oracle over the prelude's kg_edges: singleton
     sketches from the shared hash family, register MAX-merge over the
     symmetrized adjacency per round, then the standard raw-HLL estimate
     arithmetic per node — or, with ``nf``, the per-round neighborhood
-    function N(r) (0..rounds) summed over nodes."""
+    function N(r) (0..rounds) summed over nodes — or, with ``hc``, the
+    per-node truncated harmonic centrality Σ_r (est_r − est_{r−1})·10^6
+    // r (sketches.harmonic_centrality)."""
     poly = _POLY.format(s="node")
     ctes = [
         """hb_adj AS MATERIALIZED (
@@ -2959,6 +2972,31 @@ def _hyperball_oracle(rounds: int, nf: bool = False) -> str:
   ) GROUP BY node, register)"""
         )
     est_num = (_HLL_ALPHA * float(_HLL_M * _HLL_M)) * float(_sk.HLL_SCALE)
+    if hc:  # harmonic centrality: Σ_r (est_r − est_{r−1}) · scale // r
+        for r in range(rounds + 1):
+            ctes.append(
+                f"""hest{r} AS (
+  SELECT node, CAST(floor(CAST({est_num!r} AS DOUBLE)
+               / CAST(s_hit + ({_HLL_M} - n_regs) * {_sk.HLL_SCALE} AS DOUBLE))
+               AS BIGINT) AS est
+  FROM (SELECT node, CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum({_sk.HLL_SCALE} >> max_rank) AS BIGINT) AS s_hit
+        FROM hbr{r} GROUP BY node))"""
+            )
+        terms = " + ".join(
+            f"((hest{r}.est - hest{r - 1}.est) * 1000000) // {r}"
+            for r in range(1, rounds + 1)
+        )
+        joins = " ".join(
+            f"JOIN hest{r} ON hest{r}.node = hest0.node"
+            for r in range(1, rounds + 1)
+        )
+        return (
+            ", "
+            + ",\n".join(ctes)
+            + f"\nSELECT hest0.node AS node, CAST({terms} AS BIGINT) AS harmonic_micro,"
+            f" CAST(hest{rounds}.est AS BIGINT) AS ball_est FROM hest0 {joins}"
+        )
     if nf:  # neighborhood function: per-round totals over the estimates
         for r in range(rounds + 1):
             ctes.append(
@@ -4792,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens": q_hll_tokens,
         "hyperball": q_hyperball,
         "neighborhood_fn": q_neighborhood_fn,
+        "harmonic_centrality": q_harmonic,
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
         "length_quantiles": q_length_quantiles,
@@ -5306,6 +5345,7 @@ FROM pos p JOIN neg n USING (anchor_id)
         "hll_tokens": _HLL_SQL,
         "hyperball": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS)),
         "neighborhood_fn": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, nf=True)),
+        "harmonic_centrality": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, hc=True)),
         "cms_counts": _CMS_SQL,
         "length_hist": _LENGTH_HIST_SQL,
         "hll_lang": _HLL_LANG_SQL,

@@ -295,3 +295,38 @@ def test_kmv_overlap_estimates(spark):
     assert r2.n_a == 10 and r2.a_est == 10 and r2.b_est == 10
     assert r2.n_match == 0 and r2.jaccard_micro == 0 and r2.inter_est == 0
     assert r2.union_est == 20  # below k: the union sample IS the union
+
+
+def test_harmonic_centrality_from_ball_estimates(spark):
+    """harmonic_micro must equal Σ_r (est_r − est_{r−1})·10^6 DIV r
+    computed from hyperball's OWN per-round estimates (exactness of the
+    combine, independent of estimator bias), and on a star graph the hub
+    must dominate every leaf (all leaves are 1 hop from the hub; leaves
+    reach each other only at 2 hops)."""
+    from knowledge_graph_spark.operators.sketches import (
+        harmonic_centrality,
+        hyperball,
+    )
+
+    hub = "HUB"
+    leaves = [f"L{i:02d}" for i in range(12)]
+    e = spark.createDataFrame(
+        [(hub, l) for l in leaves], "source string, target string"
+    )
+    rounds = 2
+    ests = {
+        r: {row.node: row.estimate for row in hyperball(e, rounds=r).collect()}
+        for r in range(rounds + 1)
+    }
+    got = {
+        row.node: (row.harmonic_micro, row.ball_est)
+        for row in harmonic_centrality(e, rounds=rounds).collect()
+    }
+    for v, (h, ball) in got.items():
+        want = sum(
+            (ests[r][v] - ests[r - 1][v]) * 1_000_000 // r
+            for r in range(1, rounds + 1)
+        )
+        assert h == want
+        assert ball == ests[rounds][v]
+    assert all(got[hub][0] > got[l][0] for l in leaves)
