@@ -1101,6 +1101,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(e, iterations=PR_ITER)
 
 
+def q_pagerank_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: rank mass splits by each edge's share of the
+    source's total incident co-occurrence weight — the salience measure
+    the merged KG's weights exist for."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target", "weight")
+    return pagerank_int(e, iterations=PR_ITER, weight="weight")
+
+
 PPR_SEEDS = 3
 
 
@@ -3732,29 +3742,32 @@ def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
     return ",\n".join(parts)
 
 
-def _pr_body(rounds: int = PR_ITER) -> str:
+def _pr_body(rounds: int = PR_ITER, weighted: bool = False) -> str:
     """Unrolled fixed-round integer PageRank over kg_edges — mirrors
     graphops.pagerank_int bit-for-bit (all-BIGINT arithmetic, `//` ≡
     Spark's DIV on positives).  AS MATERIALIZED for the same reason as
-    the LPA unroll: each round references the previous twice."""
+    the LPA unroll: each round references the previous twice.  With
+    ``weighted``, mass splits by each edge's share of the source's total
+    incident weight (pagerank_int's weight= path)."""
     from knowledge_graph_spark.operators.graphops import (
         PR_DAMP_DEN,
         PR_DAMP_NUM,
         PR_SCALE,
     )
 
+    w_expr = "CAST(weight AS BIGINT)" if weighted else "CAST(1 AS BIGINT)"
     parts = [
         f"""
 , pr_sym AS MATERIALIZED (
-  SELECT source AS u, target AS v FROM kg_edges
+  SELECT source AS u, target AS v, {w_expr} AS w FROM kg_edges
   UNION ALL
-  SELECT target AS u, source AS v FROM kg_edges
+  SELECT target AS u, source AS v, {w_expr} AS w FROM kg_edges
 ),
 pr_nodes AS MATERIALIZED (SELECT DISTINCT u AS title FROM pr_sym),
 pr_n AS (SELECT count(*) AS n FROM pr_nodes),
 pr_adj AS MATERIALIZED (
-  SELECT e.u, e.v, o.outdeg
-  FROM pr_sym e JOIN (SELECT u, CAST(count(*) AS BIGINT) AS outdeg
+  SELECT e.u, e.v, e.w, o.outw
+  FROM pr_sym e JOIN (SELECT u, CAST(sum(w) AS BIGINT) AS outw
                       FROM pr_sym GROUP BY u) o ON e.u = o.u
 ),
 pr_r0 AS MATERIALIZED (
@@ -3770,7 +3783,7 @@ pr_r0 AS MATERIALIZED (
         parts.append(
             f""",
 pr_c{k} AS MATERIALIZED (
-  SELECT a.v, CAST(sum((r.rank_scaled * {PR_DAMP_NUM}) // ({PR_DAMP_DEN} * a.outdeg))
+  SELECT a.v, CAST(sum((r.rank_scaled * {PR_DAMP_NUM} * a.w) // ({PR_DAMP_DEN} * a.outw))
                    AS BIGINT) AS inflow
   FROM pr_adj a JOIN pr_r{k - 1} r ON r.title = a.u GROUP BY a.v
 ),
@@ -4839,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_words": q_bloom_words,
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
+        "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
         "triangles": q_triangles,
@@ -5419,6 +5433,7 @@ GROUP BY lang, pct
             FROM dj
             """),
         "pagerank": _oracle(_pr_body()),
+        "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),
         "ann_recall": _ANN_RECALL_SQL.format(topk=_EMB_TOPK_SQL, ivf=_EMB_IVF_SQL),

@@ -183,6 +183,7 @@ def pagerank_int(
     damping_den: int = PR_DAMP_DEN,
     symmetric: bool = True,
     round_log: list | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-round PageRank in exact integer arithmetic → (title,
     rank_scaled) with rank as units of 1/``scale`` (default 1e-12).
@@ -206,11 +207,25 @@ def pagerank_int(
     the lineage so round k's plan does not replay rounds 1..k-1.
     ``symmetric=True`` mirrors the undirected KG (each edge contributes
     both ways), matching node_degrees' undirected convention.
+
+    ``weight``: name of an edge-weight column — each neighbor then
+    receives rank mass proportional to its edge's share of the source's
+    total incident weight, (rank·d·w) DIV (d_den·Σw) — the natural
+    salience on the merged KG whose weights are co-occurrence counts.
+    Weights are floored to bigint (the KG's are integral sums of 1.0s);
+    exactness requires rank·damping·w < 2^63, i.e. max weight ≲ 10^5 at
+    the default 10^12 scale.  weight=None is bit-identical to the
+    unweighted form (w=1, Σw=outdeg).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    w_col = (
+        F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w"))
     if symmetric:
         e = e.unionByName(
-            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"), w_col.alias("w")
+            )
         )
     e = e.persist()
     nodes = (
@@ -220,8 +235,8 @@ def pagerank_int(
         .persist()
     )
     n = nodes.count()
-    outdeg = e.groupBy("u").agg(F.count("*").cast("bigint").alias("outdeg"))
-    adj = e.join(outdeg, "u").persist()
+    outw = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("outw"))
+    adj = e.join(outw, "u").persist()
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     init = scale // n
     ranks = nodes.select("title", F.lit(init).cast("bigint").alias("rank_scaled"))
@@ -233,7 +248,7 @@ def pagerank_int(
             .select(
                 F.col("v"),
                 F.expr(
-                    f"(rank_scaled * {damping_num}) DIV ({damping_den} * outdeg)"
+                    f"(rank_scaled * {damping_num} * w) DIV ({damping_den} * outw)"
                 ).alias("c"),
             )
             .groupBy("v")
