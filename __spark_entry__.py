@@ -1655,6 +1655,26 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter (90% pair coverage) read off the neighborhood
+    function — the HyperBall/ANF summary statistic."""
+    from knowledge_graph_spark.operators.sketches import effective_diameter
+
+    return effective_diameter(
+        _stages(spark, sf_dir)["edges"], rounds=HYPERBALL_ROUNDS
+    )
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance over the LPA partition — the boundary
+    audit complementing modularity."""
+    from knowledge_graph_spark.operators.graphops import community_conductance
+
+    s = _stages(spark, sf_dir)
+    comm = label_propagation(s["nodes"], s["edges"])
+    return community_conductance(s["edges"], comm)
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response-latency profile in exact
     integer microseconds (epoch-us lag subtraction, no float durations)."""
@@ -2947,7 +2967,9 @@ SELECT CAST({_HLL_M} AS BIGINT) AS m,
 FROM hagg
 """
 
-def _hyperball_oracle(rounds: int, nf: bool = False, hc: bool = False) -> str:
+def _hyperball_oracle(
+    rounds: int, nf: bool = False, hc: bool = False, ed: bool = False
+) -> str:
     """Unrolled HyperBall oracle over the prelude's kg_edges: singleton
     sketches from the shared hash family, register MAX-merge over the
     symmetrized adjacency per round, then the standard raw-HLL estimate
@@ -3007,7 +3029,7 @@ def _hyperball_oracle(rounds: int, nf: bool = False, hc: bool = False) -> str:
             + f"\nSELECT hest0.node AS node, CAST({terms} AS BIGINT) AS harmonic_micro,"
             f" CAST(hest{rounds}.est AS BIGINT) AS ball_est FROM hest0 {joins}"
         )
-    if nf:  # neighborhood function: per-round totals over the estimates
+    if nf or ed:  # per-round totals over the estimates
         for r in range(rounds + 1):
             ctes.append(
                 f"""lvl{r} AS (
@@ -3024,6 +3046,21 @@ def _hyperball_oracle(rounds: int, nf: bool = False, hc: bool = False) -> str:
             f"SELECT r, n_nodes, total_ball_est FROM lvl{r}"
             for r in range(rounds + 1)
         )
+        if ed:  # effective diameter: smallest r covering >= 90% of N(R)
+            ctes.append(f"nfall AS ({union})")
+            ctes.append(
+                f"nftot AS (SELECT total_ball_est AS tot FROM lvl{rounds})"
+            )
+            return (
+                ", "
+                + ",\n".join(ctes)
+                + """
+SELECT CAST(min(r) AS INT) AS eff_diameter,
+       CAST(arg_min(total_ball_est, r) AS BIGINT) AS covered_pairs,
+       CAST(max(tot) AS BIGINT) AS total_pairs
+FROM nfall, nftot WHERE total_ball_est * 10 >= 9 * tot
+"""
+            )
         return ", " + ",\n".join(ctes) + "\n" + union
     body = f"""hbagg AS (
   SELECT node, CAST(count(*) AS BIGINT) AS n_regs,
@@ -4266,6 +4303,50 @@ SELECT node AS title, label AS community FROM lpa_l{LPA_MAX_ITER}
 """
 
 
+def _conductance_body() -> str:
+    """Per-community conductance over the LPA partition — composes the
+    unrolled LPA CTEs with the prelude's degrees table (mirrors
+    graphops.community_conductance: cut charges both sides, vol = member
+    degree sum, φ_micro = cut·10^6 // min(vol, 2m − vol), 0 on a zero
+    min side)."""
+    return f"""
+, lpa_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+lpa_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('lpa_nodes', 'lpa_sym', 'lpa_')},
+ccomm AS MATERIALIZED (SELECT node AS title, label AS community FROM lpa_l{LPA_MAX_ITER}),
+cvol AS (
+  SELECT community, CAST(sum(degree) AS BIGINT) AS vol
+  FROM ccomm JOIN degrees USING (title) GROUP BY community
+),
+cm2 AS (SELECT CAST(coalesce(sum(degree), 0) AS BIGINT) AS m2 FROM degrees),
+ccutp AS (
+  SELECT cs.community AS ca, ct.community AS cb
+  FROM kg_edges e
+  JOIN ccomm cs ON cs.title = e.source
+  JOIN ccomm ct ON ct.title = e.target
+  WHERE cs.community <> ct.community
+),
+ccut AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+    SELECT ca AS community FROM ccutp
+    UNION ALL SELECT cb AS community FROM ccutp
+  ) GROUP BY community
+)
+SELECT v.community,
+       CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       v.vol,
+       CAST(CASE WHEN least(v.vol, (SELECT m2 FROM cm2) - v.vol) <= 0 THEN 0
+            ELSE (coalesce(c.cut_edges, 0) * 1000000)
+                 // least(v.vol, (SELECT m2 FROM cm2) - v.vol) END AS BIGINT)
+         AS conductance_micro
+FROM cvol v LEFT JOIN ccut c USING (community)
+"""
+
+
 def _hierarchy_body(max_cluster_size: int = 5) -> str:
     """hierarchical_lpa(max_cluster_size, max_levels=2) → R10 containment.
 
@@ -4844,6 +4925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "neighborhood_fn": q_neighborhood_fn,
         "harmonic_centrality": q_harmonic,
+        "eff_diameter": q_eff_diameter,
+        "conductance": q_conductance,
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
         "length_quantiles": q_length_quantiles,
@@ -5360,6 +5443,8 @@ FROM pos p JOIN neg n USING (anchor_id)
         "hyperball": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS)),
         "neighborhood_fn": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, nf=True)),
         "harmonic_centrality": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, hc=True)),
+        "eff_diameter": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, ed=True)),
+        "conductance": _oracle(_conductance_body()),
         "cms_counts": _CMS_SQL,
         "length_hist": _LENGTH_HIST_SQL,
         "hll_lang": _HLL_LANG_SQL,

@@ -594,6 +594,63 @@ def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+def community_conductance(
+    edges: DataFrame, communities: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-community conductance → (community, cut_edges, vol,
+    conductance_micro): φ(c) = cut(c) / min(vol(c), 2m − vol(c)) in
+    integer micro-units — the complement audit to modularity (modularity
+    rewards dense insides; conductance exposes leaky boundaries).
+    cut(c) counts undirected edges with exactly one endpoint in c (each
+    such edge charges BOTH its communities); vol(c) sums member degrees.
+    min side 0 (a community covering the whole graph, or only isolated
+    nodes) → φ = 0 by convention.
+
+    Scale shape: two broadcast-able joins of the |V|-sized community map
+    onto the edge list, one |C|-keyed groupBy per quantity, scalar 2m
+    via a 1-row aggregate — no shuffle wider than |E|."""
+    comm = communities.select("title", "community")
+    deg = node_degrees(edges)
+    vol = (
+        comm.join(deg, "title")
+        .groupBy("community")
+        .agg(F.sum("degree").cast("bigint").alias("vol"))
+    )
+    m2 = deg.agg(F.sum("degree").cast("bigint")).first()[0] or 0
+    cut_pairs = (
+        edges.select("source", "target")
+        .join(
+            comm.select(F.col("title").alias("source"), F.col("community").alias("_cs")),
+            "source",
+        )
+        .join(
+            comm.select(F.col("title").alias("target"), F.col("community").alias("_ct")),
+            "target",
+        )
+        .filter(F.col("_cs") != F.col("_ct"))
+    )
+    cut = (
+        cut_pairs.select(F.col("_cs").alias("community"))
+        .unionByName(cut_pairs.select(F.col("_ct").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("bigint").alias("cut_edges"))
+    )
+    return (
+        vol.join(cut, "community", "left")
+        .withColumn("cut_edges", F.coalesce("cut_edges", F.lit(0)).cast("bigint"))
+        .select(
+            "community",
+            "cut_edges",
+            "vol",
+            F.expr(
+                f"CAST(CASE WHEN least(vol, {m2} - vol) <= 0 THEN 0 "
+                f"ELSE (cut_edges * {scale}) DIV least(vol, {m2} - vol) "
+                f"END AS BIGINT)"
+            ).alias("conductance_micro"),
+        )
+    )
+
+
 def ppr_int(
     edges: DataFrame,
     seeds: DataFrame,

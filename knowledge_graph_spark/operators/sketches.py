@@ -397,6 +397,37 @@ def neighborhood_function(
     return out
 
 
+def effective_diameter(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = HLL_P,
+    q_num: int = 9,
+    q_den: int = 10,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Effective diameter read-off from the neighborhood function → one
+    row (eff_diameter, covered_pairs, total_pairs): the smallest radius
+    r ≤ ``rounds`` whose N(r) covers at least q_num/q_den (default 90%)
+    of N(rounds) — the standard HyperBall summary statistic (Boldi &
+    Vigna 2013 §5; ANF before it).  Integer comparison (N(r)·q_den ≥
+    q_num·N(rounds)), so the SQL unroll matches exactly.  If the graph
+    is wider than ``rounds`` hops, the truncated N(rounds) understates
+    the true denominator — callers grow ``rounds`` until N flattens."""
+    nf = neighborhood_function(edges, rounds=rounds, p=p, src=src, dst=dst)
+    tot = nf.filter(F.col("r") == rounds).select(
+        F.col("total_ball_est").alias("__tot")
+    )
+    hit = nf.crossJoin(F.broadcast(tot)).filter(
+        F.col("total_ball_est") * q_den >= q_num * F.col("__tot")
+    )
+    return hit.agg(
+        F.min("r").cast("int").alias("eff_diameter"),
+        F.min_by("total_ball_est", "r").cast("bigint").alias("covered_pairs"),
+        F.max("__tot").cast("bigint").alias("total_pairs"),
+    )
+
+
 def harmonic_centrality(
     edges: DataFrame,
     rounds: int = 3,

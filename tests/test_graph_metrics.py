@@ -224,3 +224,36 @@ def test_luby_mis_properties(spark):
     ch = {r.node: r.status for r in luby_mis(chain_nodes, chain_edges, rounds=4).collect()}
     assert sum(s == "in_mis" for s in ch.values()) == 2
     assert ch[1] == "dominated" or (ch[0] == "dominated" and ch[2] == "dominated")
+
+
+def test_community_conductance_exact(spark):
+    """Two triangles joined by one bridge, partitioned by triangle: each
+    side has vol = 7 (three degree-2 members, bridge endpoint +1),
+    cut = 1, 2m = 14 → φ = 1·10^6 // min(7, 7) = 142857."""
+    from knowledge_graph_spark.operators.graphops import community_conductance
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+            ("a1", "b1"),
+        ],
+        "source string, target string",
+    )
+    comm = spark.createDataFrame(
+        [(n, "A") for n in ("a1", "a2", "a3")]
+        + [(n, "B") for n in ("b1", "b2", "b3")],
+        "title string, community string",
+    )
+    got = {
+        r.community: (r.cut_edges, r.vol, r.conductance_micro)
+        for r in community_conductance(edges, comm).collect()
+    }
+    assert got == {"A": (1, 7, 142857), "B": (1, 7, 142857)}
+    # whole graph in one community: min side 0 → φ = 0 by convention
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in ("a1", "a2", "a3", "b1", "b2", "b3")],
+        "title string, community string",
+    )
+    row = community_conductance(edges, one).collect()[0]
+    assert (row.cut_edges, row.conductance_micro) == (0, 0)
