@@ -1675,6 +1675,17 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_conductance(s["edges"], comm)
 
 
+NEIGHBOR_SAMPLE_K = 4
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-fanout neighbor sampling (the GraphSAGE
+    training-pipeline primitive) over the KG."""
+    from knowledge_graph_spark.operators.graphops import neighbor_sample
+
+    return neighbor_sample(_stages(spark, sf_dir)["edges"], k=NEIGHBOR_SAMPLE_K)
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation assistant response-latency profile in exact
     integer microseconds (epoch-us lag subtraction, no float durations)."""
@@ -4927,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic,
         "eff_diameter": q_eff_diameter,
         "conductance": q_conductance,
+        "neighbor_sample": q_neighbor_sample,
         "cms_counts": q_cms_counts,
         "length_hist": q_length_hist,
         "length_quantiles": q_length_quantiles,
@@ -5445,6 +5457,26 @@ FROM pos p JOIN neg n USING (anchor_id)
         "harmonic_centrality": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, hc=True)),
         "eff_diameter": _oracle(_hyperball_oracle(HYPERBALL_ROUNDS, ed=True)),
         "conductance": _oracle(_conductance_body()),
+        "neighbor_sample": _oracle(
+            f"""
+            , ns_sym AS (
+              SELECT source AS node, target AS neighbor FROM kg_edges
+              UNION
+              SELECT target AS node, source AS neighbor FROM kg_edges
+            ),
+            ns_h AS (
+              SELECT node, neighbor,
+                     {_perm(_POLY.format(s="(node || '#' || neighbor)"), "31")} AS h
+              FROM ns_sym WHERE node <> neighbor
+            )
+            SELECT node, neighbor, rk FROM (
+              SELECT node, neighbor,
+                     CAST(row_number() OVER (PARTITION BY node
+                          ORDER BY h, neighbor) AS INT) AS rk
+              FROM ns_h
+            ) WHERE rk <= {NEIGHBOR_SAMPLE_K}
+            """
+        ),
         "cms_counts": _CMS_SQL,
         "length_hist": _LENGTH_HIST_SQL,
         "hll_lang": _HLL_LANG_SQL,

@@ -594,6 +594,54 @@ def modularity_score(edges: DataFrame, communities: DataFrame) -> DataFrame:
     )
 
 
+def neighbor_sample(
+    edges: DataFrame,
+    k: int = 5,
+    perm_index: int = 31,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Deterministic per-node neighbor sampling → (node, neighbor, rk),
+    rk 1..k: each node keeps its ``k`` hash-ranked neighbors over the
+    symmetrized edge set — the fixed-fanout sampling GraphSAGE-style
+    training pipelines use to bound per-node compute on power-law
+    graphs.  Hash-ranked with the shared SQL-expressible family
+    (perm_{perm_index}(poly_hash(node '#' neighbor))) instead of an RNG
+    so the sample is reproducible across runs AND engines — the DuckDB
+    oracle evaluates the identical arithmetic; (h, neighbor) is a total
+    order within a node.
+
+    Scale shape: one node-keyed window; WindowGroupLimit keeps only k
+    rows per node map-side, so a 10^5-degree hub contributes k rows to
+    the sort, not 10^5."""
+    from .sketches import perm_col, poly_hash_col
+
+    sym = _symmetric_pairs(edges, src, dst)
+    h = perm_col(
+        poly_hash_col(F.concat_ws("#", F.col("node"), F.col("neighbor"))),
+        perm_index,
+    )
+    w = Window.partitionBy("node").orderBy("h", "neighbor")
+    return (
+        sym.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("node", "neighbor", "rk")
+    )
+
+
+def _symmetric_pairs(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct symmetrized (node, neighbor) pairs."""
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("neighbor"))
+    return (
+        e.unionByName(
+            edges.select(F.col(dst).alias("node"), F.col(src).alias("neighbor"))
+        )
+        .filter(F.col("node") != F.col("neighbor"))
+        .distinct()
+    )
+
+
 def community_conductance(
     edges: DataFrame, communities: DataFrame, scale: int = 1_000_000
 ) -> DataFrame:
