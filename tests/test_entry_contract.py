@@ -60,6 +60,11 @@ CHECK = [
     "leakfree_split",
     "hyperball",
     "neighborhood_fn",
+    "harmonic_centrality",
+    "eff_diameter",
+    "conductance",
+    "neighbor_sample",
+    "pagerank_w",
     "contrastive_pairs",
     "ccnet_buckets",
     "kmv_overlap",
