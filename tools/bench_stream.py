@@ -115,6 +115,18 @@ def main() -> None:
             checkpoint_dir=str(WORK / "trace_ckpt"),
         ),
     )
+    from knowledge_graph_spark.streaming.incremental import run_incremental
+
+    timed(
+        "kg_stream",
+        n_turns,
+        lambda: run_incremental(
+            spark,
+            turns_dir,
+            TableIO(spark, base=str(WORK / "kg_wh")),
+            checkpoint_dir=str(WORK / "kg_ckpt"),
+        ),
+    )
 
     print(
         json.dumps(
