@@ -63,6 +63,12 @@ AUDIT = [
     ("bpe_merges", "BPE training rounds over the word-frequency table"),
     ("hyperball", "HyperBall register MAX-merge rounds"),
     ("contrastive_pairs", "within-cell candidates + anchor-partitioned windows"),
+    ("qa_turns", "conversation QA folding (conv-keyed window + groupBy)"),
+    ("conv_context", "recency-biased token-budget prefix (two conv windows)"),
+    ("pagerank_w", "weighted PageRank rounds (weight-share contributions)"),
+    ("global_search", "map score + distributed two-phase budget prefix sum"),
+    ("conductance", "community boundary audit (broadcast map joins)"),
+    ("neighbor_sample", "fixed-fanout sampling (WindowGroupLimit per node)"),
 ]
 
 PY_NODES = (
