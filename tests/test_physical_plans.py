@@ -425,3 +425,16 @@ def test_global_search_has_no_single_partition_window(spark):
     # only the #partitions-row offset subtree may single-partition
     assert p.count("SinglePartition") <= 1
     assert "BroadcastHashJoin" in p
+
+
+def test_neighbor_sample_uses_window_group_limit(spark):
+    """Fixed-fanout sampling must push the rk<=k filter map-side
+    (WindowGroupLimit): a hub's 10^5 neighbors contribute k rows to the
+    per-node sort, not 10^5."""
+    from knowledge_graph_spark.operators.graphops import neighbor_sample
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "source string, target string"
+    )
+    p = plan(neighbor_sample(edges, k=2))
+    assert "WindowGroupLimit" in p

@@ -330,3 +330,27 @@ def test_harmonic_centrality_from_ball_estimates(spark):
         assert h == want
         assert ball == ests[rounds][v]
     assert all(got[hub][0] > got[l][0] for l in leaves)
+
+
+def test_effective_diameter_consistent_with_neighborhood_fn(spark):
+    """eff_diameter must be exactly the SMALLEST r whose N(r) covers
+    ≥ 90% of N(rounds), recomputed independently from the neighborhood
+    function.  (On toy graphs raw-HLL small-set bias can make N(0)
+    already cover 90% — the read-off is about arithmetic consistency,
+    not small-graph statistics.)"""
+    from knowledge_graph_spark.operators.sketches import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    e = spark.createDataFrame(
+        [("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5")],
+        "source string, target string",
+    )
+    rounds = 4
+    nf = {r.r: r.total_ball_est for r in neighborhood_function(e, rounds=rounds).collect()}
+    want_r = min(r for r in nf if nf[r] * 10 >= 9 * nf[rounds])
+    row = effective_diameter(e, rounds=rounds).collect()[0]
+    assert row.eff_diameter == want_r
+    assert row.covered_pairs == nf[want_r]
+    assert row.total_pairs == nf[rounds]
