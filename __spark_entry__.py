@@ -777,6 +777,15 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup ACTION (Lee et al. 2022): strip every token
+    covered by a cross-document repeated span; emits the cleaned
+    normalized text plus kept/total token counts."""
+    return dedup.strip_repeated_spans(
+        _docs(spark, sf_dir), window=SPAN_WINDOW, stride=SPAN_STRIDE
+    )
+
+
 DSIR_MOD = 13  # doc_id % DSIR_MOD == DSIR_RES defines the target domain
 DSIR_RES = 4
 DSIR_BUCKETS = 4096
@@ -1369,6 +1378,23 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_a").alias("source"), F.col("id_b").alias("target")),
         k=KCORE_K,
         rounds=KCORE_ROUNDS,
+    )
+
+
+TRUSS_K = 3
+TRUSS_ROUNDS = 3
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-truss peel over the KG co-occurrence graph — the
+    edge-peeling cohesion filter (every surviving edge keeps >= k-2
+    common-neighbor witnesses inside the truss)."""
+    from knowledge_graph_spark.operators.graphops import k_truss
+
+    return k_truss(
+        _stages(spark, sf_dir)["edges"].select("source", "target"),
+        k=TRUSS_K,
+        rounds=TRUSS_ROUNDS,
     )
 
 
@@ -2168,6 +2194,39 @@ GROUP BY title"""
     return sql
 
 
+def _ktruss_body(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
+    """Unrolled k-truss peel over kg_edges (prelude table).  Each round:
+    ordered-wedge triangles, per-edge support, LEFT-join filter at
+    support >= k-2 (left join so zero-support edges survive when k <= 2,
+    matching the Spark kernel exactly).  AS MATERIALIZED — each round's
+    edge table is referenced three times by the triangle join."""
+    sql = """
+, kt_e0 AS MATERIALIZED (SELECT source AS a, target AS b FROM kg_edges)"""
+    for r in range(rounds + 1):
+        sql += f""",
+kt_tr{r} AS MATERIALIZED (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM kt_e{r} ab JOIN kt_e{r} bc ON ab.b = bc.a
+  JOIN kt_e{r} ac ON ac.a = ab.a AND ac.b = bc.b),
+kt_s{r} AS MATERIALIZED (
+  SELECT x, y, count(*) AS sup FROM (
+    SELECT a AS x, b AS y FROM kt_tr{r}
+    UNION ALL SELECT a, c FROM kt_tr{r}
+    UNION ALL SELECT b, c FROM kt_tr{r}) GROUP BY x, y)"""
+        if r < rounds:
+            sql += f""",
+kt_e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM kt_e{r} e
+  LEFT JOIN kt_s{r} s ON e.a = s.x AND e.b = s.y
+  WHERE coalesce(s.sup, 0) >= {k - 2})"""
+    sql += f"""
+SELECT e.a AS source, e.b AS target,
+       CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM kt_e{rounds} e
+LEFT JOIN kt_s{rounds} s ON e.a = s.x AND e.b = s.y"""
+    return sql
+
+
 # Fuzzy alias oracle: same deletion-neighborhood expansion via
 # list_transform/range, same levenshtein verify (both engines implement
 # the standard case-sensitive Levenshtein distance).
@@ -2436,6 +2495,44 @@ SELECT d.doc_id,
                  ELSE floor(CAST(c.n_repeated AS DOUBLE) * 1000000
                             / CAST(c.n_windows AS DOUBLE)) END AS BIGINT) AS rep_micro
 FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+"""
+
+# Substring-dedup action oracle: same strided fingerprinted windows as
+# _REPEATED_SPANS_SQL, plus start offsets; a token survives iff no
+# repeated window covers its position (correlated NOT EXISTS — fine at
+# gate scale; the Spark side carries a per-doc start array instead).
+_SPAN_DEDUP_SQL = f"""
+WITH {_DTOKS_CTE},
+sd_wins AS MATERIALIZED (
+  SELECT doc_id, wi * {SPAN_STRIDE} AS start, {_SPAN_FP} AS fp
+  FROM (
+    SELECT doc_id, wi,
+           array_to_string(t[wi*{SPAN_STRIDE}+1 : wi*{SPAN_STRIDE}+{SPAN_WINDOW}], ' ') AS span
+    FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {SPAN_WINDOW} THEN 0
+                                             ELSE (len(t) - {SPAN_WINDOW}) // {SPAN_STRIDE} + 1 END)) u(wi)
+  )
+),
+sd_rep AS (SELECT fp FROM sd_wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+sd_starts AS MATERIALIZED (
+  SELECT DISTINCT w.doc_id, w.start FROM sd_wins w JOIN sd_rep r ON w.fp = r.fp),
+sd_toks AS (
+  SELECT doc_id, ci AS pos, t[ci+1] AS tok
+  FROM dtoks, LATERAL unnest(range(0, len(t))) u(ci)),
+sd_kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM sd_toks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sd_starts s
+    WHERE s.doc_id = tk.doc_id
+      AND tk.pos >= s.start AND tk.pos < s.start + {SPAN_WINDOW})),
+sd_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM sd_kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM dtoks d LEFT JOIN sd_agg a ON d.doc_id = a.doc_id
 """
 
 # DSIR oracle: hashed-bigram bucket models (target vs raw, add-one
@@ -4918,6 +5015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_pairs": q_decontam_pairs,
         "familiarity": q_familiarity,
         "repeated_spans": q_repeated_spans,
+        "span_dedup": q_span_dedup,
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
         "kmv_overlap": q_kmv_overlap,
@@ -4966,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "fuzzy_aliases": q_fuzzy_aliases,
         "k_core": q_k_core,
+        "k_truss": q_k_truss,
         "hash_split": q_hash_split,
         "leakfree_split": q_leakfree_split,
         "length_stats": q_length_stats,
@@ -5397,6 +5496,7 @@ FROM c
         "decontam_pairs": _DECONTAM_PAIRS_SQL,
         "familiarity": _FAMILIARITY_SQL,
         "repeated_spans": _REPEATED_SPANS_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
         "dsir_select": _DSIR_SQL,
         "kmv_overlap": _KMV_SQL.format(M=KMV_MOD, K=KMV_K),
         "diverse_keep": _mis_oracle(MIS_ROUNDS),
@@ -5666,6 +5766,7 @@ SELECT * FROM nj WHERE jaccard_micro >= {int(NJ_TAU * 1_000_000)}
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_SQL,
         "fuzzy_aliases": _oracle(_FUZZY_ALIASES_BODY),
         "k_core": _kcore_sql(),
+        "k_truss": _oracle(_ktruss_body()),
         "hash_split": _HASH_SPLIT_SQL,
         "leakfree_split": f"""
 WITH dupc AS ({_DEDUP_CLUSTERS_SQL})

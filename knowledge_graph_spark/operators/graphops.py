@@ -413,6 +413,99 @@ def k_core(
     )
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a < b, distinct)
+    undirected edge list → (x, y, sup).  Ordered-wedge enumeration (each
+    triangle a<b<c generated once, at its lowest vertex — the same plan
+    as triangle_profile) then one explode of the triangle's three edges +
+    a map-side-combinable groupBy.  Edges in no triangle have NO row."""
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                    F.struct(F.col("a").alias("x"), F.col("c").alias("y")),
+                    F.struct(F.col("b").alias("x"), F.col("c").alias("y")),
+                )
+            ).alias("edge")
+        )
+        .select("edge.x", "edge.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("sup"))
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Fixed-round k-truss peel → (source, target, support) for surviving
+    edges, with ``support`` recomputed over the FINAL edge set.
+
+    The edge-peeling sibling of ``k_core``'s node peel (Cohen 2008,
+    "Trusses: cohesive subgraphs for social network analysis"): each
+    round drops every edge lying in fewer than k−2 triangles of the
+    CURRENT subgraph, then repeats on the survivors.  The k-truss is the
+    stricter cohesion signal — a k-core can be a sparse hub star, a
+    k-truss cannot (every surviving edge has k−2 common-neighbor
+    witnesses), which is what makes it the standard dense-community
+    filter over noisy co-occurrence KGs.  Stands in for the reference's
+    dense-subgraph appetite (clustering/leiden.py:45-61) on the
+    edge side.
+
+    A FIXED round count keeps the op deterministic and oracle-unrollable
+    (same design as k_core / pagerank_int); the peel is monotone —
+    dropping an edge only ever lowers other edges' support — so extra
+    rounds past the fixpoint are no-ops and the unrolled oracle agrees
+    with an early-stopping loop whenever ``rounds`` reaches the fixpoint.
+    Output support can sit below k−2 if ``rounds`` stopped short; callers
+    wanting the true truss raise ``rounds``.
+
+    Scale shape: per round one ordered-wedge triangle enumeration — the
+    O(Σ d²) step, generated at each wedge's lowest vertex with AQE skew
+    splitting on hot hubs — one map-side-combinable support aggregate,
+    and one equi-join filter back onto the edge list.  Never a cross
+    join; the loop localCheckpoints each round to cut lineage.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (
+            e.join(
+                sup.select(F.col("x").alias("a"), F.col("y").alias("b"), "sup"),
+                ["a", "b"],
+                "left",
+            )
+            .filter(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    final = _edge_support(e)
+    return (
+        e.join(
+            final.select(F.col("x").alias("a"), F.col("y").alias("b"), "sup"),
+            ["a", "b"],
+            "left",
+        )
+        .select(
+            F.col("a").alias("source"),
+            F.col("b").alias("target"),
+            F.coalesce(F.col("sup"), F.lit(0)).cast("bigint").alias("support"),
+        )
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,

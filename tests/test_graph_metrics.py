@@ -257,3 +257,44 @@ def test_community_conductance_exact(spark):
     )
     row = community_conductance(edges, one).collect()[0]
     assert (row.cut_edges, row.conductance_micro) == (0, 0)
+
+
+def test_k_truss_matches_networkx(spark):
+    """k-truss on a clique + triangle + pendant graph equals networkx's
+    maximal k-truss once rounds reach the fixpoint; support equals the
+    within-truss triangle count per edge."""
+    from knowledge_graph_spark.operators.graphops import k_truss
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),                          # 4-clique abcd
+        ("d", "e"), ("d", "f"), ("e", "f"),  # triangle def hanging off d
+        ("f", "g"),                          # pendant edge (never in a truss)
+    ]
+    df = spark.createDataFrame(edges, "source string, target string")
+    g = nx.Graph(edges)
+    for k in (3, 4):
+        got = {(r.source, r.target): r.support
+               for r in k_truss(df, k=k, rounds=4).collect()}
+        want = {tuple(sorted(e)) for e in nx.k_truss(g, k).edges()}
+        assert set(got) == want
+        # support is the within-truss common-neighbor count
+        truss = nx.k_truss(g, k)
+        for (u, v), sup in got.items():
+            assert sup == len(set(truss[u]) & set(truss[v]))
+            assert sup >= k - 2
+
+
+def test_k_truss_peel_cascades(spark):
+    """A chain of triangles sharing single vertices collapses entirely at
+    k=4 (no edge ever has 2 witnesses) but survives whole at k=3 —
+    and extra rounds past the fixpoint are no-ops (monotone peel)."""
+    from knowledge_graph_spark.operators.graphops import k_truss
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("c", "d"), ("d", "e"), ("c", "e")]
+    df = spark.createDataFrame(edges, "source string, target string")
+    assert k_truss(df, k=4, rounds=2).count() == 0
+    r2 = sorted(map(tuple, k_truss(df, k=3, rounds=2).collect()))
+    r5 = sorted(map(tuple, k_truss(df, k=3, rounds=5).collect()))
+    assert r2 == r5 and len(r2) == 6
