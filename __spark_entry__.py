@@ -786,6 +786,19 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketch (Schleimer et al. 2003 / MOSS): each
+    w-window of k-gram fingerprints contributes its rightmost minimum —
+    the locality-guaranteed ~1/w-rate fingerprint sample."""
+    return dedup.winnow_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W
+    )
+
+
 DSIR_MOD = 13  # doc_id % DSIR_MOD == DSIR_RES defines the target domain
 DSIR_RES = 4
 DSIR_BUCKETS = 4096
@@ -1108,6 +1121,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _stages(spark, sf_dir)["edges"].select("source", "target")
     return pagerank_int(e, iterations=PR_ITER)
+
+
+KATZ_ITER = 8
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer Katz centrality over the merged KG edges —
+    attenuated path-count salience (credits indirect reach without
+    PageRank's out-degree renormalization)."""
+    from knowledge_graph_spark.operators.graphops import katz_int
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    return katz_int(e, iterations=KATZ_ITER)
 
 
 def q_pagerank_w(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2535,6 +2561,34 @@ SELECT d.doc_id,
 FROM dtoks d LEFT JOIN sd_agg a ON d.doc_id = a.doc_id
 """
 
+# Winnowing oracle: same k-gram Rabin-Karp fingerprints; each gram joins
+# the window starts that contain it (j in [max(0, gi-w+1), min(gi,
+# max(m-w, 0))]), then per (doc, j) the rightmost minimum wins (QUALIFY
+# on (fp ASC, gi DESC)).  DISTINCT mirrors the Spark side's dedup of
+# repeat selections.
+_WINNOW_SQL = f"""
+WITH {_DTOKS_CTE},
+wn_grams AS MATERIALIZED (
+  SELECT doc_id, ci AS gi, {_SPAN_FP} AS fp
+  FROM (
+    SELECT doc_id, ci,
+           array_to_string(t[ci+1 : ci+{WINNOW_K}], ' ') AS span
+    FROM dtoks, LATERAL unnest(range(0, CASE WHEN len(t) < {WINNOW_K} THEN 0
+                                             ELSE len(t) - {WINNOW_K} + 1 END)) u(ci)
+  )
+),
+wn_m AS (SELECT doc_id, count(*) AS m FROM wn_grams GROUP BY doc_id),
+wn_j AS (
+  SELECT g.doc_id, g.gi, g.fp, j
+  FROM wn_grams g JOIN wn_m m ON g.doc_id = m.doc_id,
+  LATERAL unnest(range(greatest(g.gi - {WINNOW_W} + 1, 0),
+                       least(g.gi, greatest(m.m - {WINNOW_W}, 0)) + 1)) u(j)
+)
+SELECT DISTINCT doc_id, CAST(gi AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+FROM wn_j
+QUALIFY row_number() OVER (PARTITION BY doc_id, j ORDER BY fp ASC, gi DESC) = 1
+"""
+
 # DSIR oracle: hashed-bigram bucket models (target vs raw, add-one
 # smoothing, bit-length log2), per-doc mean log-likelihood ratio in
 # floored micro-units, deterministic top-K selection.  The bigram
@@ -3941,6 +3995,46 @@ pr_r{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _katz_body(rounds: int = KATZ_ITER) -> str:
+    """Unrolled fixed-round integer Katz centrality over kg_edges —
+    mirrors graphops.katz_int bit-for-bit (x_{{t+1}} = scale +
+    Σ in-neighbors (x_t · att_num) // att_den on the symmetrized edge
+    list, x_0 = 0; all BIGINT, `//` ≡ Spark DIV on non-negatives)."""
+    from knowledge_graph_spark.operators.graphops import (
+        KATZ_ATT_DEN,
+        KATZ_ATT_NUM,
+        KATZ_SCALE,
+    )
+
+    parts = [
+        """
+, kz_sym AS MATERIALIZED (
+  SELECT source AS u, target AS v FROM kg_edges
+  UNION ALL
+  SELECT target AS u, source AS v FROM kg_edges
+),
+kz_nodes AS MATERIALIZED (SELECT DISTINCT u AS title FROM kz_sym),
+kz_x0 AS MATERIALIZED (
+  SELECT title, CAST(0 AS BIGINT) AS katz_scaled FROM kz_nodes
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+kz_c{k} AS MATERIALIZED (
+  SELECT e.v, CAST(sum((x.katz_scaled * {KATZ_ATT_NUM}) // {KATZ_ATT_DEN})
+                   AS BIGINT) AS inflow
+  FROM kz_sym e JOIN kz_x{k - 1} x ON x.title = e.u GROUP BY e.v
+),
+kz_x{k} AS MATERIALIZED (
+  SELECT n.title, CAST({KATZ_SCALE} + coalesce(c.inflow, 0) AS BIGINT) AS katz_scaled
+  FROM kz_nodes n LEFT JOIN kz_c{k} c ON c.v = n.title
+)"""
+        )
+    parts.append(f"\nSELECT title, katz_scaled FROM kz_x{rounds}\n")
+    return "".join(parts)
+
+
 def _wp_body(rounds: int = WIDEST_ROUNDS) -> str:
     """Unrolled fixed-round widest-path (max-min bottleneck) from the
     top-degree seed — mirrors graphops.widest_paths bit-for-bit (int64
@@ -5016,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "familiarity": q_familiarity,
         "repeated_spans": q_repeated_spans,
         "span_dedup": q_span_dedup,
+        "winnow_fp": q_winnow_fp,
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
         "kmv_overlap": q_kmv_overlap,
@@ -5045,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_words": q_bloom_words,
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
+        "katz": q_katz,
         "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
@@ -5497,6 +5593,7 @@ FROM c
         "familiarity": _FAMILIARITY_SQL,
         "repeated_spans": _REPEATED_SPANS_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
+        "winnow_fp": _WINNOW_SQL,
         "dsir_select": _DSIR_SQL,
         "kmv_overlap": _KMV_SQL.format(M=KMV_MOD, K=KMV_K),
         "diverse_keep": _mis_oracle(MIS_ROUNDS),
@@ -5650,6 +5747,7 @@ GROUP BY lang, pct
             FROM dj
             """),
         "pagerank": _oracle(_pr_body()),
+        "katz": _oracle(_katz_body()),
         "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),

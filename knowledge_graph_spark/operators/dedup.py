@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.textqc import (
+    FP_BASE,
+    FP_MOD,
     content_hash,
     normalized_text,
     rolling_fingerprint,
@@ -534,4 +536,75 @@ def strip_repeated_spans(
         F.concat_ws(
             " ", F.transform(kept, lambda i: F.element_at(F.col("toks"), i + 1))
         ).alias("clean_text"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document sketch (Schleimer, Wilkerson, Aiken 2003 — the
+    MOSS local fingerprinting scheme) → (doc_id, pos, fp): the selected
+    k-gram fingerprints with their token positions.
+
+    Per document: fingerprint every token k-gram with the shared
+    Rabin-Karp fold, then slide a window of ``w`` consecutive
+    fingerprints and select each window's MINIMUM (rightmost on ties —
+    the paper's rule), deduplicating repeat selections.  Guarantee: any
+    shared token run of length ≥ w + k − 1 contributes at least one
+    common selected fingerprint, so the sketch is a locality-preserving
+    ~1/w-rate sample of the gram stream — the standard index for
+    plagiarism / near-dup candidate generation at a fraction of the
+    full-gram index cost.  Documents with fewer than ``w`` k-grams get
+    one window covering what exists; documents shorter than ``k`` tokens
+    emit nothing.
+
+    Scale shape: selection is entirely ROW-LOCAL native Column algebra
+    (transform + aggregate over per-doc arrays — no shuffle, stays in
+    codegen); the output is the sketch table itself, ~n_grams/w rows per
+    doc, which downstream candidate joins treat exactly like the n-gram
+    inverted index but w× smaller.
+    """
+    toks = ws_tokens_col(normalized_text(F.col(text_col)))
+    grams = F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    fps = F.transform(grams, lambda g, i: F.struct(
+        i.cast("bigint").alias("pos"),
+        F.aggregate(
+            F.split(g, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        ).alias("fp"),
+    ))
+    base = widen(docs).select(F.col(id_col).alias("doc_id"), fps.alias("fps"))
+    m = F.size("fps")
+    # window starts: 0 .. m-w (one window when 0 < m < w)
+    starts = F.when(m == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), F.greatest(m - w, F.lit(0)))
+    )
+    sentinel = F.struct(
+        F.lit(-1).cast("bigint").alias("pos"), F.lit(FP_MOD).cast("long").alias("fp")
+    )
+    sel = F.transform(
+        starts,
+        lambda j: F.aggregate(
+            F.slice(F.col("fps"), j + 1, w),
+            sentinel,
+            lambda acc, x: F.when(
+                (x["fp"] < acc["fp"]) | ((x["fp"] == acc["fp"]) & (x["pos"] > acc["pos"])),
+                x,
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(F.array_distinct(sel)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
     )

@@ -264,3 +264,65 @@ def test_strip_repeated_spans_vs_local(spark):
     assert out[1].n_kept < out[1].n_tokens
     assert out[3].clean_text == rows[2][1]
     assert out[4].clean_text == "tiny"
+
+
+def _winnow_local(text, k, w):
+    """Pure-Python winnowing replay: k-gram Rabin-Karp fingerprints,
+    window of w fingerprints, rightmost minimum per window, dedup."""
+    from knowledge_graph_spark.functions.textqc import FP_BASE, FP_MOD
+
+    toks = " ".join(text.lower().split()).split(" ") if text.strip() else []
+    if len(toks) < k:
+        return set()
+    fps = []
+    for i in range(len(toks) - k + 1):
+        h = 0
+        for c in " ".join(toks[i : i + k]):
+            h = (h * FP_BASE + ord(c)) % FP_MOD
+        fps.append((i, h))
+    m = len(fps)
+    sel = set()
+    for j in range(max(m - w, 0) + 1):
+        win = fps[j : j + w]
+        best = min(win, key=lambda t: (t[1], -t[0]))
+        sel.add(best)
+    return sel
+
+
+def test_winnow_fingerprints_vs_local(spark):
+    """Spark winnowing equals the local replay per doc, including the
+    sub-window (one window) and sub-k (empty) edge cases."""
+    from knowledge_graph_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # 2 grams < w: one window
+        (3, "too short"),                            # < k tokens: no grams
+        (4, "x x x x x x x x x x"),                  # all-equal fps: dedup to 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = winnow_fingerprints(docs, k=5, w=4)
+    got = defaultdict(set)
+    for r in out.collect():
+        got[r.doc_id].add((r.pos, r.fp))
+    for doc_id, text in rows:
+        assert got[doc_id] == _winnow_local(text, 5, 4), doc_id
+    assert not got[3]  # sub-k doc emits nothing
+    assert len({fp for _, fp in got[4]}) == 1  # one fp value, w-spaced picks
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The winnowing guarantee: two docs sharing a token run of length
+    >= w + k - 1 share at least one selected fingerprint value."""
+    from knowledge_graph_spark.operators.dedup import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(8))  # w + k - 1 = 8 tokens
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(7)) + " " + shared),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(7))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    by_doc = defaultdict(set)
+    for r in winnow_fingerprints(docs, k=5, w=4).collect():
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] & by_doc[2]

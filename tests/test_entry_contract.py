@@ -103,6 +103,9 @@ CHECK = [
     "emb_ivfpq_topk",
     "event_sliding",
     "sessions_native",
+    # round-3 additions
+    "winnow_fp",
+    "katz",
 ]
 
 
