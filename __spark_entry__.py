@@ -799,6 +799,15 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from the winnowing sketch — the MOSS
+    matching stage: df-pruned fp postings, self-join, sketch-set
+    Jaccard ≥ threshold."""
+    return dedup.winnow_dedup_pairs(
+        _docs(spark, sf_dir), k=WINNOW_K, w=WINNOW_W, threshold=NGRAM_THRESHOLD
+    ).select("id_a", "id_b", "jaccard")
+
+
 DSIR_MOD = 13  # doc_id % DSIR_MOD == DSIR_RES defines the target domain
 DSIR_RES = 4
 DSIR_BUCKETS = 4096
@@ -2565,9 +2574,9 @@ FROM dtoks d LEFT JOIN sd_agg a ON d.doc_id = a.doc_id
 # the window starts that contain it (j in [max(0, gi-w+1), min(gi,
 # max(m-w, 0))]), then per (doc, j) the rightmost minimum wins (QUALIFY
 # on (fp ASC, gi DESC)).  DISTINCT mirrors the Spark side's dedup of
-# repeat selections.
-_WINNOW_SQL = f"""
-WITH {_DTOKS_CTE},
+# repeat selections.  Shared CTE chain — both the sketch gate and the
+# winnow-dedup gate read wn_sel.
+_WINNOW_SEL_CTES = f"""
 wn_grams AS MATERIALIZED (
   SELECT doc_id, ci AS gi, {_SPAN_FP} AS fp
   FROM (
@@ -2583,10 +2592,46 @@ wn_j AS (
   FROM wn_grams g JOIN wn_m m ON g.doc_id = m.doc_id,
   LATERAL unnest(range(greatest(g.gi - {WINNOW_W} + 1, 0),
                        least(g.gi, greatest(m.m - {WINNOW_W}, 0)) + 1)) u(j)
+),
+wn_sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, CAST(gi AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+  FROM wn_j
+  QUALIFY row_number() OVER (PARTITION BY doc_id, j ORDER BY fp ASC, gi DESC) = 1
+)"""
+
+_WINNOW_SQL = f"""
+WITH {_DTOKS_CTE},
+{_WINNOW_SEL_CTES}
+SELECT doc_id, pos, fp FROM wn_sel
+"""
+
+# Winnow-dedup oracle: sketch-set resemblance over wn_sel's fp values —
+# distinct fps per doc, df-prune hot fps, self-join on fp, Jaccard from
+# exact intersection counts (double division mirrored both engines).
+WINNOW_MAX_DF = 1000
+
+_WINNOW_DEDUP_SQL = f"""
+WITH {_DTOKS_CTE},
+{_WINNOW_SEL_CTES},
+wd_sk AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wn_sel),
+wd_sz AS (SELECT doc_id, count(*) AS n_fps FROM wd_sk GROUP BY doc_id),
+wd_rare AS (SELECT fp FROM wd_sk GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+wd_post AS MATERIALIZED (
+  SELECT s.doc_id, s.fp FROM wd_sk s JOIN wd_rare r USING (fp)
+),
+wd_int AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM wd_post a JOIN wd_post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT DISTINCT doc_id, CAST(gi AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
-FROM wn_j
-QUALIFY row_number() OVER (PARTITION BY doc_id, j ORDER BY fp ASC, gi DESC) = 1
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / CAST(sa.n_fps + sb.n_fps - inter AS DOUBLE)
+         AS jaccard
+FROM wd_int
+JOIN wd_sz sa ON sa.doc_id = id_a
+JOIN wd_sz sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n_fps + sb.n_fps - inter AS DOUBLE)
+      >= {NGRAM_THRESHOLD}
 """
 
 # DSIR oracle: hashed-bigram bucket models (target vs raw, add-one
@@ -5111,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "span_dedup": q_span_dedup,
         "winnow_fp": q_winnow_fp,
+        "winnow_dedup": q_winnow_dedup,
         "dsir_select": q_dsir_select,
         "ccnet_buckets": q_ccnet_buckets,
         "kmv_overlap": q_kmv_overlap,
@@ -5594,6 +5640,7 @@ FROM c
         "repeated_spans": _REPEATED_SPANS_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
         "winnow_fp": _WINNOW_SQL,
+        "winnow_dedup": _WINNOW_DEDUP_SQL,
         "dsir_select": _DSIR_SQL,
         "kmv_overlap": _KMV_SQL.format(M=KMV_MOD, K=KMV_K),
         "diverse_keep": _mis_oracle(MIS_ROUNDS),

@@ -608,3 +608,64 @@ def winnow_fingerprints(
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .distinct()
     )
+
+
+def winnow_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) near-dup candidates from the winnowing
+    sketch — the MOSS pipeline's matching stage.
+
+    Identical candidate-join shape to `ngram_jaccard_pairs`, but the
+    posting list is the winnowed fingerprint sample instead of the full
+    distinct-gram set: ~w× fewer postings, so the self-join (the O(n²)
+    pressure point at corpus scale) shrinks quadratically in the overlap
+    regions while the winnowing guarantee keeps every shared run of
+    ≥ w + k − 1 tokens discoverable.  Jaccard here is sketch-set
+    resemblance (selected-fp sets), a biased-but-monotone estimate of
+    gram Jaccard — standard for candidate GENERATION; verify with the
+    exact op if exactness matters.  ``max_fp_df`` df-prunes boilerplate
+    fingerprints exactly like the stop-gram cap.
+    """
+    sketch = (
+        winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select("doc_id", "fp")
+        .distinct()
+        .persist()
+    )
+    sizes = sketch.groupBy("doc_id").agg(F.count("*").alias("n_fps"))
+    rare = (
+        sketch.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    posting = sketch.join(rare, "fp")
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fps").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fps").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

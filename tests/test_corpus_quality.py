@@ -326,3 +326,30 @@ def test_winnow_guarantee_shared_run(spark):
     for r in winnow_fingerprints(docs, k=5, w=4).collect():
         by_doc[r.doc_id].add(r.fp)
     assert by_doc[1] & by_doc[2]
+
+
+def test_winnow_dedup_pairs_vs_local(spark):
+    """Sketch-set Jaccard from the local winnow replay matches the Spark
+    pair output; disjoint docs produce no pair; df-pruning kills pairs
+    whose only shared fps are corpus-wide boilerplate."""
+    from knowledge_graph_spark.operators.dedup import winnow_dedup_pairs
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+        (3, " ".join(f"c{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in winnow_dedup_pairs(docs, k=5, w=4, threshold=0.0).collect()
+    }
+    sk = {d: {fp for _, fp in _winnow_local(t, 5, 4)} for d, t in rows}
+    want = len(sk[1] & sk[2]) / len(sk[1] | sk[2])
+    assert abs(got[(1, 2)] - want) < 1e-12
+    assert (1, 3) not in got and (2, 3) not in got
+    # every fp shared by all docs + df cap of 2 -> boilerplate pruned
+    boiler = [(i, shared) for i in range(1, 5)]
+    bdocs = spark.createDataFrame(boiler, "doc_id bigint, text string")
+    assert winnow_dedup_pairs(bdocs, k=5, w=4, threshold=0.0, max_fp_df=2).count() == 0

@@ -105,6 +105,7 @@ CHECK = [
     "sessions_native",
     # round-3 additions
     "winnow_fp",
+    "winnow_dedup",
     "katz",
 ]
 
