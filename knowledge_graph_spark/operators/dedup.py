@@ -603,11 +603,12 @@ def winnow_fingerprints(
             ).otherwise(acc),
         ),
     )
-    return (
-        base.select("doc_id", F.explode(F.array_distinct(sel)).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
-        .distinct()
-    )
+    # array_distinct already collapses repeat selections within the doc
+    # and ``id_col`` is a key, so the rows are globally distinct with NO
+    # shuffle — the sketch never leaves the scan stage.
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(sel)).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
 
 
 def winnow_dedup_pairs(

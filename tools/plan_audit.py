@@ -69,6 +69,9 @@ AUDIT = [
     ("global_search", "map score + distributed two-phase budget prefix sum"),
     ("conductance", "community boundary audit (broadcast map joins)"),
     ("neighbor_sample", "fixed-fanout sampling (WindowGroupLimit per node)"),
+    ("winnow_fp", "winnowing sketch (row-local array algebra, no shuffle)"),
+    ("winnow_dedup", "winnow-sketch candidate join (df-pruned postings)"),
+    ("katz", "fixed-round integer Katz centrality joins"),
 ]
 
 PY_NODES = (
