@@ -1145,6 +1145,16 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return katz_int(e, iterations=KATZ_ITER)
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness over the merged KG — shortest-path
+    brokerage from the top-degree pivot sources, fixed-round forward σ
+    count + backward δ accumulation in exact scaled integers."""
+    from knowledge_graph_spark.operators.graphops import betweenness_sampled
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    return betweenness_sampled(e)
+
+
 def q_pagerank_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank: rank mass splits by each edge's share of the
     source's total incident co-occurrence weight — the salience measure
@@ -4080,6 +4090,93 @@ kz_x{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _bw_body() -> str:
+    """Unrolled sampled-Brandes betweenness — mirrors
+    graphops.betweenness_sampled bit-for-bit: top-BW_SOURCES-degree
+    pivots, BW_ROUNDS level-synchronous forward rounds counting exact
+    BIGINT σ, then BW_ROUNDS backward rounds accumulating δ in scaled
+    integers via (σ_u · (SCALE + δ_w)) // σ_w (floor div ≡ Spark DIV on
+    non-negatives); δ at the source level is excluded."""
+    from knowledge_graph_spark.operators.graphops import (
+        BW_ROUNDS,
+        BW_SCALE,
+        BW_SOURCES,
+    )
+
+    r_max = BW_ROUNDS
+    parts = [
+        f"""
+, bw_sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM kg_edges
+    UNION ALL
+    SELECT target AS a, source AS b FROM kg_edges
+  )
+),
+bw_nodes AS MATERIALIZED (SELECT DISTINCT a AS title FROM bw_sym),
+bw_src AS MATERIALIZED (
+  SELECT a AS title FROM bw_sym GROUP BY a
+  ORDER BY count(*) DESC, a ASC LIMIT {BW_SOURCES}
+),
+bw_v0 AS MATERIALIZED (
+  SELECT title AS s, title, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM bw_src
+)"""
+    ]
+    for r in range(1, r_max + 1):
+        parts.append(
+            f""",
+bw_c{r} AS (
+  SELECT v.s, e.b AS title, CAST(sum(v.sigma) AS BIGINT) AS sigma
+  FROM bw_v{r - 1} v JOIN bw_sym e ON e.a = v.title
+  WHERE v.dist = {r - 1} GROUP BY v.s, e.b
+),
+bw_v{r} AS MATERIALIZED (
+  SELECT * FROM bw_v{r - 1}
+  UNION ALL
+  SELECT c.s, c.title, {r} AS dist, c.sigma
+  FROM bw_c{r} c LEFT JOIN bw_v{r - 1} x ON x.s = c.s AND x.title = c.title
+  WHERE x.title IS NULL
+)"""
+        )
+    # Backward: bw_d{lvl} holds δ for nodes at dist lvl; deepest is 0.
+    parts.append(
+        f""",
+bw_d{r_max} AS MATERIALIZED (
+  SELECT s, title, sigma, CAST(0 AS BIGINT) AS delta
+  FROM bw_v{r_max} WHERE dist = {r_max}
+)"""
+    )
+    for lvl in range(r_max, 0, -1):
+        parts.append(
+            f""",
+bw_d{lvl - 1} AS MATERIALIZED (
+  SELECT p.s, p.title, p.sigma, CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+  FROM (SELECT * FROM bw_v{r_max} WHERE dist = {lvl - 1}) p
+  LEFT JOIN (
+    SELECT p2.s, p2.title,
+           sum((p2.sigma * ({BW_SCALE} + d.delta)) // d.sigma) AS delta
+    FROM (SELECT * FROM bw_v{r_max} WHERE dist = {lvl - 1}) p2
+    JOIN bw_sym e ON e.a = p2.title
+    JOIN bw_d{lvl} d ON d.s = p2.s AND d.title = e.b
+    GROUP BY p2.s, p2.title
+  ) c ON c.s = p.s AND c.title = p.title
+)"""
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT title, delta FROM bw_d{lvl}" for lvl in range(1, r_max)
+    ) or "SELECT NULL AS title, CAST(0 AS BIGINT) AS delta WHERE FALSE"
+    parts.append(
+        f"""
+SELECT n.title,
+       CAST(coalesce(t.bc, 0) AS BIGINT) AS betweenness_scaled
+FROM bw_nodes n LEFT JOIN (
+  SELECT title, sum(delta) AS bc FROM ({acc}) GROUP BY title
+) t ON t.title = n.title
+"""
+    )
+    return "".join(parts)
+
+
 def _wp_body(rounds: int = WIDEST_ROUNDS) -> str:
     """Unrolled fixed-round widest-path (max-min bottleneck) from the
     top-degree seed — mirrors graphops.widest_paths bit-for-bit (int64
@@ -5187,6 +5284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_bloom": q_decontam_bloom,
         "pagerank": q_pagerank,
         "katz": q_katz,
+        "betweenness": q_betweenness,
         "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
@@ -5795,6 +5893,7 @@ GROUP BY lang, pct
             """),
         "pagerank": _oracle(_pr_body()),
         "katz": _oracle(_katz_body()),
+        "betweenness": _oracle(_bw_body()),
         "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),

@@ -107,6 +107,7 @@ CHECK = [
     "winnow_fp",
     "winnow_dedup",
     "katz",
+    "betweenness",
 ]
 
 

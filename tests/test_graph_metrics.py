@@ -6,6 +6,7 @@ final division); PPR is verified against a pure-Python replay of the
 same integer recurrence, plus seed-bias sanity.
 """
 
+from collections import defaultdict
 from fractions import Fraction
 
 import networkx as nx
@@ -342,3 +343,110 @@ def test_katz_directed_asymmetric(spark):
     }
     assert got["a"] == KATZ_SCALE
     assert got["c"] > got["b"] > got["a"]
+
+
+def _brandes_local(edges, sources, rounds, scale):
+    """Pure-Python replay of the truncated integer Brandes pass:
+    level-synchronous BFS sigma from each source, backward delta with
+    (sigma_u * (scale + delta_w)) // sigma_w, source level excluded."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    bc = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for r in range(1, rounds + 1):
+            nxt = defaultdict(int)
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] += sigma[u]
+            for v, sg in nxt.items():
+                dist[v] = r
+                sigma[v] = sg
+            frontier = list(nxt)
+        delta = {v: 0 for v in dist}
+        for lvl in range(rounds, 0, -1):
+            for u in dist:
+                if dist[u] != lvl - 1:
+                    continue
+                d = 0
+                for w in adj[u]:
+                    if dist.get(w) == lvl:
+                        d += (sigma[u] * (scale + delta[w])) // sigma[w]
+                delta[u] = d
+            for v in dist:
+                if dist[v] == lvl - 1 and lvl - 1 >= 1:
+                    pass  # accumulated below once, after all levels settle
+        for v in dist:
+            if v != s:
+                bc[v] += delta[v]
+    return dict(bc)
+
+
+def test_betweenness_vs_local_replay(spark):
+    """betweenness_sampled equals the pure-Python truncated-Brandes
+    replay (all nodes as sources) on an asymmetric lollipop graph."""
+    from knowledge_graph_spark.operators.graphops import (
+        BW_SCALE,
+        betweenness_sampled,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"),  # triangle
+        ("c", "d"), ("d", "e"), ("e", "f"),  # tail
+    ]
+    df = spark.createDataFrame(edges, "source string, target string")
+    got = {
+        r.title: r.betweenness_scaled
+        for r in betweenness_sampled(df, k_sources=6, rounds=4).collect()
+    }
+    nodes = sorted({u for e in edges for u in e})
+    # replay must pick the same sources: degree DESC, title ASC, top 6 = all
+    want = _brandes_local(edges, nodes, rounds=4, scale=BW_SCALE)
+    assert got == {n: want.get(n, 0) for n in nodes}
+    # the bridge c carries the most brokerage; leaves a and f carry none
+    assert got["c"] == max(got.values())
+    assert got["a"] == 0 and got["f"] == 0
+
+
+def test_betweenness_star_center(spark):
+    """Star graph: every shortest path between leaves crosses the hub —
+    with all sources, hub betweenness is (k-1)(k-2)*scale (directed
+    pairs), leaves get 0."""
+    from knowledge_graph_spark.operators.graphops import (
+        BW_SCALE,
+        betweenness_sampled,
+    )
+
+    k = 5
+    edges = [("hub", f"l{i}") for i in range(k)]
+    df = spark.createDataFrame(edges, "source string, target string")
+    got = {
+        r.title: r.betweenness_scaled
+        for r in betweenness_sampled(df, k_sources=k + 1, rounds=3).collect()
+    }
+    assert got["hub"] == k * (k - 1) * BW_SCALE
+    assert all(got[f"l{i}"] == 0 for i in range(k))
+
+
+def test_betweenness_truncation_monotone(spark):
+    """Truncating rounds drops long-path mass only: on a 6-path, rounds=2
+    credits each node only with paths <= 2 hops, and growing rounds never
+    reduces any node's score."""
+    from knowledge_graph_spark.operators.graphops import betweenness_sampled
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    df = spark.createDataFrame(edges, "source string, target string")
+    by_rounds = {}
+    for rounds in (2, 4, 6):
+        by_rounds[rounds] = {
+            r.title: r.betweenness_scaled
+            for r in betweenness_sampled(df, k_sources=7, rounds=rounds).collect()
+        }
+    for n in by_rounds[2]:
+        assert by_rounds[2][n] <= by_rounds[4][n] <= by_rounds[6][n]
+    assert by_rounds[6]["n3"] == max(by_rounds[6].values())

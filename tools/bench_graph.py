@@ -46,10 +46,10 @@ NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
 HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# comma-separated subset of {cc,lpa,pagerank,scc} — e.g. the 10M-edge
+# comma-separated subset of {cc,lpa,pagerank,scc,bw} — e.g. the 10M-edge
 # probe runs "cc,pagerank" to bound wall clock
 OPS = set(
-    os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc").replace(" ", "").split(",")
+    os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
 )
 
 
@@ -195,6 +195,13 @@ def main() -> None:
         timed(
             "scc",
             lambda rl: scc_fixed_rounds(edges, round_log=rl).count(),
+        )
+    if "bw" in OPS:
+        from knowledge_graph_spark.operators.graphops import betweenness_sampled
+
+        timed(
+            "betweenness",
+            lambda rl: betweenness_sampled(edges, round_log=rl).count(),
         )
 
     total = round(sum(r["wall_sec"] for r in results.values()), 2)

@@ -72,6 +72,7 @@ AUDIT = [
     ("winnow_fp", "winnowing sketch (row-local array algebra, no shuffle)"),
     ("winnow_dedup", "winnow-sketch candidate join (df-pruned postings)"),
     ("katz", "fixed-round integer Katz centrality joins"),
+    ("betweenness", "sampled Brandes: frontier joins + level-filtered backward joins"),
 ]
 
 PY_NODES = (
