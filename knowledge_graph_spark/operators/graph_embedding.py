@@ -150,7 +150,12 @@ def node2vec_embeddings(
         )
         .groupBy(F.col("na").alias("node"), F.col("nb").alias("ctx"))
         .agg(F.count("*").cast("long").alias("cnt"))
-    ).persist()  # consumed by cells AND the dims domain — compute once
+        # consumed by cells AND the dims domain — compute once; eager
+        # localCheckpoint (not persist) because the walk lineage below is
+        # L persisted step-joins deep and Catalyst re-analyzes the whole
+        # tree per downstream action (measured 22s per action on a toy
+        # graph, 0.2s once truncated)
+    ).localCheckpoint(eager=True)
     cells = cooc.groupBy(
         "node", F.pmod(_poly_col(F.col("ctx")), F.lit(dim)).alias("dim_idx")
     ).agg(F.sum("cnt").cast("double").alias("v"))
