@@ -110,6 +110,11 @@ def _run_pass(spark, entry, sf_dir: str, graph_edges: int) -> tuple[dict, int, i
         lambda: lpa_op(g_nodes, g_edges, local_threshold=0, max_iter=5),
     )
     timed("hyperball_graph", lambda: hyperball(g_edges, rounds=2, p=6))
+    # round-3 late addition: sampled Brandes betweenness (4 pivots,
+    # 4 fwd + 4 bwd rounds) — subtract for round-2 comparability too
+    from knowledge_graph_spark.operators.graphops import betweenness_sampled
+
+    timed("betweenness_graph", lambda: betweenness_sampled(g_edges))
     g_edges.unpersist()
     g_nodes.unpersist()
     return timings, n_turns, n_edges, kg_secs
