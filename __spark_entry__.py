@@ -1145,6 +1145,36 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return katz_int(e, iterations=KATZ_ITER)
 
 
+def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG reconstruction: rebuild the graph from only the turns
+    at or before the corpus temporal midpoint — the as-of snapshot audit
+    (pairs with edge_times, which reads lineage off the CURRENT graph).
+    The cutoff is the integer midpoint of [min, max] turn epoch, computed
+    distributively (1-row bounds frame broadcast-joined, no collect)."""
+    t = transcripts_from_events(spark, sf_dir)
+    ep = F.unix_timestamp("ts").cast("bigint")
+    bounds = t.agg(
+        F.min(ep).alias("lo"), F.max(ep).alias("hi")
+    ).select(F.expr("(lo + hi) DIV 2").alias("cut"))
+    filtered = (
+        t.crossJoin(F.broadcast(bounds)).filter(ep <= F.col("cut")).drop("cut")
+    )
+    edges = build_graph(filtered, ENTRY_CFG)["edges"]
+    return edges.select("source", "target", F.col("weight").cast("double").alias("weight"))
+
+
+def q_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed 2-hop metapath census: how many length-2 paths realize each
+    ordered (type_a, type_b, type_c) triple — the heterogeneous-KG
+    schema-connectivity audit."""
+    from knowledge_graph_spark.operators.graphops import metapath_counts
+
+    s = _stages(spark, sf_dir)
+    return metapath_counts(
+        s["nodes"].select("title", "type"), s["edges"].select("source", "target")
+    )
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled Brandes betweenness over the merged KG — shortest-path
     brokerage from the top-degree pivot sources, fixed-round forward σ
@@ -4090,6 +4120,50 @@ kz_x{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _asof_oracle() -> str:
+    """kg_asof oracle: the FULL pipeline prelude re-run over transcripts
+    filtered to the integer midpoint of [min, max] turn epoch — built by
+    substituting the prelude's transcripts CTE, so the two pipelines
+    can never drift (one source of truth for every downstream stage)."""
+    asof_prelude = ORACLE_PRELUDE.replace(
+        f"transcripts AS ({TRANSCRIPTS_SQL})",
+        f"""transcripts_all AS ({TRANSCRIPTS_SQL}),
+asof_cut AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut
+  FROM transcripts_all
+),
+transcripts AS (
+  SELECT t.* FROM transcripts_all t, asof_cut
+  WHERE CAST(floor(epoch(t.ts)) AS BIGINT) <= cut
+)""",
+        1,
+    )
+    return (
+        f"WITH RECURSIVE {asof_prelude} "
+        "SELECT source, target, CAST(weight AS DOUBLE) AS weight FROM kg_edges"
+    )
+
+
+_METAPATH_SQL = """
+, mp_sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM kg_edges
+    UNION ALL
+    SELECT target AS a, source AS b FROM kg_edges
+  )
+)
+SELECT ta.type AS type_a, tb.type AS type_b, tc.type AS type_c,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM mp_sym e1
+JOIN mp_sym e2 ON e1.b = e2.a AND e1.a < e2.b
+JOIN kg_nodes ta ON ta.title = e1.a
+JOIN kg_nodes tb ON tb.title = e1.b
+JOIN kg_nodes tc ON tc.title = e2.b
+GROUP BY ta.type, tb.type, tc.type
+"""
+
+
 def _bw_body() -> str:
     """Unrolled sampled-Brandes betweenness — mirrors
     graphops.betweenness_sampled bit-for-bit: top-BW_SOURCES-degree
@@ -5285,6 +5359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "katz": q_katz,
         "betweenness": q_betweenness,
+        "metapaths": q_metapaths,
+        "kg_asof": q_kg_asof,
         "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
@@ -5894,6 +5970,8 @@ GROUP BY lang, pct
         "pagerank": _oracle(_pr_body()),
         "katz": _oracle(_katz_body()),
         "betweenness": _oracle(_bw_body()),
+        "metapaths": _oracle(_METAPATH_SQL),
+        "kg_asof": _asof_oracle(),
         "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),

@@ -491,6 +491,49 @@ def betweenness_sampled(
     return out
 
 
+def metapath_counts(
+    nodes: DataFrame,
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    type_col: str = "type",
+) -> DataFrame:
+    """Typed 2-hop metapath census over the KG → (type_a, type_b,
+    type_c, n_paths): how many length-2 paths realize each ordered
+    type triple, counting each undirected path once (endpoint titles
+    ordered a < c; palindromic type triples still count once per path).
+
+    The heterogeneous-network schema audit (the statistic behind
+    metapath2vec-style typed walks, Dong et al. 2017): a KG whose
+    PERSON–EVENT–PERSON count collapses after a merge change lost its
+    co-participation structure, long before any per-node metric moves.
+    Reference anchor: entity types from
+    verbs/entities/extraction/entity_extract.py:23 — the reference
+    stores types but never audits their connectivity mix.
+
+    Scale shape: one self-join of the symmetrized edge list on the
+    middle node (the wedge enumeration — same O(Σ d²) envelope as
+    triangle_profile, mitigated by the a < c order filter), then three
+    hash joins against the (title, type) map and a map-side-combinable
+    count.  The type map is |V| rows but only 2 columns — far below the
+    edge self-join's row volume, and AQE broadcasts it when small.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    e2 = sym.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    paths = sym.join(e2, sym["b"] == e2["m"]).filter(F.col("a") < F.col("c"))
+    t = nodes.select(F.col("title"), F.col(type_col).alias("_ty"))
+    return (
+        paths.join(t.select(F.col("title").alias("a"), F.col("_ty").alias("type_a")), "a")
+        .join(t.select(F.col("title").alias("b"), F.col("_ty").alias("type_b")), "b")
+        .join(t.select(F.col("title").alias("c"), F.col("_ty").alias("type_c")), "c")
+        .groupBy("type_a", "type_b", "type_c")
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+    )
+
+
 def triangle_profile(
     edges: DataFrame, src: str = "source", dst: str = "target"
 ) -> DataFrame:

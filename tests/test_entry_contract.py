@@ -108,6 +108,8 @@ CHECK = [
     "winnow_dedup",
     "katz",
     "betweenness",
+    "metapaths",
+    "kg_asof",
 ]
 
 

@@ -450,3 +450,32 @@ def test_betweenness_truncation_monotone(spark):
     for n in by_rounds[2]:
         assert by_rounds[2][n] <= by_rounds[4][n] <= by_rounds[6][n]
     assert by_rounds[6]["n3"] == max(by_rounds[6].values())
+
+
+def test_metapath_counts_hand_graph(spark):
+    """Typed 2-hop census on a hand-countable graph: star P-E with two
+    person leaves and one org leaf, plus a geo pendant on the org."""
+    from knowledge_graph_spark.operators.graphops import metapath_counts
+
+    nodes = spark.createDataFrame(
+        [("p1", "PERSON"), ("p2", "PERSON"), ("e", "EVENT"),
+         ("o", "ORG"), ("g", "GEO")],
+        "title string, type string",
+    )
+    edges = spark.createDataFrame(
+        [("p1", "e"), ("p2", "e"), ("e", "o"), ("o", "g")],
+        "source string, target string",
+    )
+    got = {
+        (r.type_a, r.type_b, r.type_c): r.n_paths
+        for r in metapath_counts(nodes, edges).collect()
+    }
+    # paths through e (a<c on titles): p1-e-p2, o-e-p1, o-e-p2;
+    # through o: e-o-g
+    assert got == {
+        ("PERSON", "EVENT", "PERSON"): 1,
+        ("ORG", "EVENT", "PERSON"): 2,
+        ("EVENT", "ORG", "GEO"): 1,
+    }
+    # every undirected 2-hop path counted exactly once
+    assert sum(got.values()) == 4

@@ -73,6 +73,8 @@ AUDIT = [
     ("winnow_dedup", "winnow-sketch candidate join (df-pruned postings)"),
     ("katz", "fixed-round integer Katz centrality joins"),
     ("betweenness", "sampled Brandes: frontier joins + level-filtered backward joins"),
+    ("metapaths", "typed wedge census (middle-node self-join + type map joins)"),
+    ("kg_asof", "midpoint-filtered full pipeline rebuild (broadcast 1-row cutoff)"),
 ]
 
 PY_NODES = (
