@@ -154,3 +154,17 @@ def test_every_query_has_oracle_or_is_declared_iterative():
     assert set(os_) <= set(qs)
     # every gate is hash-checked — the LPA ops use the unrolled-round oracle
     assert set(qs) == set(os_)
+
+
+def test_kg_asof_is_strict_subset(spark):
+    """The as-of snapshot must be built from a STRICT subset of turns
+    (the midpoint cutoff keeps roughly half) and its total edge weight
+    must be strictly below the full KG's — guards against the filter
+    silently keeping everything."""
+    from pyspark.sql import functions as F
+
+    full = entry_mod.queries()["kg_edges"](spark, SF_DIR)
+    asof = entry_mod.queries()["kg_asof"](spark, SF_DIR)
+    w_full = full.agg(F.sum("weight")).first()[0]
+    w_asof = asof.agg(F.sum("weight")).first()[0]
+    assert 0 < w_asof < w_full
