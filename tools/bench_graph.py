@@ -46,8 +46,8 @@ NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
 HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# comma-separated subset of {cc,lpa,pagerank,scc,bw} — e.g. the 10M-edge
-# probe runs "cc,pagerank" to bound wall clock
+# comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v} — e.g. the
+# 10M-edge probe runs "cc,pagerank" to bound wall clock
 OPS = set(
     os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
 )
@@ -202,6 +202,17 @@ def main() -> None:
         timed(
             "betweenness",
             lambda rl: betweenness_sampled(edges, round_log=rl).count(),
+        )
+    if "n2v" in OPS:
+        from knowledge_graph_spark.operators.graph_embedding import (
+            node2vec_embeddings,
+        )
+
+        timed(
+            "node2vec",
+            lambda rl: node2vec_embeddings(
+                nodes, edges, dim=32, walk_length=8, num_walks=4, window=2
+            ).count(),
         )
 
     total = round(sum(r["wall_sec"] for r in results.values()), 2)
