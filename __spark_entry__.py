@@ -1163,6 +1163,44 @@ def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("source", "target", F.col("weight").cast("double").alias("weight"))
 
 
+def q_kg_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG growth curve: NEW edges by first-seen hour bucket — the
+    construction-telemetry view over edge_times' temporal lineage
+    (pairs with kg_asof: the cumulative sum of this curve at the
+    midpoint is the as-of snapshot's edge count upper bound)."""
+    from knowledge_graph_spark.operators.temporal import edge_time_ranges
+
+    s = _stages(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir)
+    et = edge_time_ranges(s["raw_records"], t)
+    return (
+        et.select(
+            F.expr("unix_timestamp(first_seen) DIV 3600 * 3600").alias("hour_epoch")
+        )
+        .groupBy("hour_epoch")
+        .agg(F.count("*").cast("bigint").alias("n_new_edges"))
+    )
+
+
+def q_type_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level type mixing matrix: undirected edge counts per
+    unordered type pair — the 1-hop sibling of the metapath census."""
+    s = _stages(spark, sf_dir)
+    t = s["nodes"].select("title", "type")
+    e = s["edges"].select("source", "target")
+    j = (
+        e.join(t.select(F.col("title").alias("source"), F.col("type").alias("ta")), "source")
+        .join(t.select(F.col("title").alias("target"), F.col("type").alias("tb")), "target")
+    )
+    return (
+        j.select(
+            F.least("ta", "tb").alias("type_a"), F.greatest("ta", "tb").alias("type_b")
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+
+
 def q_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed 2-hop metapath census: how many length-2 paths realize each
     ordered (type_a, type_b, type_c) triple — the heterogeneous-KG
@@ -5361,6 +5399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "metapaths": q_metapaths,
         "kg_asof": q_kg_asof,
+        "kg_growth": q_kg_growth,
+        "type_mixing": q_type_mixing,
         "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
@@ -5972,6 +6012,31 @@ GROUP BY lang, pct
         "betweenness": _oracle(_bw_body()),
         "metapaths": _oracle(_METAPATH_SQL),
         "kg_asof": _asof_oracle(),
+        "kg_growth": _oracle("""
+, et_pairs AS (
+  SELECT DISTINCT least(source, target) AS source,
+                  greatest(source, target) AS target, conv_id
+  FROM rel_records),
+et_conv AS (SELECT conv_id, min(ts) AS c_first FROM transcripts GROUP BY conv_id),
+et_first AS (
+  SELECT source, target,
+         CAST(floor(epoch(min(c_first))) AS BIGINT) AS fs
+  FROM et_pairs JOIN et_conv USING (conv_id)
+  GROUP BY source, target
+)
+SELECT (fs // 3600) * 3600 AS hour_epoch,
+       CAST(count(*) AS BIGINT) AS n_new_edges
+FROM et_first GROUP BY (fs // 3600) * 3600
+"""),
+        "type_mixing": _oracle("""
+SELECT least(ta.type, tb.type) AS type_a,
+       greatest(ta.type, tb.type) AS type_b,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM kg_edges e
+JOIN kg_nodes ta ON ta.title = e.source
+JOIN kg_nodes tb ON tb.title = e.target
+GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
+"""),
         "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),

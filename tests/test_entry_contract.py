@@ -110,6 +110,8 @@ CHECK = [
     "betweenness",
     "metapaths",
     "kg_asof",
+    "kg_growth",
+    "type_mixing",
 ]
 
 

@@ -75,6 +75,8 @@ AUDIT = [
     ("betweenness", "sampled Brandes: frontier joins + level-filtered backward joins"),
     ("metapaths", "typed wedge census (middle-node self-join + type map joins)"),
     ("kg_asof", "midpoint-filtered full pipeline rebuild (broadcast 1-row cutoff)"),
+    ("kg_growth", "first-seen hour rollup over the edge lineage join"),
+    ("type_mixing", "two type-map joins + pair-canonical groupBy"),
 ]
 
 PY_NODES = (
