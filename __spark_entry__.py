@@ -1213,6 +1213,70 @@ def q_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TLP_ROUNDS = 4
+TLP_MASK_MOD = 3
+
+
+def q_typed_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised type inference: mask ~1/3 of node types (rolling
+    fingerprint mod 3 == 0), clamp the rest as seeds, propagate types
+    over the weighted KG for fixed rounds — the sparse-typing recovery
+    audit (masked nodes double as held-out truth)."""
+    from knowledge_graph_spark.operators.graphops import seeded_type_propagation
+
+    s = _stages(spark, sf_dir)
+    return seeded_type_propagation(
+        s["nodes"].select("title", "type"),
+        s["edges"].select("source", "target", "weight"),
+        rounds=TLP_ROUNDS,
+        mask_mod=TLP_MASK_MOD,
+    )
+
+
+MM_ROUNDS = 4
+
+
+def q_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching over the merged KG (symmetric-proposal
+    rounds, Israeli-Itai) — the coarsening primitive: contracting matched
+    pairs halves the graph without merging non-adjacent nodes."""
+    from knowledge_graph_spark.operators.graphops import maximal_matching
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    return maximal_matching(e, rounds=MM_ROUNDS)
+
+
+BLOCK_TAU = 0.5
+
+
+def q_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality audit of the production MinHash-LSH blocker on
+    the documents corpus: exact shingle-Jaccard ground truth vs the
+    pre-verification candidate pairs → reduction ratio / pairs
+    completeness / pairs quality (Christen's three blocking metrics)."""
+    from knowledge_graph_spark.operators.dedup import blocking_quality
+
+    return blocking_quality(_docs(spark, sf_dir), threshold=BLOCK_TAU)
+
+
+CB_TRAIL = 3
+CB_MIN = 2
+
+
+def q_comention_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level co-mention burst detection: hourly (pair, bucket)
+    counts vs the trailing 3-hour sum, flagged in exact integer
+    arithmetic — KG temporal health telemetry finer than the
+    conversation-granular edge_times/kg_asof lineage."""
+    from knowledge_graph_spark.operators.temporal import comention_burst_profile
+
+    return comention_burst_profile(
+        transcripts_from_events(spark, sf_dir),
+        trail_buckets=CB_TRAIL,
+        min_count=CB_MIN,
+    )
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled Brandes betweenness over the merged KG — shortest-path
     brokerage from the top-degree pivot sources, fixed-round forward σ
@@ -4158,6 +4222,198 @@ kz_x{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _tlp_body(rounds: int = TLP_ROUNDS, mask_mod: int = TLP_MASK_MOD) -> str:
+    """Unrolled seeded type propagation over kg_nodes/kg_edges — mirrors
+    graphops.seeded_type_propagation: seeds clamp their extracted type,
+    masked nodes adopt the max-weight (tie → min) neighbour type each
+    round; all scores are BIGINT sums of the integer edge weights."""
+    poly = _POLY.format(s="title")
+    parts = [
+        f"""
+, tlp_base AS MATERIALIZED (
+  SELECT title, type AS true_type, ({poly}) % {mask_mod} <> 0 AS is_seed
+  FROM kg_nodes),
+tlp_adj AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS BIGINT) AS w
+  FROM kg_edges WHERE source <> target
+  UNION ALL
+  SELECT target, source, CAST(weight AS BIGINT)
+  FROM kg_edges WHERE source <> target),
+tlp_l0 AS (
+  SELECT title, CASE WHEN is_seed THEN true_type END AS label FROM tlp_base)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+tlp_s{r} AS (
+  SELECT e.a AS title, l.label, CAST(sum(e.w) AS BIGINT) AS score
+  FROM tlp_adj e JOIN tlp_l{r - 1} l ON e.b = l.title
+  WHERE l.label IS NOT NULL GROUP BY e.a, l.label),
+tlp_b{r} AS (
+  SELECT title, label FROM (
+    SELECT title, label,
+           row_number() OVER (PARTITION BY title
+                              ORDER BY score DESC, label ASC) AS rn
+    FROM tlp_s{r}) WHERE rn = 1),
+tlp_l{r} AS MATERIALIZED (
+  SELECT n.title, CASE WHEN n.is_seed THEN n.true_type ELSE b.label END AS label
+  FROM tlp_base n LEFT JOIN tlp_b{r} b USING (title))"""
+        )
+    parts.append(
+        f"""
+SELECT n.title, n.is_seed, n.true_type, l.label AS pred_type,
+       (l.label = n.true_type) AS correct
+FROM tlp_base n JOIN tlp_l{rounds} l USING (title)
+"""
+    )
+    return "".join(parts)
+
+
+def _mm_body(rounds: int = MM_ROUNDS) -> str:
+    """Unrolled symmetric-proposal maximal matching over kg_edges —
+    mirrors graphops.maximal_matching: per round each remaining node
+    proposes its min-(perm_r(fingerprint), string)-key incident edge; an
+    edge matches iff proposed by BOTH endpoints (exactly 2 of its
+    directed rows join the proposal table)."""
+    poly = _POLY.format(s="estr")
+    parts = [
+        """
+, mm_e0 AS (
+  SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+  FROM kg_edges WHERE source <> target),
+mm_s0 AS (SELECT a, b, a || '|' || b AS estr FROM mm_e0),
+"""
+        + f"mm_k0 AS (SELECT a, b, estr, {poly} AS ex FROM mm_s0),"
+        + """
+mm_er0 AS MATERIALIZED (
+  SELECT a, b, ex, estr FROM mm_k0
+  UNION ALL SELECT b, a, ex, estr FROM mm_k0)"""
+    ]
+    for r in range(1, rounds + 1):
+        pri = _perm("ex", str(r))
+        parts.append(
+            f""",
+mm_key{r} AS (SELECT a, b, estr, {pri} AS pri FROM mm_er{r - 1}),
+mm_prop{r} AS (
+  SELECT a, estr AS pestr FROM (
+    SELECT a, estr, row_number() OVER (PARTITION BY a ORDER BY pri, estr) AS rn
+    FROM mm_key{r}) WHERE rn = 1),
+mm_m{r} AS MATERIALIZED (
+  SELECT min(least(k.a, k.b)) AS source, min(greatest(k.a, k.b)) AS target,
+         CAST({r} AS INT) AS round
+  FROM mm_key{r} k JOIN mm_prop{r} p ON k.a = p.a AND k.estr = p.pestr
+  GROUP BY k.estr HAVING count(*) = 2),
+mm_mn{r} AS (SELECT source AS n FROM mm_m{r}
+             UNION ALL SELECT target FROM mm_m{r}),
+mm_er{r} AS MATERIALIZED (
+  SELECT e.* FROM mm_er{r - 1} e
+  WHERE e.a NOT IN (SELECT n FROM mm_mn{r})
+    AND e.b NOT IN (SELECT n FROM mm_mn{r}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT source, target, round FROM mm_m{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"\n{union}\n")
+    return "".join(parts)
+
+
+_BLOCKING_AUDIT_SQL = f"""
+WITH dn AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS title
+  FROM documents
+),
+names AS (SELECT DISTINCT title FROM dn WHERE title <> ''),
+nn AS (SELECT title, regexp_replace(upper(trim(title)), '\\s+', ' ', 'g') AS s FROM names),
+sh AS MATERIALIZED (
+  SELECT DISTINCT title,
+         CASE WHEN length(s) <= 9 THEN s ELSE substr(s, CAST(ci AS INT), 9) END AS g
+  FROM nn, LATERAL unnest(range(1, CASE WHEN length(s) <= 9 THEN 2
+                                       ELSE length(s) - 9 + 2 END)) AS u(ci)
+),
+shx AS (SELECT title, g, {{poly_g}} AS x FROM sh),
+perms AS (
+  SELECT title, pi, min({{perm_x_pi}}) AS mh
+  FROM shx, LATERAL unnest(range(0, 64)) AS p(pi)
+  GROUP BY title, pi
+),
+bkeys AS (
+  SELECT title, CAST(pi // 4 AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY pi) AS bh
+  FROM perms GROUP BY title, CAST(pi // 4 AS INT)
+),
+bsizes AS (SELECT band, bh, count(*) AS n FROM bkeys GROUP BY band, bh),
+cap AS (
+  SELECT k.* FROM bkeys k JOIN bsizes z USING (band, bh) WHERE z.n <= 50
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.title AS name_a, b.title AS name_b
+  FROM cap a JOIN cap b ON a.band = b.band AND a.bh = b.bh AND a.title < b.title
+),
+ssz AS (SELECT title, count(*) AS n_sh FROM sh GROUP BY title),
+tin AS (
+  SELECT a.title AS name_a, b.title AS name_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.title < b.title
+  GROUP BY a.title, b.title
+),
+truth AS MATERIALIZED (
+  SELECT i.name_a, i.name_b
+  FROM tin i JOIN ssz za ON i.name_a = za.title JOIN ssz zb ON i.name_b = zb.title
+  WHERE CAST(i.inter AS DOUBLE) / CAST(za.n_sh + zb.n_sh - i.inter AS DOUBLE)
+        >= {BLOCK_TAU}
+),
+hit AS (SELECT t.* FROM truth t JOIN cand c USING (name_a, name_b)),
+cnts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM names) AS n_names,
+         (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit
+)
+SELECT n_names,
+       CAST(n_names * (n_names - 1) // 2 AS BIGINT) AS n_total_pairs,
+       n_cand, n_truth, n_hit,
+       1.0 - CAST(n_cand AS DOUBLE)
+             / nullif(CAST(n_names AS DOUBLE) * CAST(n_names - 1 AS DOUBLE) / 2.0,
+                      0.0) AS reduction_ratio,
+       CAST(n_hit AS DOUBLE) / nullif(CAST(n_truth AS DOUBLE), 0.0)
+         AS pairs_completeness,
+       CAST(n_hit AS DOUBLE) / nullif(CAST(n_cand AS DOUBLE), 0.0)
+         AS pairs_quality
+FROM cnts
+"""
+# the shared hash family is spliced in post-f-string (the only remaining
+# braces are these two placeholders)
+_BLOCKING_AUDIT_SQL = _BLOCKING_AUDIT_SQL.format(
+    poly_g=_POLY.format(s="g"), perm_x_pi=_perm("x", "pi")
+)
+
+
+_CB_BODY = f"""
+, cb_p AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         list_distinct(regexp_extract_all(text, '{MENTION_PATTERN}')) AS ms
+  FROM transcripts),
+cb_x AS (
+  SELECT ep, ma.m AS ma, mb.m AS mb
+  FROM cb_p, LATERAL unnest(ms) AS ma(m), LATERAL unnest(ms) AS mb(m)
+  WHERE ma.m < mb.m),
+cb_c AS (
+  SELECT ma AS source, mb AS target,
+         CAST((ep // 3600) * 3600 AS BIGINT) AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cb_x GROUP BY 1, 2, 3),
+cb_w AS (
+  SELECT source, target, hour_epoch, cnt,
+         CAST(coalesce(sum(cnt) OVER (
+                PARTITION BY source, target ORDER BY hour_epoch
+                RANGE BETWEEN {CB_TRAIL * 3600} PRECEDING
+                      AND 3600 PRECEDING), 0) AS BIGINT) AS trail_sum
+  FROM cb_c)
+SELECT source, target, hour_epoch, cnt, trail_sum,
+       (cnt >= {CB_MIN} AND {CB_TRAIL} * cnt > 2 * trail_sum) AS is_burst
+FROM cb_w
+"""
+
+
 def _asof_oracle() -> str:
     """kg_asof oracle: the FULL pipeline prelude re-run over transcripts
     filtered to the integer midpoint of [min, max] turn epoch — built by
@@ -5401,6 +5657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof": q_kg_asof,
         "kg_growth": q_kg_growth,
         "type_mixing": q_type_mixing,
+        "typed_lpa": q_typed_lpa,
+        "max_matching": q_max_matching,
+        "blocking_audit": q_blocking_audit,
+        "comention_bursts": q_comention_bursts,
         "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
@@ -6037,6 +6297,10 @@ JOIN kg_nodes ta ON ta.title = e.source
 JOIN kg_nodes tb ON tb.title = e.target
 GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
 """),
+        "typed_lpa": _oracle(_tlp_body()),
+        "max_matching": _oracle(_mm_body()),
+        "blocking_audit": _BLOCKING_AUDIT_SQL,
+        "comention_bursts": _oracle(_CB_BODY),
         "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),

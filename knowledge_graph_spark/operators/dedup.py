@@ -670,3 +670,145 @@ def winnow_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def char_shingle_table(
+    names: DataFrame, name_col: str = "title", k: int = 9
+) -> DataFrame:
+    """(name, g): the DISTINCT character k-shingles of each name under
+    MinHash normalization (upper + whitespace collapse; a string shorter
+    than k is its own single shingle) — the exact-set twin of the hashed
+    shingles inside make_minhash_udf, generated natively (transform over
+    a sequence, whole-stage codegen; no Python)."""
+    s = F.regexp_replace(F.upper(F.trim(F.col(name_col))), r"\s+", " ")
+    arr = F.when(F.length(s) <= k, F.array(s)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - k + 1),
+            lambda i: s.substr(i, F.lit(k)),
+        )
+    )
+    return (
+        names.select(F.col(name_col).alias("name"), F.explode(F.array_distinct(arr)).alias("g"))
+        .filter(F.col("g") != "")
+        .distinct()
+    )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 9,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """ER blocking-quality audit of the MinHash-LSH blocker (Christen
+    2012's three standard blocking metrics) → ONE row:
+
+      (n_names, n_total_pairs, n_cand, n_truth, n_hit,
+       reduction_ratio, pairs_completeness, pairs_quality)
+
+    Ground truth = ALL name pairs with exact shingle-set Jaccard >=
+    threshold (inverted-index join over the distinct-shingle table — the
+    exact quadratic baseline, no df pruning, no banding).  Candidates =
+    the production blocker's PRE-verification output
+    (linking.minhash_candidate_pairs with the hot-bucket cap, i.e. the
+    pairs the verify stage would actually score).  Then
+      reduction_ratio    = 1 - n_cand / C(n,2)   (work saved by blocking)
+      pairs_completeness = n_hit / n_truth        (recall of true pairs)
+      pairs_quality      = n_hit / n_cand         (precision of candidates)
+
+    This audits the north-rule canonicalization stage itself: banding
+    parameters (num_perm, bands) trade completeness against reduction,
+    and this op measures where the deployed configuration actually sits
+    on that curve.  The exact side is O(sum of squared posting lists) —
+    at corpus scale run it on a stratified sample of names (the metrics
+    are ratio estimates, stable under uniform sampling); the candidate
+    side is the production blocker and scales as it does.
+
+    All five counts are exact bigints; the three ratios are single IEEE
+    divisions of those counts, so a SQL oracle reproduces every column
+    bit-for-bit.  Zero denominators yield NULL (nullif), never a crash.
+    """
+    named = (
+        docs.select(normalized_text(F.col(text_col)).alias("title"))
+        .filter(F.col("title") != "")
+        .distinct()
+        .persist()
+    )
+    # every multi-consumer frame is persisted: the metric row fans out
+    # into four 1-row aggregates, and without the persists each count
+    # re-runs the signature UDF / shingle explode from the text scan
+    cand = minhash_candidate_pairs(
+        named,
+        name_col="title",
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    ).persist()
+    sh = char_shingle_table(named, name_col="title", k=shingle_k).persist()
+    sizes = sh.groupBy("name").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.select(F.col("name").alias("name_a"), "g")
+        .join(sh.select(F.col("name").alias("name_b"), "g"), "g")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("name").alias("name_a"), F.col("n_sh").alias("na")),
+            "name_a",
+        )
+        .join(
+            sizes.select(F.col("name").alias("name_b"), F.col("n_sh").alias("nb")),
+            "name_b",
+        )
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            >= F.lit(threshold)
+        )
+        .select("name_a", "name_b")
+        .persist()
+    )
+    hit = truth.join(cand, ["name_a", "name_b"], "left_semi")
+    c_names = named.agg(F.count("*").cast("bigint").alias("n_names"))
+    c_cand = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+    c_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    c_hit = hit.agg(F.count("*").cast("bigint").alias("n_hit"))
+    return (
+        c_names.crossJoin(c_cand)
+        .crossJoin(c_truth)
+        .crossJoin(c_hit)
+        .select(
+            "n_names",
+            (F.col("n_names") * (F.col("n_names") - 1) / 2)
+            .cast("bigint")
+            .alias("n_total_pairs"),
+            "n_cand",
+            "n_truth",
+            "n_hit",
+            (
+                F.lit(1.0)
+                - F.col("n_cand").cast("double")
+                / F.nullif(
+                    (F.col("n_names") * (F.col("n_names") - 1) / 2).cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("reduction_ratio"),
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("pairs_completeness"),
+            (
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_cand").cast("double"), F.lit(0.0))
+            ).alias("pairs_quality"),
+        )
+    )

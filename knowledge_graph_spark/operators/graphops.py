@@ -1641,3 +1641,202 @@ def luby_mis(
         "node", F.lit("undecided").alias("status"), F.lit(0).cast("int").alias("round")
     )
     return out.unionByName(leftover)
+
+
+def seeded_type_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    mask_mod: int = 3,
+    node_col: str = "title",
+    type_col: str = "type",
+    src: str = "source",
+    dst: str = "target",
+    weight: str = "weight",
+) -> DataFrame:
+    """Semi-supervised type inference over the KG: seeded (clamped) label
+    propagation → (title, is_seed, true_type, pred_type, correct).
+
+    KG construction at corpus scale leaves a long tail of sparsely-typed
+    entities (the reference types every node from its extraction record —
+    graph/extractors/graph/graph_extractor.py — but merged corpora
+    routinely carry untyped mentions).  This operator simulates that
+    regime deterministically: a node is a SEED iff its rolling
+    fingerprint mod ``mask_mod`` is non-zero (≈ (mask_mod-1)/mask_mod of
+    nodes keep their extracted type); every masked node starts unlabeled
+    and, for ``rounds`` synchronous rounds, adopts the type with the
+    highest total incident edge weight among its currently-labeled
+    neighbours (tie → lexicographically smallest type).  Seeds are
+    clamped — they never change — which distinguishes this kernel from
+    community LPA (label_propagation: every node floats, labels are node
+    ids).  Masked nodes double as held-out ground truth: ``correct``
+    audits recovered-type accuracy, the blocking-audit analogue for the
+    typing stage.
+
+    Scale shape per round (the Pregel round, same as LPA/SCC): one
+    equi-join of the symmetric edge list against the current label table,
+    a map-side-combinable (node, type) weight sum, and a per-node top-1
+    window (WindowGroupLimit pushes rank<=1 map-side).  Weights are cast
+    to bigint — co-occurrence counts — so every score is exact integer
+    arithmetic and the unrolled-CTE oracle matches bit-for-bit.
+    """
+    from ..functions.textqc import rolling_fingerprint
+
+    base = nodes.select(
+        F.col(node_col).alias("node"),
+        F.col(type_col).alias("true_type"),
+        (F.pmod(rolling_fingerprint(F.col(node_col)), F.lit(mask_mod)) != 0).alias(
+            "is_seed"
+        ),
+    ).localCheckpoint(eager=True)
+    e = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).filter(F.col("a") != F.col("b"))
+    adj = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint(eager=True)
+    labels = base.select(
+        "node", F.when(F.col("is_seed"), F.col("true_type")).alias("label")
+    )
+    for _ in range(rounds):
+        lb = labels.filter(F.col("label").isNotNull()).select(
+            F.col("node").alias("__nb"), F.col("label").alias("__lb")
+        )
+        scored = (
+            adj.join(lb, F.col("b") == F.col("__nb"))
+            .groupBy(F.col("a").alias("node"), F.col("__lb").alias("label"))
+            .agg(F.sum("w").alias("score"))
+        )
+        wn = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("label"))
+        best = (
+            scored.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("__best"))
+        )
+        labels = (
+            base.join(best, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.col("true_type"))
+                .otherwise(F.col("__best"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        base.join(labels, "node")
+        .select(
+            F.col("node").alias(node_col),
+            "is_seed",
+            "true_type",
+            F.col("label").alias("pred_type"),
+            (F.col("label") == F.col("true_type")).alias("correct"),
+        )
+    )
+
+
+def maximal_matching(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Distributed greedy maximal matching (the symmetric-proposal round
+    of Israeli-Itai 1986) → matched edges (source, target, round).
+
+    The coarsening primitive under multilevel graph partitioning and
+    Leiden-style aggregation: a matching pairs each node with at most one
+    neighbour, so contracting matched pairs halves the graph without
+    merging non-adjacent nodes.  Per round every remaining node proposes
+    its minimum-key incident edge — key = (perm_r(fingerprint(edge)),
+    canonical edge string), the shared affine family with round-varying
+    coefficients over the edge's rolling fingerprint, the string as a
+    total-order tiebreak — and an edge joins the matching iff BOTH of its
+    endpoints proposed it.  Matched nodes leave; their remaining incident
+    edges dissolve.  A fixed round budget keeps the op deterministic and
+    oracle-unrollable (same policy as luby_mis / scc_fixed_rounds);
+    emitted edges are ALWAYS a valid matching (pairwise node-disjoint —
+    pytest-verified), leftovers simply stay unmatched.
+
+    Scale shape per round: one min-aggregate over the symmetric edge list
+    keyed by endpoint (map-side combinable), one self-equi-join of the
+    two endpoint proposals on the edge key, two anti-join peels — no
+    windows, no driver state.
+    """
+    from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.textqc import rolling_fingerprint
+
+    e0 = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e0 = e0.select(
+        "a",
+        "b",
+        rolling_fingerprint(F.concat_ws("|", "a", "b")).alias("ex"),
+        F.concat_ws("|", "a", "b").alias("estr"),
+    )
+    er = e0.unionByName(
+        e0.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "ex", "estr"
+        )
+    ).localCheckpoint(eager=True)
+    out = None
+    for r in range(1, rounds + 1):
+        a_r = (HASH_A * (r + 1)) % HASH_M31
+        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        keyed = er.select(
+            "a",
+            "b",
+            "estr",
+            F.pmod(F.lit(a_r) * F.col("ex") + F.lit(b_r), F.lit(HASH_M31)).alias(
+                "pri"
+            ),
+        )
+        prop = keyed.groupBy("a").agg(
+            F.min(F.struct("pri", "estr")).alias("pk")
+        ).select("a", F.col("pk.estr").alias("pestr"))
+        # an edge is matched iff it is the proposal of BOTH endpoints:
+        # count endpoint proposals per edge string (each edge has exactly
+        # two directed rows, so 2 proposals == mutual)
+        matched = (
+            keyed.join(
+                prop.select(
+                    F.col("a").alias("__pa"), F.col("pestr").alias("__pe")
+                ),
+                (F.col("a") == F.col("__pa")) & (F.col("estr") == F.col("__pe")),
+            )
+            .groupBy("estr")
+            .agg(
+                F.count("*").alias("nprop"),
+                F.min(F.least("a", "b")).alias("source"),
+                F.min(F.greatest("a", "b")).alias("target"),
+            )
+            .filter(F.col("nprop") == 2)
+            .select("source", "target")
+            .localCheckpoint(eager=True)
+        )
+        res = matched.select(
+            "source", "target", F.lit(r).cast("int").alias("round")
+        )
+        out = res if out is None else out.unionByName(res)
+        mn = matched.select(F.explode(F.array("source", "target")).alias("mnode"))
+        er = (
+            er.join(
+                mn.select(F.col("mnode").alias("__ma")),
+                F.col("a") == F.col("__ma"),
+                "left_anti",
+            )
+            .join(
+                mn.select(F.col("mnode").alias("__mb")),
+                F.col("b") == F.col("__mb"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -379,3 +379,81 @@ def interval_overlaps(
         end_col,
         F.coalesce("n_concurrent", F.lit(0)).cast("bigint").alias("n_concurrent"),
     )
+
+
+def comention_burst_profile(
+    transcripts: DataFrame,
+    mention_pattern: str | None = None,
+    bucket_s: int = 3600,
+    trail_buckets: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Turn-level co-mention burst detection → (source, target,
+    hour_epoch, cnt, trail_sum, is_burst).
+
+    The KG's temporal health telemetry at TURN granularity (edge_time_
+    ranges / kg_asof work at conversation granularity — the finest unit
+    whose timestamps survive chunk assembly; this op reads the raw turns
+    directly, so sudden co-mention spikes inside long-running
+    conversations are visible).  Every unordered pair of distinct
+    entity mentions within one turn is an occurrence; occurrences bucket
+    by ``bucket_s`` seconds of the turn timestamp, and a bucket is a
+    BURST iff its count reaches ``min_count`` and exceeds 2x the trailing
+    mean over the previous ``trail_buckets`` buckets — evaluated in
+    exact integers as ``trail_buckets*cnt > 2*trail_sum`` (a pair's first
+    active bucket has trail_sum 0 and is a novelty burst when it clears
+    min_count).
+
+    Scale shape: mention extraction is a native regexp over the turn
+    scan (no Python), the per-turn pair explode is bounded by mentions-
+    per-turn squared (single-digit), the (pair, bucket) count is a
+    map-side-combinable aggregate, and the trailing frame is a RANGE
+    window partitioned by pair — never global, and pair x bucket
+    cardinality is already the aggregate's output, not the corpus.
+    """
+    from .extract import MENTION_PATTERN
+
+    pat = mention_pattern or MENTION_PATTERN
+    # pairs within one turn: no synthetic turn id, no self-join — the
+    # per-row mention array double-explodes into its ordered pairs
+    pairs = transcripts.select(
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+        F.array_distinct(
+            F.regexp_extract_all("text", F.lit(pat), F.lit(0))
+        ).alias("ms"),
+    )
+    exploded = (
+        pairs.select("ep", F.explode("ms").alias("ma"), "ms")
+        .select("ep", "ma", F.explode("ms").alias("mb"))
+        .filter(F.col("ma") < F.col("mb"))
+    )
+    counts = (
+        exploded.select(
+            F.col("ma").alias("source"),
+            F.col("mb").alias("target"),
+            (F.floor(F.col("ep") / bucket_s) * bucket_s).cast("bigint").alias(
+                "hour_epoch"
+            ),
+        )
+        .groupBy("source", "target", "hour_epoch")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source", "target")
+        .orderBy("hour_epoch")
+        .rangeBetween(-trail_buckets * bucket_s, -bucket_s)
+    )
+    return counts.select(
+        "source",
+        "target",
+        "hour_epoch",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("trail_sum"),
+        (
+            (F.col("cnt") >= min_count)
+            & (
+                F.lit(trail_buckets) * F.col("cnt")
+                > F.lit(2) * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            )
+        ).alias("is_burst"),
+    )

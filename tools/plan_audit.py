@@ -77,6 +77,10 @@ AUDIT = [
     ("kg_asof", "midpoint-filtered full pipeline rebuild (broadcast 1-row cutoff)"),
     ("kg_growth", "first-seen hour rollup over the edge lineage join"),
     ("type_mixing", "two type-map joins + pair-canonical groupBy"),
+    ("typed_lpa", "seeded type propagation rounds (clamped-seed Pregel)"),
+    ("max_matching", "symmetric-proposal matching rounds (min-agg + peel)"),
+    ("blocking_audit", "LSH candidates vs exact shingle truth, 1-row metrics"),
+    ("comention_bursts", "pair x hour counts + trailing RANGE frame"),
 ]
 
 PY_NODES = (
