@@ -5557,6 +5557,210 @@ FROM rrend
 """
 
 
+# --- wave 10: topic segmentation, PMI re-weighting, negative sampling,
+# --- JP coloring ------------------------------------------------------------
+
+TSEG_NUM, TSEG_DEN = 1, 4
+NEGS_K = 3
+JP_ROUNDS = 4
+
+
+def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic segmentation (TextTiling boundary rule at turn
+    granularity) over the raw transcripts — the finer-than-conversation
+    context unit for retrieval/summarization."""
+    from knowledge_graph_spark.operators.assemble import topic_segments
+
+    return topic_segments(
+        transcripts_from_events(spark, sf_dir), jac_num=TSEG_NUM, jac_den=TSEG_DEN
+    )
+
+
+def q_edge_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-bits PMI re-weighting of the merged KG edges (Church &
+    Hanks 1990) — hub-normalized edge salience before embedding or
+    clustering the co-occurrence graph."""
+    from knowledge_graph_spark.operators.graphops import edge_pmi
+
+    return edge_pmi(_stages(spark, sf_dir)["edges"])
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic filtered negative sampling over the merged KG
+    (TransE-style corruption, hash-derived — resumable, no RNG state)."""
+    from knowledge_graph_spark.operators.graphops import negative_samples
+
+    s = _stages(spark, sf_dir)
+    return negative_samples(s["nodes"].select("title"), s["edges"], k=NEGS_K)
+
+
+def q_jp_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring of the KG — the conflict-free
+    batch schedule for per-node mutations (fixed-round unrolled oracle,
+    leftovers flagged -1/round 0)."""
+    from knowledge_graph_spark.operators.graphops import jp_coloring
+
+    s = _stages(spark, sf_dir)
+    return jp_coloring(s["nodes"].select("title"), s["edges"], rounds=JP_ROUNDS)
+
+
+_TSEG_BODY = f"""
+, tsg_t AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                         '\\s+'),
+                                   x -> x <> '')) AS tk
+  FROM transcripts),
+tsg_l AS (
+  SELECT conv_id, turn_idx, tk,
+         lag(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pk
+  FROM tsg_t),
+tsg_b AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN pk IS NULL THEN TRUE
+              ELSE len(list_intersect(tk, pk)) * {TSEG_DEN}
+                   < (len(tk) + len(pk) - len(list_intersect(tk, pk))) * {TSEG_NUM}
+         END AS is_boundary
+  FROM tsg_l)
+SELECT conv_id, turn_idx, is_boundary,
+       CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS seg_id
+FROM tsg_b
+"""
+
+_PMI_BODY = """
+, pmi_e AS MATERIALIZED (
+  SELECT source, target, CAST(floor(weight) AS BIGINT) AS c_ab FROM kg_edges),
+pmi_m AS MATERIALIZED (
+  SELECT title, sum(c_ab) AS c_m FROM (
+    SELECT source AS title, c_ab FROM pmi_e
+    UNION ALL SELECT target AS title, c_ab FROM pmi_e) GROUP BY title),
+pmi_t AS (SELECT sum(c_ab) AS n_tot FROM pmi_e)
+SELECT source, target, c_ab,
+       CAST(length(bin(c_ab * n_tot)) - 1 AS BIGINT)
+       - CAST(length(bin(ca.c_m * cb.c_m)) - 1 AS BIGINT) AS pmi_bits
+FROM pmi_e
+JOIN pmi_m ca ON pmi_e.source = ca.title
+JOIN pmi_m cb ON pmi_e.target = cb.title
+CROSS JOIN pmi_t
+"""
+
+_NEGS_BODY = f"""
+, ng_idx AS MATERIALIZED (
+  SELECT title AS nt, row_number() OVER (ORDER BY title) - 1 AS nid
+  FROM kg_nodes),
+ng_nv AS (SELECT count(*) AS n_nodes FROM ng_idx),
+ng_e AS MATERIALIZED (SELECT DISTINCT source, target FROM kg_edges),
+ng_x AS (
+  SELECT source, target,
+         {_POLY.format(s="(source || '|' || target)")} AS x
+  FROM ng_e),
+ng_c AS (
+  SELECT source, target, CAST(u.j AS INT) AS sample_idx,
+         ({_perm('x', 'u.j')}) % n_nodes AS cand_nid
+  FROM ng_x, ng_nv, LATERAL unnest(range(0, {NEGS_K})) AS u(j))
+SELECT n.source, n.target, n.sample_idx, i.nt AS neg_target,
+       (i.nt <> n.source AND i.nt <> n.target
+        AND NOT EXISTS (SELECT 1 FROM ng_e t
+                        WHERE t.source = least(n.source, i.nt)
+                          AND t.target = greatest(n.source, i.nt))) AS is_clean
+FROM ng_c n JOIN ng_idx i ON n.cand_nid = i.nid
+"""
+
+
+def _jp_body(rounds: int = JP_ROUNDS) -> str:
+    """Unrolled Jones-Plassmann coloring oracle over the merged KG —
+    mirrors graphops.jp_coloring round-for-round: round-salted affine
+    priority over the rolling fingerprint (title tiebreak), strict
+    local-maximum winners, set-wise mex over already-colored neighbours.
+    Static symmetric edge table + explicit active-set filters stand in
+    for the kernel's edge peeling (equivalent: winner and used joins
+    constrain the peeled side to active/winner nodes anyway)."""
+    poly = _POLY.format(s="node")
+    ctes = [
+        """jp_e AS MATERIALIZED (
+  SELECT source AS a, target AS b FROM kg_edges WHERE source <> target
+  UNION
+  SELECT target AS a, source AS b FROM kg_edges WHERE source <> target)""",
+        "jp_act1 AS MATERIALIZED (SELECT title AS node FROM kg_nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        a_r = (HASH_A * (r + 1)) % HASH_M31
+        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        ctes.append(
+            f"""jp_k{r} AS MATERIALIZED (
+  SELECT node, (({a_r} * ({poly}) + {b_r}) % {HASH_M31}) AS key
+  FROM jp_act{r})"""
+        )
+        ctes.append(
+            f"""jp_n{r} AS MATERIALIZED (
+  SELECT e.a AS node, max({{'k': k.key, 'n': k.node}}) AS nm
+  FROM jp_e e JOIN jp_k{r} k ON k.node = e.b GROUP BY e.a)"""
+        )
+        ctes.append(
+            f"""jp_w{r} AS MATERIALIZED (
+  SELECT k.node FROM jp_k{r} k LEFT JOIN jp_n{r} n ON k.node = n.node
+  WHERE n.nm IS NULL OR k.key > n.nm.k
+     OR (k.key = n.nm.k AND k.node > n.nm.n))"""
+        )
+        if r == 1:
+            ctes.append(
+                "jp_c1 AS MATERIALIZED (SELECT node, CAST(0 AS INT) AS color, "
+                "CAST(1 AS INT) AS round FROM jp_w1)"
+            )
+            ctes.append(
+                "jp_all1 AS MATERIALIZED (SELECT node, color FROM jp_c1)"
+            )
+        else:
+            ctes.append(
+                f"""jp_u{r} AS MATERIALIZED (
+  SELECT DISTINCT e.a AS node, c.color AS ucolor
+  FROM jp_e e JOIN jp_w{r} w ON e.a = w.node
+  JOIN jp_all{r - 1} c ON e.b = c.node)"""
+            )
+            ctes.append(
+                f"jp_m{r} AS (SELECT node, count(*) AS m FROM jp_u{r} GROUP BY node)"
+            )
+            ctes.append(
+                f"""jp_cand{r} AS (
+  SELECT w.node, CAST(u.c AS INT) AS c
+  FROM jp_w{r} w LEFT JOIN jp_m{r} m ON w.node = m.node,
+  LATERAL unnest(range(0, coalesce(m.m, 0) + 1)) AS u(c))"""
+            )
+            ctes.append(
+                f"""jp_c{r} AS MATERIALIZED (
+  SELECT cd.node, CAST(min(cd.c) AS INT) AS color, CAST({r} AS INT) AS round
+  FROM jp_cand{r} cd
+  LEFT JOIN jp_u{r} u ON cd.node = u.node AND cd.c = u.ucolor
+  WHERE u.ucolor IS NULL GROUP BY cd.node)"""
+            )
+            ctes.append(
+                f"""jp_all{r} AS MATERIALIZED (
+  SELECT node, color FROM jp_all{r - 1}
+  UNION ALL SELECT node, color FROM jp_c{r})"""
+            )
+        ctes.append(
+            f"""jp_act{r + 1} AS MATERIALIZED (
+  SELECT node FROM jp_act{r}
+  WHERE node NOT IN (SELECT node FROM jp_c{r}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT node, color, round FROM jp_c{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        ", "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS title, color, round FROM (
+{union}
+UNION ALL
+SELECT node, CAST(-1 AS INT) AS color, CAST(0 AS INT) AS round
+FROM jp_act{rounds + 1})
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full construction pipeline,
     returning the ranked canonical edge list (relationship.csv analogue)."""
@@ -5661,6 +5865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_matching": q_max_matching,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
+        "topic_segments": q_topic_segments,
+        "edge_pmi": q_edge_pmi,
+        "negative_samples": q_negative_samples,
+        "jp_coloring": q_jp_coloring,
         "pagerank_w": q_pagerank_w,
         "ppr_entities": q_ppr,
         "modularity": q_modularity,
@@ -6301,6 +6509,10 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "max_matching": _oracle(_mm_body()),
         "blocking_audit": _BLOCKING_AUDIT_SQL,
         "comention_bursts": _oracle(_CB_BODY),
+        "topic_segments": _oracle(_TSEG_BODY),
+        "edge_pmi": _oracle(_PMI_BODY),
+        "negative_samples": _oracle(_NEGS_BODY),
+        "jp_coloring": _oracle(_jp_body()),
         "pagerank_w": _oracle(_pr_body(weighted=True)),
         "widest_paths": _oracle(_wp_body()),
         "hits": _oracle(_hits_body()),

@@ -173,3 +173,48 @@ def last_user_turns(transcripts: DataFrame, k: int = 1) -> DataFrame:
         )
         .filter(F.col("recency") <= k)
     )
+
+
+def topic_segments(
+    transcripts: DataFrame, jac_num: int = 1, jac_den: int = 4
+) -> DataFrame:
+    """Lexical topic segmentation of each conversation → (conv_id,
+    turn_idx, is_boundary, seg_id): a turn opens a new segment when its
+    distinct-token set overlaps the PREVIOUS turn's below jac_num/jac_den
+    Jaccard — TextTiling's boundary rule (Hearst 1997) at turn
+    granularity, with the threshold compared as exact integers
+    (inter * jac_den < union * jac_num; no float Jaccard anywhere).
+
+    Read-model use: long agent sessions drift across topics; retrieval
+    and summarization want segment-scoped context, not whole-
+    conversation context (the reference's conversation_history folds the
+    WHOLE history — qa_turns/conversation_context mirror that; this is
+    the finer unit).  A conversation's first turn is always a boundary;
+    an empty turn adjacent to a non-empty one is a boundary (overlap 0),
+    while two consecutive empty turns share a segment (union 0 → the
+    strict inequality fails).
+
+    Scale shape: token sets are row-local native arrays (array_distinct
+    over the whitespace split — bounded by turn length); the lag and the
+    running boundary count are both conv-keyed windows, so no global
+    exchange; output cardinality == input turns.
+    """
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    toks = F.array_distinct(ws_tokens_col(normalized_text(F.col("text"))))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select("conv_id", "turn_idx", toks.alias("tk"))
+    t = t.withColumn("pk", F.lag("tk").over(w))
+    inter = F.size(F.array_intersect("tk", "pk"))
+    uni = F.size("tk") + F.size("pk") - inter
+    boundary = F.when(F.col("pk").isNull(), F.lit(True)).otherwise(
+        inter * F.lit(jac_den) < uni * F.lit(jac_num)
+    )
+    t = t.withColumn("is_boundary", boundary)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "is_boundary",
+        F.sum(F.col("is_boundary").cast("int")).over(wrun).cast("int").alias("seg_id"),
+    )

@@ -1840,3 +1840,310 @@ def maximal_matching(
             .localCheckpoint(eager=True)
         )
     return out
+
+
+def edge_pmi(edges: DataFrame) -> DataFrame:
+    """PMI re-weighting of the co-occurrence KG → (source, target, c_ab,
+    pmi_bits): floor(log2( c_ab * N / (c_a * c_b) )) per edge, computed
+    as a DIFFERENCE OF INTEGER BIT LENGTHS — floor(log2(c_ab*N)) -
+    floor(log2(c_a*c_b)) — so both engines agree bit-for-bit (the same
+    device as BM25's idf_bits; raw float log2 is libm-dependent).
+
+    Raw co-occurrence weight over-credits promiscuous hubs; pointwise
+    mutual information (Church & Hanks 1990) normalizes each edge by its
+    endpoints' marginals — the standard re-weighting before embedding or
+    community-detecting a co-occurrence graph (word2vec's implicit
+    matrix is shifted PMI, Levy & Goldberg 2014).  ``pmi_bits`` is the
+    integer-bits PMI (within 1 bit of the real value, monotone in the
+    odds ratio); positive ⇒ the pair co-occurs more than independence
+    predicts.
+
+    Scale shape: one explode+sum for the marginals (map-side
+    combinable), a 1-row total broadcast, two broadcast joins of the
+    (|V|-sized) marginal table onto edges — the with_edge_rank shape.
+    Precondition: c_ab*N and c_a*c_b < 2^63 (at larger corpus mass,
+    right-shift all counts by a common k first — PMI is shift-invariant
+    up to the floor).
+    """
+    e = edges.select(
+        "source", "target", F.col("weight").cast("bigint").alias("c_ab")
+    )
+    marg = (
+        e.select(F.explode(F.array("source", "target")).alias("title"), "c_ab")
+        .groupBy("title")
+        .agg(F.sum("c_ab").alias("c_m"))
+    )
+    total = e.agg(F.sum("c_ab").alias("n_tot"))
+    bits = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
+    return (
+        e.join(
+            F.broadcast(
+                marg.select(F.col("title").alias("source"), F.col("c_m").alias("c_a"))
+            ),
+            "source",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("title").alias("target"), F.col("c_m").alias("c_b"))
+            ),
+            "target",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "target",
+            "c_ab",
+            (
+                bits(F.col("c_ab") * F.col("n_tot"))
+                - bits(F.col("c_a") * F.col("c_b"))
+            ).alias("pmi_bits"),
+        )
+    )
+
+
+def negative_samples(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    node_col: str = "title",
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training →
+    (source, target, sample_idx, neg_target, is_clean): for every true
+    edge and j in [0, k), corrupt the target to the node whose dense
+    index is perm_j(fingerprint(source|target)) mod |V|; a corruption
+    that hits either endpoint or any TRUE edge is flagged unclean (the
+    "filtered" negative protocol of Bordes et al. 2013's TransE
+    evaluation — downstream keeps ``is_clean``).
+
+    Training-data shape: embedding objectives (TransE/DistMult/node2vec
+    with negative sampling) consume (positive, negatives[]) batches; a
+    hash-derived corruption is reproducible across runs and resumable
+    mid-corpus — no RNG state to checkpoint.  Rejections are FLAGGED,
+    not dropped: the row count stays a closed-form k·|E| (loaders budget
+    on it), the rejection rate is itself a density statistic, and on a
+    near-complete graph a drop-based protocol would silently emit
+    nothing.
+
+    Scale shape: the node index comes from with_global_index (two-phase,
+    no single-partition exchange); |V| joins in as a broadcast 1-row
+    bound; the corruption explode is k rows per edge; the truth check
+    is one left join on the canonical pair.  Uniformity is the hash
+    family's (perm_j output mod |V| — near-uniform for |V| << 2^31).
+    """
+    from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.textqc import rolling_fingerprint
+
+    idx = with_global_index(
+        nodes.select(F.col(node_col).alias("nt")).distinct(), ["nt"], "nid"
+    )
+    nv = idx.agg(F.count("*").alias("n_nodes"))
+    e = edges.select(F.col(src).alias("source"), F.col(dst).alias("target")).distinct()
+    ex = e.select(
+        "source",
+        "target",
+        rolling_fingerprint(F.concat_ws("|", "source", "target")).alias("x"),
+    )
+    cand = (
+        ex.crossJoin(F.broadcast(nv))
+        .select(
+            "source",
+            "target",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sample_idx"),
+            "x",
+            "n_nodes",
+        )
+        .select(
+            "source",
+            "target",
+            "sample_idx",
+            F.pmod(
+                F.pmod(
+                    (
+                        F.lit(HASH_A).cast("bigint")
+                        * (F.col("sample_idx").cast("bigint") + 1)
+                    )
+                    % F.lit(HASH_M31)
+                    * F.col("x")
+                    + (
+                        F.lit(HASH_B).cast("bigint")
+                        * (F.col("sample_idx").cast("bigint") + 1)
+                        + F.lit(HASH_C)
+                    )
+                    % F.lit(HASH_M31),
+                    F.lit(HASH_M31),
+                ),
+                F.col("n_nodes"),
+            ).alias("cand_nid"),
+        )
+    )
+    withname = cand.join(
+        idx.select(F.col("nid").alias("cand_nid"), F.col("nt").alias("neg_target")),
+        "cand_nid",
+    ).drop("cand_nid")
+    truth = e.select(
+        F.least("source", "target").alias("__ta"),
+        F.greatest("source", "target").alias("__tb"),
+        F.lit(True).alias("__hit"),
+    ).distinct()
+    return (
+        withname.join(
+            truth,
+            (F.least("source", "neg_target") == F.col("__ta"))
+            & (F.greatest("source", "neg_target") == F.col("__tb")),
+            "left",
+        )
+        .select(
+            "source",
+            "target",
+            "sample_idx",
+            "neg_target",
+            (
+                (F.col("neg_target") != F.col("source"))
+                & (F.col("neg_target") != F.col("target"))
+                & F.col("__hit").isNull()
+            ).alias("is_clean"),
+        )
+    )
+
+
+def jp_coloring(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 4,
+    node_col: str = "title",
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Distributed greedy graph coloring (Jones-Plassmann 1993, with
+    Luby-style round-varying priorities) → (title, color, round).
+
+    The conflict-scheduling primitive: a proper coloring partitions the
+    KG into independent batches, so any per-node mutation (canonical
+    re-merge, embedding update, community re-assignment) can run one
+    color class at a time with NO two adjacent nodes in flight — the
+    standard parallel-scheduling use of coloring.
+
+    Per round every uncolored node draws priority (perm_r(fingerprint
+    (title)), title) — the shared affine family over the rolling
+    fingerprint, title as the total-order tiebreak (fingerprints can
+    collide; the pair cannot).  A node strictly greater than ALL its
+    uncolored neighbours colors itself with the minimum color not used
+    by its already-colored neighbours (mex, computed set-wise: explode
+    candidates 0..|used| per winner, anti-join the used set, take the
+    min).  Winners form an independent set, so simultaneous mex choices
+    never conflict — the output is ALWAYS a proper partial coloring
+    (pytest-verified); a fixed round budget leaves leftovers as
+    (color -1, round 0), never a wrong color.
+
+    Scale shape per round: one max-aggregate over the symmetric edge
+    list (map-side combinable), the mex explode bounded by each winner's
+    colored-degree, two anti-join peels — the Pregel round again.
+    """
+    from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.textqc import rolling_fingerprint
+
+    n0 = nodes.select(F.col(node_col).alias("node")).distinct()
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    er = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = n0.localCheckpoint(eager=True)
+    colored = None  # (node, color, round)
+    for r in range(1, rounds + 1):
+        a_r = (HASH_A * (r + 1)) % HASH_M31
+        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        pri = F.pmod(
+            F.lit(a_r) * rolling_fingerprint(F.col("node")) + F.lit(b_r),
+            F.lit(HASH_M31),
+        )
+        keyed = active.select("node", pri.alias("key")).localCheckpoint(eager=True)
+        kb = keyed.select(F.col("node").alias("__nb"), F.col("key").alias("__kb"))
+        # active-neighbour max (key, node) per node — only edges whose b
+        # end is still active contribute
+        nmax = (
+            er.join(kb, F.col("b") == F.col("__nb"))
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("__kb").alias("k"), F.col("__nb").alias("n"))
+                ).alias("nm")
+            )
+            .select("node", F.col("nm.k").alias("nmax"), F.col("nm.n").alias("nmax_node"))
+        )
+        winners = (
+            keyed.join(nmax, "node", "left")
+            .filter(
+                F.col("nmax").isNull()
+                | (F.col("key") > F.col("nmax"))
+                | ((F.col("key") == F.col("nmax")) & (F.col("node") > F.col("nmax_node")))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if colored is None:
+            newly = winners.select(
+                "node", F.lit(0).cast("int").alias("color")
+            )
+        else:
+            used = (
+                er.join(
+                    winners.select(F.col("node").alias("__wa")),
+                    F.col("a") == F.col("__wa"),
+                )
+                .join(
+                    colored.select(
+                        F.col("node").alias("__cb"), F.col("color").alias("__uc")
+                    ),
+                    F.col("b") == F.col("__cb"),
+                )
+                .select(F.col("a").alias("node"), F.col("__uc").alias("ucolor"))
+                .distinct()
+            )
+            ucnt = used.groupBy("node").agg(F.count("*").alias("m"))
+            cands = (
+                winners.join(ucnt, "node", "left")
+                .select(
+                    "node",
+                    F.explode(
+                        F.sequence(F.lit(0), F.coalesce(F.col("m"), F.lit(0)))
+                    ).alias("c"),
+                )
+            )
+            newly = (
+                cands.join(
+                    used.withColumnRenamed("ucolor", "c"), ["node", "c"], "left_anti"
+                )
+                .groupBy("node")
+                .agg(F.min("c").cast("int").alias("color"))
+            )
+        res = newly.select(
+            "node", "color", F.lit(r).cast("int").alias("round")
+        ).localCheckpoint(eager=True)
+        colored = res if colored is None else colored.unionByName(res).localCheckpoint(
+            eager=True
+        )
+        active = active.join(
+            res.select(F.col("node").alias("__rn")),
+            F.col("node") == F.col("__rn"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        er = er.join(
+            res.select(F.col("node").alias("__ra")),
+            F.col("a") == F.col("__ra"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        # NOTE: only the a-side peels — the b-side rows of colored nodes
+        # must SURVIVE so later winners still see their colors in `used`
+    leftover = active.select(
+        "node", F.lit(-1).cast("int").alias("color"), F.lit(0).cast("int").alias("round")
+    )
+    return (
+        colored.unionByName(leftover)
+        .select(F.col("node").alias(node_col), "color", "round")
+    )
