@@ -4398,7 +4398,7 @@ cb_x AS (
   WHERE ma.m < mb.m),
 cb_c AS (
   SELECT ma AS source, mb AS target,
-         CAST((ep // 3600) * 3600 AS BIGINT) AS hour_epoch,
+         CAST(ep - ((ep % 3600 + 3600) % 3600) AS BIGINT) AS hour_epoch,
          CAST(count(*) AS BIGINT) AS cnt
   FROM cb_x GROUP BY 1, 2, 3),
 cb_w AS (

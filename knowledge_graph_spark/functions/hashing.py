@@ -59,6 +59,34 @@ def perm_ab(n: int) -> tuple[np.ndarray, np.ndarray]:
     return (HASH_A * i) % HASH_M31, (HASH_B * i + HASH_C) % HASH_M31
 
 
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """(a_i, b_i) of perm_i as plain Python ints — the round-loop form
+    used by the fixed-round graph kernels (luby_mis, jp_coloring,
+    maximal_matching), where the salt is a per-round constant rather
+    than a column.  Identical to perm_ab(n)[.][i] and the SQL oracles'
+    inline coefficient arithmetic: one definition, three call shapes."""
+    return (HASH_A * (i + 1)) % HASH_M31, (HASH_B * (i + 1) + HASH_C) % HASH_M31
+
+
+def perm_col(x, i):
+    """perm_i(x) = (a_i·x + b_i) mod M31 as a native Spark Column, with
+    the salt ``i`` itself a Column (or int) — the column-salt form used
+    when every row carries its own permutation index (negative_samples'
+    sample_idx, node2vec's walk index).  All arithmetic in BIGINT;
+    ``x`` must be non-negative and < 2^31 (pmod a fingerprint first) so
+    a_i·x + b_i < 2^62 stays int64-exact on every engine."""
+    from pyspark.sql import functions as F
+
+    i_col = i if hasattr(i, "cast") else F.lit(i)
+    one = F.lit(1).cast("long")
+    a = (F.lit(HASH_A).cast("long") * (i_col.cast("long") + one)) % F.lit(HASH_M31)
+    b = (
+        F.lit(HASH_B).cast("long") * (i_col.cast("long") + one)
+        + F.lit(HASH_C).cast("long")
+    ) % F.lit(HASH_M31)
+    return F.pmod(a * x.cast("long") + b, F.lit(HASH_M31))
+
+
 def sign_plane(d: int, j: int, n_planes: int) -> int:
     """Deterministic Rademacher (±1) hyperplane component for dimension d,
     plane j — parity of a perm hash of the flattened index."""

@@ -577,11 +577,7 @@ def winnow_fingerprints(
     )
     fps = F.transform(grams, lambda g, i: F.struct(
         i.cast("bigint").alias("pos"),
-        F.aggregate(
-            F.split(g, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
-        ).alias("fp"),
+        rolling_fingerprint(g).alias("fp"),
     ))
     base = widen(docs).select(F.col(id_col).alias("doc_id"), fps.alias("fps"))
     m = F.size("fps")

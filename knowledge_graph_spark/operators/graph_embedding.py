@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import FP_BASE, FP_MOD, HASH_A, HASH_B, HASH_C, HASH_M31
+from ..functions.hashing import FP_BASE, FP_MOD, perm_col
 
 DEFAULT_DIM = 32
 
@@ -54,14 +54,9 @@ def _poly_col(c) -> F.Column:
     )
 
 
-def _perm_col(x, i) -> F.Column:
-    # all arithmetic in BIGINT: int32 literals overflow under ANSI
-    one = F.lit(1).cast("long")
-    a = (F.lit(HASH_A).cast("long") * (i.cast("long") + one)) % F.lit(HASH_M31)
-    b = (
-        F.lit(HASH_B).cast("long") * (i.cast("long") + one) + F.lit(HASH_C).cast("long")
-    ) % F.lit(HASH_M31)
-    return (a * x.cast("long") + b) % F.lit(HASH_M31)
+# the shared column-salt permutation hash (functions/hashing.perm_col);
+# inputs here are non-negative fingerprints, so pmod == the original %
+_perm_col = perm_col
 
 
 def indexed_adjacency(edges: DataFrame) -> DataFrame:

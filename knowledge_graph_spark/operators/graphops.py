@@ -475,7 +475,6 @@ def betweenness_sampled(
         if acc is not None
         else None
     )
-    out = nodes
     if bc is not None:
         out = nodes.join(bc, "title", "left")
     else:
@@ -739,8 +738,23 @@ def k_truss(
     splitting on hot hubs — one map-side-combinable support aggregate,
     and one equi-join filter back onto the edge list.  Never a cross
     join; the loop localCheckpoints each round to cut lineage.
+
+    Input may be arbitrary: edges are canonicalized to the (least,
+    greatest) undirected form, self-loops dropped and duplicates
+    collapsed up front — ``_edge_support``'s ordered-wedge join requires
+    a strict a<b distinct edge list, and without this a triangle stored
+    as a directed 3-cycle would be invisible to the support count (on
+    the already-canonical kg_edges tables this normalization is a
+    no-op).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     for _ in range(rounds):
         sup = _edge_support(e)
         e = (
@@ -1548,7 +1562,7 @@ def luby_mis(
     keyed actives + a min-aggregate (map-side combinable), then
     left_anti peels — the Pregel round, same as SCC/LPA.
     """
-    from ..functions.hashing import FP_MOD, HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.hashing import FP_MOD, HASH_M31, perm_coeffs
 
     n0 = nodes.select(F.col(id_col).cast("bigint").alias("node")).distinct()
     e = edges.select(
@@ -1561,8 +1575,7 @@ def luby_mis(
     )
     active, out = n0, None
     for r in range(1, rounds + 1):
-        a_r = (HASH_A * (r + 1)) % HASH_M31
-        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        a_r, b_r = perm_coeffs(r)
         pri = F.pmod(
             F.lit(a_r) * F.pmod(F.col("node"), F.lit(FP_MOD)) + F.lit(b_r),
             F.lit(HASH_M31),
@@ -1765,7 +1778,7 @@ def maximal_matching(
     two endpoint proposals on the edge key, two anti-join peels — no
     windows, no driver state.
     """
-    from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.hashing import HASH_M31, perm_coeffs
     from ..functions.textqc import rolling_fingerprint
 
     e0 = (
@@ -1788,8 +1801,7 @@ def maximal_matching(
     ).localCheckpoint(eager=True)
     out = None
     for r in range(1, rounds + 1):
-        a_r = (HASH_A * (r + 1)) % HASH_M31
-        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        a_r, b_r = perm_coeffs(r)
         keyed = er.select(
             "a",
             "b",
@@ -1932,7 +1944,7 @@ def negative_samples(
     is one left join on the canonical pair.  Uniformity is the hash
     family's (perm_j output mod |V| — near-uniform for |V| << 2^31).
     """
-    from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.hashing import perm_col
     from ..functions.textqc import rolling_fingerprint
 
     idx = with_global_index(
@@ -1959,22 +1971,7 @@ def negative_samples(
             "target",
             "sample_idx",
             F.pmod(
-                F.pmod(
-                    (
-                        F.lit(HASH_A).cast("bigint")
-                        * (F.col("sample_idx").cast("bigint") + 1)
-                    )
-                    % F.lit(HASH_M31)
-                    * F.col("x")
-                    + (
-                        F.lit(HASH_B).cast("bigint")
-                        * (F.col("sample_idx").cast("bigint") + 1)
-                        + F.lit(HASH_C)
-                    )
-                    % F.lit(HASH_M31),
-                    F.lit(HASH_M31),
-                ),
-                F.col("n_nodes"),
+                perm_col(F.col("x"), F.col("sample_idx")), F.col("n_nodes")
             ).alias("cand_nid"),
         )
     )
@@ -2041,7 +2038,7 @@ def jp_coloring(
     list (map-side combinable), the mex explode bounded by each winner's
     colored-degree, two anti-join peels — the Pregel round again.
     """
-    from ..functions.hashing import HASH_A, HASH_B, HASH_C, HASH_M31
+    from ..functions.hashing import HASH_M31, perm_coeffs
     from ..functions.textqc import rolling_fingerprint
 
     n0 = nodes.select(F.col(node_col).alias("node")).distinct()
@@ -2056,8 +2053,7 @@ def jp_coloring(
     active = n0.localCheckpoint(eager=True)
     colored = None  # (node, color, round)
     for r in range(1, rounds + 1):
-        a_r = (HASH_A * (r + 1)) % HASH_M31
-        b_r = (HASH_B * (r + 1) + HASH_C) % HASH_M31
+        a_r, b_r = perm_coeffs(r)
         pri = F.pmod(
             F.lit(a_r) * rolling_fingerprint(F.col("node")) + F.lit(b_r),
             F.lit(HASH_M31),

@@ -431,9 +431,12 @@ def comention_burst_profile(
         exploded.select(
             F.col("ma").alias("source"),
             F.col("mb").alias("target"),
-            (F.floor(F.col("ep") / bucket_s) * bucket_s).cast("bigint").alias(
-                "hour_epoch"
-            ),
+            # floor-to-bucket in pure int64 (ep - pmod = floor multiple):
+            # no float division, and exact on pre-1970 (negative) epochs
+            # where DuckDB's truncating // would disagree with floor
+            (F.col("ep") - F.pmod(F.col("ep"), F.lit(bucket_s)))
+            .cast("bigint")
+            .alias("hour_epoch"),
         )
         .groupBy("source", "target", "hour_epoch")
         .agg(F.count("*").cast("bigint").alias("cnt"))

@@ -112,6 +112,17 @@ CHECK = [
     "kg_asof",
     "kg_growth",
     "type_mixing",
+    # late round-3 waves: every remaining gate family
+    "span_dedup",
+    "k_truss",
+    "typed_lpa",
+    "max_matching",
+    "blocking_audit",
+    "comention_bursts",
+    "topic_segments",
+    "edge_pmi",
+    "negative_samples",
+    "jp_coloring",
 ]
 
 

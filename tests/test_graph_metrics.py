@@ -301,6 +301,25 @@ def test_k_truss_peel_cascades(spark):
     assert r2 == r5 and len(r2) == 6
 
 
+def test_k_truss_canonicalizes_input(spark):
+    """Edges arriving in arbitrary orientation / with duplicates give the
+    same truss as their canonical form: a triangle stored as a directed
+    3-cycle (a→b, b→c, c→a) must still count as a triangle, and a
+    both-direction duplicate must not inflate supports or duplicate
+    output rows (regression: the ordered-wedge join requires a strict
+    a<b distinct edge list)."""
+    from knowledge_graph_spark.operators.graphops import k_truss
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("a", "a")],
+        "source string, target string",
+    )
+    got = sorted(
+        (r.source, r.target, r.support) for r in k_truss(cyc, k=3, rounds=2).collect()
+    )
+    assert got == [("a", "b", 1), ("a", "c", 1), ("b", "c", 1)]
+
+
 def test_katz_vs_local_replay(spark):
     """katz_int equals a pure-Python replay of the integer recurrence
     x_{t+1}(v) = scale + sum_{u->v} (x_t(u)*num)//den on the symmetrized

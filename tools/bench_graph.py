@@ -46,8 +46,9 @@ NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
 HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v} — e.g. the
-# 10M-edge probe runs "cc,pagerank" to bound wall clock
+# comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v,katz,truss,hits,
+# widest,typed,match,jp,mis} — e.g. the 10M-edge probe runs "cc,pagerank"
+# to bound wall clock
 OPS = set(
     os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
 )
@@ -213,6 +214,80 @@ def main() -> None:
             lambda rl: node2vec_embeddings(
                 nodes, edges, dim=32, walk_length=8, num_walks=4, window=2
             ).count(),
+        )
+    # --- the fixed-round kernels added in round 3's late waves: no
+    # --- round_log hook (round count is a constant), total walls only
+    if "katz" in OPS:
+        from knowledge_graph_spark.operators.graphops import katz_int
+
+        timed("katz", lambda rl: katz_int(edges, iterations=8).count())
+    if "truss" in OPS:
+        from knowledge_graph_spark.operators.graphops import k_truss
+
+        timed("k_truss", lambda rl: k_truss(edges, k=3, rounds=3).count())
+    if "hits" in OPS:
+        from knowledge_graph_spark.operators.graphops import hits_int
+
+        timed("hits", lambda rl: hits_int(edges, rounds=3).count())
+    if "widest" in OPS:
+        from knowledge_graph_spark.operators.graphops import widest_paths
+
+        seeds = (
+            node_degrees(edges)
+            .orderBy(F.desc("degree"), F.asc("title"))
+            .limit(1)
+            .select("title")
+        )
+        timed(
+            "widest_paths",
+            lambda rl: widest_paths(edges, seeds, rounds=3).count(),
+        )
+    if "typed" in OPS:
+        from knowledge_graph_spark.operators.graphops import (
+            seeded_type_propagation,
+        )
+
+        # the synthetic graph carries no type column — plant a
+        # deterministic 5-way one (what the KG's extraction record
+        # supplies on the real path)
+        typed_nodes = nodes.withColumn(
+            "type",
+            F.concat(
+                F.lit("T"), F.pmod(F.xxhash64("title"), F.lit(5)).cast("string")
+            ),
+        )
+        timed(
+            "typed_lpa",
+            lambda rl: seeded_type_propagation(
+                typed_nodes, edges, rounds=4
+            ).count(),
+        )
+    if "match" in OPS:
+        from knowledge_graph_spark.operators.graphops import maximal_matching
+
+        timed(
+            "max_matching", lambda rl: maximal_matching(edges, rounds=4).count()
+        )
+    if "jp" in OPS:
+        from knowledge_graph_spark.operators.graphops import jp_coloring
+
+        timed(
+            "jp_coloring", lambda rl: jp_coloring(nodes, edges, rounds=4).count()
+        )
+    if "mis" in OPS:
+        from knowledge_graph_spark.operators.graphops import luby_mis
+
+        # luby_mis takes bigint ids (the near-dup pair graph is keyed by
+        # doc_id) — hash the string titles; ids ≥ 2^31 exercise the
+        # low-bits+tiebreak packing
+        mis_nodes = nodes.select(F.abs(F.xxhash64("title")).alias("node"))
+        mis_pairs = edges.select(
+            F.abs(F.xxhash64("source")).alias("id_a"),
+            F.abs(F.xxhash64("target")).alias("id_b"),
+        )
+        timed(
+            "luby_mis",
+            lambda rl: luby_mis(mis_nodes, mis_pairs, rounds=3).count(),
         )
 
     total = round(sum(r["wall_sec"] for r in results.values()), 2)

@@ -81,6 +81,10 @@ AUDIT = [
     ("max_matching", "symmetric-proposal matching rounds (min-agg + peel)"),
     ("blocking_audit", "LSH candidates vs exact shingle truth, 1-row metrics"),
     ("comention_bursts", "pair x hour counts + trailing RANGE frame"),
+    ("topic_segments", "turn-Jaccard boundary rule + running-sum segment ids"),
+    ("edge_pmi", "bit-length PMI re-weighting (two degree joins)"),
+    ("negative_samples", "perm-family corruption + broadcast node map + anti-join"),
+    ("jp_coloring", "Jones-Plassmann rounds (min-agg + peel, color by round)"),
 ]
 
 PY_NODES = (
