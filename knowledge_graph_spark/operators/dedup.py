@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.textqc import (
-    FP_BASE,
     FP_MOD,
     content_hash,
     normalized_text,
