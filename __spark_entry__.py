@@ -1163,6 +1163,33 @@ def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("source", "target", F.col("weight").cast("double").alias("weight"))
 
 
+RETRACT_MOD = 5  # delete conversations whose conv_id fingerprint % 5 == 0
+
+
+def q_kg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten retraction: remove ~1/5 of conversations
+    from the built KG via one anti-join on the persisted record stream
+    (NO re-extraction) — the gate proves retract(full) == rebuild on
+    the retained transcripts (the oracle re-runs the whole pipeline on
+    the filtered corpus)."""
+    from knowledge_graph_spark.functions.textqc import rolling_fingerprint
+    from knowledge_graph_spark.operators.merge import retract_conversations
+
+    s = _stages(spark, sf_dir)
+    deleted = (
+        transcripts_from_events(spark, sf_dir)
+        .select("conv_id")
+        .distinct()
+        .filter(
+            F.pmod(rolling_fingerprint(F.col("conv_id")), F.lit(RETRACT_MOD)) == 0
+        )
+    )
+    _, edges = retract_conversations(s["raw_records"], deleted)
+    return edges.select(
+        "source", "target", F.col("weight").cast("double").alias("weight")
+    )
+
+
 def q_kg_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG growth curve: NEW edges by first-seen hour bucket — the
     construction-telemetry view over edge_times' temporal lineage
@@ -4439,6 +4466,27 @@ transcripts AS (
     )
 
 
+def _retract_oracle() -> str:
+    """kg_retract oracle: the FULL pipeline prelude re-run over
+    transcripts with the fingerprint-selected conversations REMOVED —
+    the same substitution device as _asof_oracle, so equality proves the
+    Spark side's anti-join-on-records retraction is bit-identical to a
+    ground-up rebuild on the retained corpus."""
+    poly = _POLY.format(s="conv_id")
+    retract_prelude = ORACLE_PRELUDE.replace(
+        f"transcripts AS ({TRANSCRIPTS_SQL})",
+        f"""transcripts_all AS ({TRANSCRIPTS_SQL}),
+transcripts AS (
+  SELECT * FROM transcripts_all WHERE ({poly}) % {RETRACT_MOD} <> 0
+)""",
+        1,
+    )
+    return (
+        f"WITH RECURSIVE {retract_prelude} "
+        "SELECT source, target, CAST(weight AS DOUBLE) AS weight FROM kg_edges"
+    )
+
+
 _METAPATH_SQL = """
 , mp_sym AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
@@ -5859,6 +5907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "metapaths": q_metapaths,
         "kg_asof": q_kg_asof,
+        "kg_retract": q_kg_retract,
         "kg_growth": q_kg_growth,
         "type_mixing": q_type_mixing,
         "typed_lpa": q_typed_lpa,
@@ -6480,6 +6529,7 @@ GROUP BY lang, pct
         "betweenness": _oracle(_bw_body()),
         "metapaths": _oracle(_METAPATH_SQL),
         "kg_asof": _asof_oracle(),
+        "kg_retract": _retract_oracle(),
         "kg_growth": _oracle("""
 , et_pairs AS (
   SELECT DISTINCT least(source, target) AS source,

@@ -114,3 +114,37 @@ def cluster_union(
         )
     ).select("n.*")
     return merged, added, changed
+
+
+def retract_conversations(
+    raw_records: DataFrame,
+    deleted: DataFrame,
+    conv_col: str = "conv_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-be-forgotten retraction: (nodes, edges) with every
+    contribution from ``deleted`` conversations removed — WITHOUT
+    re-running extraction.
+
+    The inverse of the incremental union (reference utils/graph.py:68-177
+    only ever ADDS; at corpus scale deletes arrive too — user-data
+    removal, contaminated-source takedowns).  Re-extracting the retained
+    corpus would repeat the most expensive stage (the Arrow extraction
+    UDF); but the merge is a pure function of the per-chunk record
+    stream, and extraction is per-chunk independent, so retraction is
+    one anti-join on the PERSISTED ``raw_records`` intermediate followed
+    by the standard merge — bit-identical to a full rebuild on the
+    retained transcripts (the ``kg_retract`` gate proves this equality
+    cross-engine against the DuckDB pipeline oracle).
+
+    Scale shape: one anti-join keyed on ``conv_col`` (broadcast when the
+    delete set is small — the common case; AQE decides) + the usual
+    name-keyed merge shuffle.  On Iceberg tables the same record-level
+    anti-join drives a MERGE INTO/DELETE and the node/edge tables are
+    re-derived from the surviving records partition-locally.
+    """
+    from .parse import parse_and_merge
+
+    kept = raw_records.join(
+        deleted.select(conv_col).distinct(), conv_col, "left_anti"
+    )
+    return parse_and_merge(kept)

@@ -123,6 +123,7 @@ CHECK = [
     "edge_pmi",
     "negative_samples",
     "jp_coloring",
+    "kg_retract",
 ]
 
 
@@ -181,3 +182,16 @@ def test_kg_asof_is_strict_subset(spark):
     w_full = full.agg(F.sum("weight")).first()[0]
     w_asof = asof.agg(F.sum("weight")).first()[0]
     assert 0 < w_asof < w_full
+
+
+def test_kg_retract_is_strict_subset(spark):
+    """Retraction must actually remove contributions (the fingerprint
+    selects a non-empty conversation set) while keeping a non-empty
+    graph — guards against a vacuous delete set."""
+    from pyspark.sql import functions as F
+
+    full = entry_mod.queries()["kg_edges"](spark, SF_DIR)
+    ret = entry_mod.queries()["kg_retract"](spark, SF_DIR)
+    w_full = full.agg(F.sum("weight")).first()[0]
+    w_ret = ret.agg(F.sum("weight")).first()[0]
+    assert 0 < w_ret < w_full

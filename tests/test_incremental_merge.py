@@ -112,3 +112,39 @@ def test_rank_text_units(spark):
     order = spark.createDataFrame([("A", 1), ("B", 2)], "title string, entity_rank int")
     got = {r.text_unit_id: r.order for r in Q.rank_text_units(tue, order).collect()}
     assert got == {"t1": 1, "t3": 2, "t2": 3}  # t1: rank1+2ents; t3: rank1+1; t2: rank2
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_retract_conversations_equals_rebuild(spark):
+    """retract(full records, deleted convs) is bit-identical to a
+    ground-up rebuild on the retained transcripts — nodes AND edges —
+    and retracting the empty set is the identity."""
+    from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
+    from knowledge_graph_spark.synth import synth_transcripts
+
+    cfg = PipelineConfig(chunk_size=120, chunk_overlap=0, tokenizer="ws")
+    t = synth_transcripts(spark, n_convs=30, base_turns=6)
+    full = build_graph(t, cfg)
+    deleted = t.select("conv_id").distinct().filter(
+        F.pmod(F.xxhash64("conv_id"), F.lit(3)) == 0
+    )
+    assert deleted.count() > 0
+    got_nodes, got_edges = M.retract_conversations(full["raw_records"], deleted)
+
+    retained = t.join(deleted, "conv_id", "left_anti")
+    want = build_graph(retained, cfg)
+    assert _sorted_rows(got_edges) == _sorted_rows(want["edges"])
+    # node rows carry array columns — normalize to tuples-of-sorted
+    norm = lambda df: sorted(  # noqa: E731
+        (r.title, r.type, r.description, tuple(sorted(r.source_id)))
+        for r in df.collect()
+    )
+    assert norm(got_nodes) == norm(want["nodes"])
+
+    # empty delete set: identity
+    none_deleted = deleted.limit(0)
+    id_nodes, id_edges = M.retract_conversations(full["raw_records"], none_deleted)
+    assert _sorted_rows(id_edges) == _sorted_rows(full["edges"])

@@ -85,6 +85,7 @@ AUDIT = [
     ("edge_pmi", "bit-length PMI re-weighting (two degree joins)"),
     ("negative_samples", "perm-family corruption + broadcast node map + anti-join"),
     ("jp_coloring", "Jones-Plassmann rounds (min-agg + peel, color by round)"),
+    ("kg_retract", "conv anti-join on persisted records + re-merge (no re-extract)"),
 ]
 
 PY_NODES = (
