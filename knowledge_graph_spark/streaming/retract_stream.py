@@ -1,0 +1,197 @@
+"""Structured-Streaming KG maintenance WITH DELETES (CDC-style).
+
+``streaming/incremental.py`` folds arriving transcript partitions into
+the node/edge tables but — like the reference's extract-stage union
+(utils/graph.py:68-115) — only ever ADDS.  A production corpus also
+receives deletes (user-data removal, contaminated-source takedowns),
+and at 10^12-turn scale a delete must not re-run extraction.  This sink
+keeps the per-chunk RECORD STREAM alongside the graph tables, so:
+
+- insert batches stay cheap: build_graph on the micro-batch, graph
+  union against the committed tables, and the batch's ``raw_records``
+  land as ONE new record segment (append cost O(batch), never a
+  rewrite of the accumulated records);
+- delete batches (a stream of conv_ids) anti-join the accumulated
+  record segments and re-run the MERGE ONLY (``merge.
+  retract_conversations`` semantics): one conv-keyed anti-join + the
+  standard name-keyed merge shuffle, extraction untouched.  The fold
+  also compacts the record segments to the retained set, so segment
+  count is bounded by inserts since the last delete.
+
+Semantics note (documented contract): a delete REBASES the graph to the
+canonical merged form — parse_and_merge over the retained records —
+which drops the union's ``Old Information---/New Information---``
+framing accumulated by earlier insert folds.  That is exactly the graph
+a from-scratch rebuild on the retained corpus produces (the ``kg_
+retract`` gate proves this equality cross-engine), and the framing is
+presentation-layer provenance, not merge state.
+
+Commit protocol mirrors streaming/incremental.py: every fold writes
+fresh ``__v{k+1}`` / segment tables (never overwriting what it read),
+then publishes with ONE marker write recording (version, the record
+segment list, and per-lineage epochs — insert and delete queries are
+separate streams with separate checkpoints, so each carries its own
+lineage id).  Crash before the marker → replay redoes the fold from
+v{k}; replay of a committed epoch is skipped.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import TableIO
+from ..operators.merge import incremental_union_edges, incremental_union_nodes
+from ..operators.parse import parse_and_merge
+from ..pipeline import PipelineConfig, build_graph
+from .incremental import stream_transcripts  # noqa: F401  (re-export for callers)
+
+DELETE_DDL = "conv_id string"
+
+CDC_MARKER = "_stream/kg_cdc_commit.json"
+
+
+def stream_deletes(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DELETE_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+
+def _state(io: TableIO) -> dict | None:
+    text = io.read_text(CDC_MARKER)
+    return json.loads(text) if text is not None else None
+
+
+def read_current_kg(io: TableIO, name: str) -> DataFrame:
+    """Committed version of 'nodes' or 'edges' (marker-resolved, so a
+    fold that crashed mid-write is invisible)."""
+    state = _state(io)
+    if state is None:
+        raise FileNotFoundError(f"no committed kg-cdc state under {io.base}")
+    return io.read(f"{name}__v{state['version']}")
+
+
+def _committed(state: dict | None, lineage: str, epoch_id: int) -> bool:
+    if state is None:
+        return False
+    return int(epoch_id) <= int(state.get("epochs", {}).get(lineage, -1))
+
+
+def _publish(
+    io: TableIO, state: dict | None, lineage: str, epoch_id: int, version: int, segments: list[str]
+) -> None:
+    epochs = dict((state or {}).get("epochs", {}))
+    epochs[lineage] = int(epoch_id)
+    io.write_text(
+        CDC_MARKER,
+        json.dumps({"version": version, "segments": segments, "epochs": epochs}),
+    )
+
+
+def fold_insert_batch(
+    io: TableIO,
+    batch_df: DataFrame,
+    cfg: PipelineConfig,
+    epoch_id: int,
+    lineage: str = "",
+) -> None:
+    """Insert micro-batch: graph union + ONE new record segment."""
+    state = _state(io)
+    if _committed(state, lineage, epoch_id):
+        return
+    k = int(state["version"]) if state is not None else -1
+    segments = list((state or {}).get("segments", []))
+    stages = build_graph(batch_df, cfg)
+    records = stages["raw_records"].persist()
+    new_nodes = stages["nodes"].persist()
+    new_edges = stages["edges"].persist()
+    seg = f"records__s{k + 1}"
+    io.write(records, seg)
+    if k >= 0:
+        merged_nodes = incremental_union_nodes(io.read(f"nodes__v{k}"), new_nodes)
+        merged_edges = incremental_union_edges(io.read(f"edges__v{k}"), new_edges)
+    else:
+        merged_nodes, merged_edges = new_nodes, new_edges
+    io.write(merged_nodes, f"nodes__v{k + 1}")
+    io.write(merged_edges, f"edges__v{k + 1}")
+    _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
+    for df in (records, new_nodes, new_edges):
+        df.unpersist()
+
+
+def fold_delete_batch(
+    io: TableIO,
+    batch_df: DataFrame,
+    epoch_id: int,
+    lineage: str = "",
+) -> None:
+    """Delete micro-batch (conv_ids): anti-join the record segments,
+    re-merge, compact — extraction never re-runs."""
+    state = _state(io)
+    if _committed(state, lineage, epoch_id):
+        return
+    if state is None or not state.get("segments"):
+        # nothing ingested yet — record the epoch so a replay skips
+        _publish(io, state, lineage, epoch_id, int((state or {}).get("version", -1)), [])
+        return
+    k = int(state["version"])
+    old_segments = list(state["segments"])
+    records = None
+    for seg in old_segments:
+        part = io.read(seg)
+        records = part if records is None else records.unionByName(part)
+    deleted = batch_df.select("conv_id").distinct()
+    kept = records.join(deleted, "conv_id", "left_anti").persist()
+    compact = f"records__s{k + 1}c"
+    io.write(kept, compact)
+    nodes, edges = parse_and_merge(io.read(compact), persist_intermediate=True)
+    io.write(nodes, f"nodes__v{k + 1}")
+    io.write(edges, f"edges__v{k + 1}")
+    _publish(io, state, lineage, epoch_id, k + 1, [compact])
+    kept.unpersist()
+    for seg in old_segments:  # superseded by the compact segment
+        try:
+            io.delete(seg)
+        except Exception:
+            pass
+
+
+def run_kg_cdc(
+    spark: SparkSession,
+    insert_dir: str,
+    delete_dir: str | None,
+    io: TableIO,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+):
+    """Drain the insert stream, then (if delete_dir is given) the delete
+    stream — availableNow triggers, sequential so a delete observes every
+    insert that preceded it in the input directories.  Each query keeps
+    its own checkpoint sublocation = its own lineage id."""
+    cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
+    ins_ckpt = f"{checkpoint_dir}/inserts"
+    q = (
+        stream_transcripts(spark, insert_dir)
+        .writeStream.foreachBatch(
+            lambda df, e: fold_insert_batch(io, df, cfg, e, lineage=ins_ckpt)
+        )
+        .option("checkpointLocation", ins_ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if delete_dir is not None:
+        del_ckpt = f"{checkpoint_dir}/deletes"
+        q = (
+            stream_deletes(spark, delete_dir)
+            .writeStream.foreachBatch(
+                lambda df, e: fold_delete_batch(io, df, e, lineage=del_ckpt)
+            )
+            .option("checkpointLocation", del_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -1,0 +1,114 @@
+"""CDC-style streaming KG maintenance with deletes (retract_stream).
+
+Contract under test: inserts fold like streaming/incremental.py (graph
+union + one appended record segment per batch), a delete batch rebases
+the graph to parse_and_merge over the retained record segments — which
+must be BIT-IDENTICAL to a ground-up batch rebuild on the retained
+transcripts (the same equality the batch ``kg_retract`` gate proves
+cross-engine) — and the versioned-marker commit protocol keeps replays
+idempotent.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from knowledge_graph_spark.io import TableIO
+from knowledge_graph_spark.pipeline import PipelineConfig, build_graph
+from knowledge_graph_spark.streaming.incremental import TRANSCRIPT_DDL
+from knowledge_graph_spark.streaming.retract_stream import (
+    CDC_MARKER,
+    fold_delete_batch,
+    fold_insert_batch,
+    read_current_kg,
+    run_kg_cdc,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+CFG = PipelineConfig(chunk_size=64, chunk_overlap=8, tokenizer="ws")
+
+
+def _batch(spark, conv, mentions):
+    rows = [
+        (conv, i, "user", f"{m} met {mentions[0]} here", "", TS + datetime.timedelta(minutes=i))
+        for i, m in enumerate(mentions)
+    ]
+    return spark.createDataFrame(rows, TRANSCRIPT_DDL)
+
+
+def _nodes_dict(df):
+    return {r.title: r.asDict() for r in df.collect()}
+
+
+def _edges_dict(df):
+    return {(r.source, r.target): r.asDict() for r in df.collect()}
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_delete_equals_rebuild(spark, tmp_path):
+    ins = str(tmp_path / "ins")
+    dels = str(tmp_path / "dels")
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = _batch(spark, "c1", ["ALPHA", "BETA"])
+    b2 = _batch(spark, "c2", ["ALPHA", "GAMMA"])
+    b1.write.mode("append").parquet(ins)
+    run_kg_cdc(spark, ins, None, io, ckpt, CFG)
+    assert {"ALPHA", "BETA"} <= set(_nodes_dict(read_current_kg(io, "nodes")))
+
+    # second insert wave, then retract c1
+    b2.write.mode("append").parquet(ins)
+    spark.createDataFrame([("c1",)], "conv_id string").write.mode("append").parquet(dels)
+    run_kg_cdc(spark, ins, dels, io, ckpt, CFG)
+
+    got_nodes = _nodes_dict(read_current_kg(io, "nodes"))
+    got_edges = _edges_dict(read_current_kg(io, "edges"))
+    assert "BETA" not in got_nodes  # only c1 mentioned BETA
+    # the delete REBASES: bit-identical to a from-scratch build on c2
+    stages = build_graph(b2, CFG)
+    assert got_nodes == _nodes_dict(stages["nodes"])
+    assert got_edges == _edges_dict(stages["edges"])
+
+    # segments compacted to ONE retained segment after the delete
+    state = json.loads(io.read_text(CDC_MARKER))
+    assert len(state["segments"]) == 1 and state["segments"][0].endswith("c")
+
+    # draining again with no new files is a no-op on both streams
+    before = (got_nodes, got_edges)
+    run_kg_cdc(spark, ins, dels, io, ckpt, CFG)
+    after = (
+        _nodes_dict(read_current_kg(io, "nodes")),
+        _edges_dict(read_current_kg(io, "edges")),
+    )
+    assert before == after
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_replay_idempotence(spark, tmp_path):
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0, lineage="ins")
+    fold_insert_batch(io, _batch(spark, "c2", ["GAMMA"]), CFG, 1, lineage="ins")
+    fold_delete_batch(io, spark.createDataFrame([("c1",)], "conv_id string"), 0, lineage="del")
+    state0 = json.loads(io.read_text(CDC_MARKER))
+    nodes0 = _nodes_dict(read_current_kg(io, "nodes"))
+    assert set(nodes0) == _committed_titles(io)
+
+    # replaying a COMMITTED epoch on either lineage is a no-op
+    fold_insert_batch(io, _batch(spark, "c2", ["GAMMA"]), CFG, 1, lineage="ins")
+    fold_delete_batch(io, spark.createDataFrame([("c1",)], "conv_id string"), 0, lineage="del")
+    assert json.loads(io.read_text(CDC_MARKER)) == state0
+    assert _nodes_dict(read_current_kg(io, "nodes")) == nodes0
+
+    # a delete arriving before ANY insert just records its epoch
+    io2 = TableIO(spark, base=str(tmp_path / "wh2"))
+    fold_delete_batch(io2, spark.createDataFrame([("cX",)], "conv_id string"), 0, lineage="del")
+    st = json.loads(io2.read_text(CDC_MARKER))
+    assert st["epochs"]["del"] == 0 and st["segments"] == []
+
+
+def _committed_titles(io):
+    return {r.title for r in read_current_kg(io, "nodes").collect()}
