@@ -1273,6 +1273,43 @@ def q_max_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(e, rounds=MM_ROUNDS)
 
 
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel-coarsening level of the KG (METIS / Leiden
+    aggregation step): contract the Israeli-Itai matching, collapse
+    parallel edges with summed weight, keep contracted-pair weight as
+    self-loops — the op that lets log|V| matching rounds shrink a
+    100-TB graph to an in-memory one."""
+    from knowledge_graph_spark.operators.graphops import (
+        coarsen_by_matching,
+        maximal_matching,
+    )
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target", "weight")
+    m = maximal_matching(e.select("source", "target"), rounds=MM_ROUNDS)
+    return coarsen_by_matching(e, m)
+
+
+LANGID_TOP = 64
+LANGID_HOLDOUT_MOD = 5
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained Cavnar-Trenkle character-trigram language ID: profiles
+    from the 4/5 training split (doc_id % 5 != 0), rank-weighted-overlap
+    classification of the held-out 1/5 — prediction, score, and a
+    ``correct`` bit per held-out document (the supervised twin of the
+    stopword ``lang_id`` heuristic used by text_profile)."""
+    from knowledge_graph_spark.operators.langid import (
+        langid_predict,
+        train_language_profiles,
+    )
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(LANGID_HOLDOUT_MOD)) != 0)
+    test = d.filter(F.pmod(F.col("doc_id"), F.lit(LANGID_HOLDOUT_MOD)) == 0)
+    return langid_predict(test, train_language_profiles(train, top_p=LANGID_TOP))
+
+
 BLOCK_TAU = 0.5
 
 
@@ -4296,7 +4333,7 @@ FROM tlp_base n JOIN tlp_l{rounds} l USING (title)
     return "".join(parts)
 
 
-def _mm_body(rounds: int = MM_ROUNDS) -> str:
+def _mm_body(rounds: int = MM_ROUNDS, as_cte: str | None = None) -> str:
     """Unrolled symmetric-proposal maximal matching over kg_edges —
     mirrors graphops.maximal_matching: per round each remaining node
     proposes its min-(perm_r(fingerprint), string)-key incident edge; an
@@ -4340,8 +4377,88 @@ mm_er{r} AS MATERIALIZED (
     union = "\nUNION ALL\n".join(
         f"SELECT source, target, round FROM mm_m{r}" for r in range(1, rounds + 1)
     )
-    parts.append(f"\n{union}\n")
+    if as_cte:
+        parts.append(f",\n{as_cte} AS MATERIALIZED (\n{union}\n)")
+    else:
+        parts.append(f"\n{union}\n")
     return "".join(parts)
+
+
+def _coarsen_body() -> str:
+    """Matching contraction over kg_edges — mirrors graphops.
+    coarsen_by_matching on top of the unrolled matching CTEs: matched
+    pairs collapse to their least endpoint, unmatched nodes stay, coarse
+    parallel edges aggregate (a==b rows are the contracted self-loops).
+    """
+    return (
+        _mm_body(as_cte="mm_res")
+        + """
+, co_map AS (
+  SELECT source AS node, source AS super FROM mm_res
+  UNION ALL SELECT target AS node, source AS super FROM mm_res
+),
+co_e AS (
+  SELECT coalesce(ms.super, e.source) AS msn,
+         coalesce(mt.super, e.target) AS mtn,
+         e.weight AS w0
+  FROM kg_edges e
+  LEFT JOIN co_map ms ON e.source = ms.node
+  LEFT JOIN co_map mt ON e.target = mt.node
+)
+SELECT least(msn, mtn) AS a, greatest(msn, mtn) AS b,
+       CAST(sum(w0) AS DOUBLE) AS w, CAST(count(*) AS BIGINT) AS n_multi
+FROM co_e GROUP BY least(msn, mtn), greatest(msn, mtn)
+"""
+    )
+
+
+_LANGID_SQL = f"""
+WITH lg AS (
+  SELECT doc_id, lang, g AS gram
+  FROM documents,
+  LATERAL unnest(list_transform(range(1, length(lower(text)) - 1),
+                 i -> substr(lower(text), CAST(i AS INT), 3))) AS u(g)
+),
+prof AS (
+  SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM lg WHERE doc_id % {LANGID_HOLDOUT_MOD} != 0 GROUP BY lang, gram
+),
+ranked AS (
+  SELECT lang AS cand_lang, gram, CAST({LANGID_TOP} + 1 - rk AS BIGINT) AS w
+  FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rk
+    FROM prof)
+  WHERE rk <= {LANGID_TOP}
+),
+test_g AS (
+  SELECT DISTINCT doc_id, lang, gram FROM lg
+  WHERE doc_id % {LANGID_HOLDOUT_MOD} = 0
+),
+sc AS (
+  SELECT t.doc_id, r.cand_lang,
+         CAST(sum(r.w) AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_hits
+  FROM test_g t JOIN ranked r USING (gram)
+  GROUP BY t.doc_id, r.cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS pred_lang, score, n_hits
+  FROM (
+    SELECT sc.*,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand_lang) AS rn
+    FROM sc)
+  WHERE rn = 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.pred_lang, '') AS pred_lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(b.pred_lang, '') = d.lang
+                 THEN 1 ELSE 0 END AS INT) AS correct
+FROM documents d LEFT JOIN best b USING (doc_id)
+WHERE d.doc_id % {LANGID_HOLDOUT_MOD} = 0
+"""
 
 
 _BLOCKING_AUDIT_SQL = f"""
@@ -5912,6 +6029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_mixing": q_type_mixing,
         "typed_lpa": q_typed_lpa,
         "max_matching": q_max_matching,
+        "coarsen": q_coarsen,
+        "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
         "topic_segments": q_topic_segments,
@@ -6557,6 +6676,8 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
 """),
         "typed_lpa": _oracle(_tlp_body()),
         "max_matching": _oracle(_mm_body()),
+        "coarsen": _oracle(_coarsen_body()),
+        "langid": _LANGID_SQL,
         "blocking_audit": _BLOCKING_AUDIT_SQL,
         "comention_bursts": _oracle(_CB_BODY),
         "topic_segments": _oracle(_TSEG_BODY),

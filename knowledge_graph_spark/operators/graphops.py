@@ -1854,6 +1854,74 @@ def maximal_matching(
     return out
 
 
+def coarsen_by_matching(
+    edges: DataFrame,
+    matching: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Contract a matching into a coarse weighted graph → (a, b, w,
+    n_multi) with a <= b; a == b rows are the self-loops carrying the
+    contracted pairs' internal weight.
+
+    The aggregation step of multilevel graph partitioning (METIS,
+    Karypis & Kumar 1998) and of Leiden/Louvain-style hierarchy levels:
+    each matched (source, target) pair from ``maximal_matching`` becomes
+    one supernode named by its lexicographic-least endpoint, unmatched
+    nodes map to themselves, parallel coarse edges collapse with summed
+    weight (``n_multi`` counts the originals).  Applying matching +
+    contraction log|V| times is the standard-coarsening phase; because a
+    matching only merges ADJACENT nodes, every coarse edge corresponds
+    to a real fine-graph cut, so partition quality survives refinement.
+
+    Scale shape: the node→supernode map has one row per MATCHED node
+    (≤ |V|, typically far smaller) — too big to broadcast in general, so
+    endpoints resolve via two hash equi-joins keyed on the node id, then
+    one (a, b) groupBy with map-side combine.  No windows, no driver
+    state; weights are exact integer-valued doubles so the sum is
+    order-independent.
+    """
+    mapping = matching.select(
+        F.col("source").alias("node"), F.col("source").alias("super")
+    ).unionByName(
+        matching.select(F.col("target").alias("node"), F.col("source").alias("super"))
+    )
+    e = (
+        edges.join(
+            mapping.select(
+                F.col("node").alias("__sn"), F.col("super").alias("__ss")
+            ),
+            F.col(src) == F.col("__sn"),
+            "left",
+        )
+        .join(
+            mapping.select(
+                F.col("node").alias("__tn"), F.col("super").alias("__ts")
+            ),
+            F.col(dst) == F.col("__tn"),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("__ss"), F.col(src)).alias("ms"),
+            F.coalesce(F.col("__ts"), F.col(dst)).alias("mt"),
+            F.col(weight_col).alias("w0"),
+        )
+    )
+    return (
+        e.select(
+            F.least("ms", "mt").alias("a"),
+            F.greatest("ms", "mt").alias("b"),
+            "w0",
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("w0").cast("double").alias("w"),
+            F.count("*").alias("n_multi"),
+        )
+    )
+
+
 def edge_pmi(edges: DataFrame) -> DataFrame:
     """PMI re-weighting of the co-occurrence KG → (source, target, c_ab,
     pmi_bits): floor(log2( c_ab * N / (c_a * c_b) )) per edge, computed

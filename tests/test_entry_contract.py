@@ -124,6 +124,9 @@ CHECK = [
     "negative_samples",
     "jp_coloring",
     "kg_retract",
+    # wave 11: language-ID model + multilevel coarsening
+    "langid",
+    "coarsen",
 ]
 
 
