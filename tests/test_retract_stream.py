@@ -112,3 +112,29 @@ def test_kg_cdc_replay_idempotence(spark, tmp_path):
 
 def _committed_titles(io):
     return {r.title for r in read_current_kg(io, "nodes").collect()}
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_stream_job_cli_end_to_end_and_resume(spark, tmp_path):
+    """jobs/run_kg_stream.py: drain inserts + deletes, then re-run with
+    the same checkpoint — the second invocation must replay nothing."""
+    import jobs.run_kg_stream as job
+
+    ins, dels = str(tmp_path / "ins"), str(tmp_path / "dels")
+    _batch(spark, "c1", ["ALPHA", "BETA"]).write.mode("append").parquet(ins)
+    _batch(spark, "c2", ["ALPHA", "GAMMA"]).write.mode("append").parquet(ins)
+    spark.createDataFrame([("c1",)], "conv_id string").write.mode("append").parquet(dels)
+    argv = [
+        "--inserts", ins, "--deletes", dels,
+        "--output", str(tmp_path / "wh"), "--checkpoint", str(tmp_path / "ckpt"),
+        "--chunk-size", "64", "--chunk-overlap", "8",
+    ]
+    assert job.main(argv) == 0
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    state1 = json.loads(io.read_text(CDC_MARKER))
+    titles1 = _committed_titles(io)
+    assert "BETA" not in titles1 and {"ALPHA", "GAMMA"} <= titles1
+
+    assert job.main(argv) == 0  # resume: no new files, no new versions
+    assert json.loads(io.read_text(CDC_MARKER)) == state1
+    assert _committed_titles(io) == titles1
