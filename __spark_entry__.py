@@ -1289,6 +1289,17 @@ def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_by_matching(e, m)
 
 
+def q_coarsen_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level multilevel coarsening (the METIS V-cycle descent, two
+    alternations of matching + contraction) — n_multi carries ORIGINAL
+    edge provenance through both levels, so the coarse table still
+    accounts for every fine edge."""
+    from knowledge_graph_spark.operators.graphops import coarsen_hierarchy
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target", "weight")
+    return coarsen_hierarchy(e, levels=2, rounds=MM_ROUNDS)
+
+
 LANGID_TOP = 64
 LANGID_HOLDOUT_MOD = 5
 
@@ -4333,49 +4344,57 @@ FROM tlp_base n JOIN tlp_l{rounds} l USING (title)
     return "".join(parts)
 
 
-def _mm_body(rounds: int = MM_ROUNDS, as_cte: str | None = None) -> str:
-    """Unrolled symmetric-proposal maximal matching over kg_edges —
-    mirrors graphops.maximal_matching: per round each remaining node
-    proposes its min-(perm_r(fingerprint), string)-key incident edge; an
-    edge matches iff proposed by BOTH endpoints (exactly 2 of its
-    directed rows join the proposal table)."""
+def _mm_body(
+    rounds: int = MM_ROUNDS,
+    as_cte: str | None = None,
+    src: str = "kg_edges",
+    prefix: str = "mm",
+) -> str:
+    """Unrolled symmetric-proposal maximal matching over ``src`` (any
+    CTE/table exposing source/target columns) — mirrors graphops.
+    maximal_matching: per round each remaining node proposes its
+    min-(perm_r(fingerprint), string)-key incident edge; an edge matches
+    iff proposed by BOTH endpoints (exactly 2 of its directed rows join
+    the proposal table).  ``prefix`` namespaces the CTEs so two matching
+    levels can coexist in one oracle (the coarsening hierarchy)."""
     poly = _POLY.format(s="estr")
+    p = prefix
     parts = [
-        """
-, mm_e0 AS (
+        f"""
+, {p}_e0 AS (
   SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
-  FROM kg_edges WHERE source <> target),
-mm_s0 AS (SELECT a, b, a || '|' || b AS estr FROM mm_e0),
+  FROM {src} WHERE source <> target),
+{p}_s0 AS (SELECT a, b, a || '|' || b AS estr FROM {p}_e0),
 """
-        + f"mm_k0 AS (SELECT a, b, estr, {poly} AS ex FROM mm_s0),"
-        + """
-mm_er0 AS MATERIALIZED (
-  SELECT a, b, ex, estr FROM mm_k0
-  UNION ALL SELECT b, a, ex, estr FROM mm_k0)"""
+        + f"{p}_k0 AS (SELECT a, b, estr, {poly} AS ex FROM {p}_s0),"
+        + f"""
+{p}_er0 AS MATERIALIZED (
+  SELECT a, b, ex, estr FROM {p}_k0
+  UNION ALL SELECT b, a, ex, estr FROM {p}_k0)"""
     ]
     for r in range(1, rounds + 1):
         pri = _perm("ex", str(r))
         parts.append(
             f""",
-mm_key{r} AS (SELECT a, b, estr, {pri} AS pri FROM mm_er{r - 1}),
-mm_prop{r} AS (
+{p}_key{r} AS (SELECT a, b, estr, {pri} AS pri FROM {p}_er{r - 1}),
+{p}_prop{r} AS (
   SELECT a, estr AS pestr FROM (
     SELECT a, estr, row_number() OVER (PARTITION BY a ORDER BY pri, estr) AS rn
-    FROM mm_key{r}) WHERE rn = 1),
-mm_m{r} AS MATERIALIZED (
+    FROM {p}_key{r}) WHERE rn = 1),
+{p}_m{r} AS MATERIALIZED (
   SELECT min(least(k.a, k.b)) AS source, min(greatest(k.a, k.b)) AS target,
          CAST({r} AS INT) AS round
-  FROM mm_key{r} k JOIN mm_prop{r} p ON k.a = p.a AND k.estr = p.pestr
+  FROM {p}_key{r} k JOIN {p}_prop{r} p ON k.a = p.a AND k.estr = p.pestr
   GROUP BY k.estr HAVING count(*) = 2),
-mm_mn{r} AS (SELECT source AS n FROM mm_m{r}
-             UNION ALL SELECT target FROM mm_m{r}),
-mm_er{r} AS MATERIALIZED (
-  SELECT e.* FROM mm_er{r - 1} e
-  WHERE e.a NOT IN (SELECT n FROM mm_mn{r})
-    AND e.b NOT IN (SELECT n FROM mm_mn{r}))"""
+{p}_mn{r} AS (SELECT source AS n FROM {p}_m{r}
+             UNION ALL SELECT target FROM {p}_m{r}),
+{p}_er{r} AS MATERIALIZED (
+  SELECT e.* FROM {p}_er{r - 1} e
+  WHERE e.a NOT IN (SELECT n FROM {p}_mn{r})
+    AND e.b NOT IN (SELECT n FROM {p}_mn{r}))"""
         )
     union = "\nUNION ALL\n".join(
-        f"SELECT source, target, round FROM mm_m{r}" for r in range(1, rounds + 1)
+        f"SELECT source, target, round FROM {p}_m{r}" for r in range(1, rounds + 1)
     )
     if as_cte:
         parts.append(f",\n{as_cte} AS MATERIALIZED (\n{union}\n)")
@@ -4408,6 +4427,55 @@ co_e AS (
 SELECT least(msn, mtn) AS a, greatest(msn, mtn) AS b,
        CAST(sum(w0) AS DOUBLE) AS w, CAST(count(*) AS BIGINT) AS n_multi
 FROM co_e GROUP BY least(msn, mtn), greatest(msn, mtn)
+"""
+    )
+
+
+def _coarsen_hier_body() -> str:
+    """Two-level matching-contraction — mirrors graphops.
+    coarsen_hierarchy: level-1 matching over kg_edges + contraction
+    (fine-edge counts), then a SECOND matching over the level-1 coarse
+    non-self-loop edges (namespaced CTEs) + contraction that SUMS the
+    carried n_multi so original-edge provenance survives."""
+    return (
+        _mm_body(as_cte="mm_res")
+        + """
+, co_map AS (
+  SELECT source AS node, source AS super FROM mm_res
+  UNION ALL SELECT target AS node, source AS super FROM mm_res
+),
+co_e AS (
+  SELECT coalesce(ms.super, e.source) AS msn,
+         coalesce(mt.super, e.target) AS mtn,
+         e.weight AS w0
+  FROM kg_edges e
+  LEFT JOIN co_map ms ON e.source = ms.node
+  LEFT JOIN co_map mt ON e.target = mt.node
+),
+co1 AS MATERIALIZED (
+  SELECT least(msn, mtn) AS a, greatest(msn, mtn) AS b,
+         CAST(sum(w0) AS DOUBLE) AS w, CAST(count(*) AS BIGINT) AS n_multi
+  FROM co_e GROUP BY least(msn, mtn), greatest(msn, mtn)
+),
+co1e AS (SELECT a AS source, b AS target FROM co1 WHERE a <> b)
+"""
+        + _mm_body(as_cte="m2_res", src="co1e", prefix="m2")
+        + """
+, co_map2 AS (
+  SELECT source AS node, source AS super FROM m2_res
+  UNION ALL SELECT target AS node, source AS super FROM m2_res
+),
+co_e2 AS (
+  SELECT coalesce(ms.super, e.a) AS msn,
+         coalesce(mt.super, e.b) AS mtn,
+         e.w AS w0, e.n_multi AS c0
+  FROM co1 e
+  LEFT JOIN co_map2 ms ON e.a = ms.node
+  LEFT JOIN co_map2 mt ON e.b = mt.node
+)
+SELECT least(msn, mtn) AS a, greatest(msn, mtn) AS b,
+       CAST(sum(w0) AS DOUBLE) AS w, CAST(sum(c0) AS BIGINT) AS n_multi
+FROM co_e2 GROUP BY least(msn, mtn), greatest(msn, mtn)
 """
     )
 
@@ -6030,6 +6098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_lpa": q_typed_lpa,
         "max_matching": q_max_matching,
         "coarsen": q_coarsen,
+        "coarsen_l2": q_coarsen_l2,
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
@@ -6677,6 +6746,7 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "typed_lpa": _oracle(_tlp_body()),
         "max_matching": _oracle(_mm_body()),
         "coarsen": _oracle(_coarsen_body()),
+        "coarsen_l2": _oracle(_coarsen_hier_body()),
         "langid": _LANGID_SQL,
         "blocking_audit": _BLOCKING_AUDIT_SQL,
         "comention_bursts": _oracle(_CB_BODY),

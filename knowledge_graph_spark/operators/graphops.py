@@ -1860,6 +1860,7 @@ def coarsen_by_matching(
     src: str = "source",
     dst: str = "target",
     weight_col: str = "weight",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Contract a matching into a coarse weighted graph → (a, b, w,
     n_multi) with a <= b; a == b rows are the self-loops carrying the
@@ -1870,7 +1871,9 @@ def coarsen_by_matching(
     each matched (source, target) pair from ``maximal_matching`` becomes
     one supernode named by its lexicographic-least endpoint, unmatched
     nodes map to themselves, parallel coarse edges collapse with summed
-    weight (``n_multi`` counts the originals).  Applying matching +
+    weight (``n_multi`` counts the originals; pass ``count_col`` when the
+    input is itself a coarse level so FINE-edge provenance sums through —
+    what ``coarsen_hierarchy`` does).  Applying matching +
     contraction log|V| times is the standard-coarsening phase; because a
     matching only merges ADJACENT nodes, every coarse edge corresponds
     to a real fine-graph cut, so partition quality survives refinement.
@@ -1906,6 +1909,7 @@ def coarsen_by_matching(
             F.coalesce(F.col("__ss"), F.col(src)).alias("ms"),
             F.coalesce(F.col("__ts"), F.col(dst)).alias("mt"),
             F.col(weight_col).alias("w0"),
+            (F.col(count_col) if count_col else F.lit(1)).alias("c0"),
         )
     )
     return (
@@ -1913,13 +1917,59 @@ def coarsen_by_matching(
             F.least("ms", "mt").alias("a"),
             F.greatest("ms", "mt").alias("b"),
             "w0",
+            "c0",
         )
         .groupBy("a", "b")
         .agg(
             F.sum("w0").cast("double").alias("w"),
-            F.count("*").alias("n_multi"),
+            F.sum("c0").cast("bigint").alias("n_multi"),
         )
     )
+
+
+def coarsen_hierarchy(
+    edges: DataFrame,
+    levels: int = 2,
+    rounds: int = 4,
+    src: str = "source",
+    dst: str = "target",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """The full multilevel-coarsening phase: ``levels`` alternations of
+    maximal matching + contraction → the level-``levels`` coarse edge
+    table (a, b, w, n_multi), where ``n_multi`` counts ORIGINAL fine
+    edges (provenance sums through every level) and ``w`` their total
+    weight.
+
+    Matching only pairs adjacent non-self-loop nodes, so each level
+    roughly halves the vertex set where the matching is dense — log|V|
+    levels shrink a cluster-resident graph to a driver-sized one, the
+    standard METIS V-cycle descent.  Self-loops accumulated at earlier
+    levels are carried through contraction (their endpoint just follows
+    its supernode) but excluded from the next level's matching input.
+
+    Scale shape per level: one fixed-round matching (see
+    ``maximal_matching``) + one contraction (two hash joins + groupBy);
+    each level's edge table is strictly smaller, so the total cost is a
+    geometric series dominated by level 1.
+    """
+    cur = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.lit(1).cast("bigint").alias("n_multi"),
+    )
+    for _ in range(levels):
+        m = maximal_matching(
+            cur.filter(F.col("a") != F.col("b")).select(
+                F.col("a").alias("source"), F.col("b").alias("target")
+            ),
+            rounds=rounds,
+        )
+        cur = coarsen_by_matching(
+            cur, m, src="a", dst="b", weight_col="w", count_col="n_multi"
+        ).localCheckpoint(eager=True)
+    return cur
 
 
 def edge_pmi(edges: DataFrame) -> DataFrame:

@@ -127,6 +127,7 @@ CHECK = [
     # wave 11: language-ID model + multilevel coarsening
     "langid",
     "coarsen",
+    "coarsen_l2",
 ]
 
 

@@ -114,6 +114,45 @@ def test_coarsen_invariants_on_matching(spark):
     assert len(endpoints) == len(fine_nodes) - m.count()
 
 
+def test_coarsen_hierarchy_conserves_and_shrinks(spark):
+    from knowledge_graph_spark.operators.graphops import coarsen_hierarchy
+
+    rows = []
+    for i in range(40):
+        rows.append((f"n{i}", f"n{(i + 1) % 40}", 2.0))
+        rows.append((f"n{i}", f"n{(i + 9) % 40}", 1.0))
+    e = _edges(spark, rows)
+    l1 = coarsen_hierarchy(e, levels=1)
+    l2 = coarsen_hierarchy(e, levels=2)
+    # provenance: every original edge accounted for at every level
+    assert l1.agg(F.sum("n_multi")).first()[0] == 80
+    assert l2.agg(F.sum("n_multi")).first()[0] == 80
+    assert abs(l2.agg(F.sum("w")).first()[0] - 120.0) < 1e-9
+    # each level strictly shrinks the vertex set (matching is non-empty
+    # on this dense ring)
+    def n_nodes(df):
+        return len({r.a for r in df.collect()} | {r.b for r in df.collect()})
+    assert n_nodes(l2) < n_nodes(l1) < 40
+    # level-2 == manual compose: match+contract the level-1 output
+    from knowledge_graph_spark.operators.graphops import (
+        coarsen_by_matching,
+        maximal_matching,
+    )
+
+    m2 = maximal_matching(
+        l1.filter(F.col("a") != F.col("b")).select(
+            F.col("a").alias("source"), F.col("b").alias("target")
+        ),
+        rounds=4,
+    )
+    manual = coarsen_by_matching(
+        l1, m2, src="a", dst="b", weight_col="w", count_col="n_multi"
+    )
+    got = {(r.a, r.b): (r.w, r.n_multi) for r in l2.collect()}
+    want = {(r.a, r.b): (r.w, r.n_multi) for r in manual.collect()}
+    assert got == want
+
+
 def test_coarsen_empty_matching_is_canonicalization(spark):
     from knowledge_graph_spark.operators.graphops import coarsen_by_matching
 
