@@ -47,8 +47,8 @@ HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v,katz,truss,hits,
-# widest,typed,match,jp,mis} — e.g. the 10M-edge probe runs "cc,pagerank"
-# to bound wall clock
+# widest,typed,match,jp,mis,coarsen} — e.g. the 10M-edge probe runs
+# "cc,pagerank" to bound wall clock
 OPS = set(
     os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
 )
@@ -267,6 +267,14 @@ def main() -> None:
 
         timed(
             "max_matching", lambda rl: maximal_matching(edges, rounds=4).count()
+        )
+    if "coarsen" in OPS:
+        from knowledge_graph_spark.operators.graphops import coarsen_hierarchy
+
+        we = edges.withColumn("weight", F.lit(1.0))
+        timed(
+            "coarsen_l2",
+            lambda rl: coarsen_hierarchy(we, levels=2, rounds=4).count(),
         )
     if "jp" in OPS:
         from knowledge_graph_spark.operators.graphops import jp_coloring

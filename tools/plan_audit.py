@@ -86,6 +86,8 @@ AUDIT = [
     ("negative_samples", "perm-family corruption + broadcast node map + anti-join"),
     ("jp_coloring", "Jones-Plassmann rounds (min-agg + peel, color by round)"),
     ("kg_retract", "conv anti-join on persisted records + re-merge (no re-extract)"),
+    ("coarsen_l2", "two-level matching contraction (map joins + provenance sums)"),
+    ("langid", "trigram profile train (WindowGroupLimit) + broadcast apply"),
 ]
 
 PY_NODES = (
