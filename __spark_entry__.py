@@ -1300,6 +1300,21 @@ def q_coarsen_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_hierarchy(e, levels=2, rounds=MM_ROUNDS)
 
 
+PA_PARTS = 32
+
+
+def q_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-partitioning strategy audit over the KG: hash-by-source vs
+    random vertex-cut vs degree-based hashing (Xie et al. 2014) at 32
+    parts — mean vertex replication and load imbalance as exact-integer
+    micros.  The shard-the-edge-list decision every 100-TB kernel rides
+    on, measured instead of assumed."""
+    from knowledge_graph_spark.operators.graphops import edge_partition_audit
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    return edge_partition_audit(e, n_parts=PA_PARTS)
+
+
 LANGID_TOP = 64
 LANGID_HOLDOUT_MOD = 5
 
@@ -4480,6 +4495,57 @@ FROM co_e2 GROUP BY least(msn, mtn), greatest(msn, mtn)
     )
 
 
+_PA_POLY_A = _POLY.format(s="a")
+_PA_POLY_AB = _POLY.format(s="a || '|' || b")
+_PA_POLY_CUT = _POLY.format(
+    s="CASE WHEN da < db THEN a WHEN db < da THEN b ELSE least(a, b) END"
+)
+
+_PARTITION_AUDIT_BODY = f"""
+, pa_deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT source AS node FROM kg_edges
+    UNION ALL SELECT target FROM kg_edges
+  ) GROUP BY node
+),
+pa_e AS MATERIALIZED (
+  SELECT e.source AS a, e.target AS b, da.deg AS da, db.deg AS db
+  FROM kg_edges e
+  JOIN pa_deg da ON e.source = da.node
+  JOIN pa_deg db ON e.target = db.node
+),
+pa_parts AS MATERIALIZED (
+  SELECT 'src_hash' AS strategy, a, b, {_PA_POLY_A} % {PA_PARTS} AS part FROM pa_e
+  UNION ALL
+  SELECT 'edge_hash', a, b, {_PA_POLY_AB} % {PA_PARTS} FROM pa_e
+  UNION ALL
+  SELECT 'dbh', a, b, {_PA_POLY_CUT} % {PA_PARTS} FROM pa_e
+),
+pa_np AS (
+  SELECT DISTINCT strategy, part, node FROM (
+    SELECT strategy, part, a AS node FROM pa_parts
+    UNION ALL SELECT strategy, part, b FROM pa_parts
+  )
+),
+pa_repl AS (
+  SELECT strategy,
+         CAST((count(*) * 1000000) // count(DISTINCT node) AS BIGINT) AS repl_micro
+  FROM pa_np GROUP BY strategy
+),
+pa_load AS (
+  SELECT strategy, part, CAST(count(*) AS BIGINT) AS n
+  FROM pa_parts GROUP BY strategy, part
+),
+pa_m AS (
+  SELECT strategy, CAST(max(n) AS BIGINT) AS max_load, CAST(sum(n) AS BIGINT) AS n_e
+  FROM pa_load GROUP BY strategy
+)
+SELECT r.strategy, r.repl_micro, m.max_load,
+       CAST((m.max_load * {PA_PARTS} * 1000000) // m.n_e AS BIGINT) AS imb_micro
+FROM pa_repl r JOIN pa_m m USING (strategy)
+"""
+
+
 _LANGID_SQL = f"""
 WITH lg AS (
   SELECT doc_id, lang, g AS gram
@@ -6099,6 +6165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_matching": q_max_matching,
         "coarsen": q_coarsen,
         "coarsen_l2": q_coarsen_l2,
+        "partition_audit": q_partition_audit,
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
@@ -6747,6 +6814,7 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "max_matching": _oracle(_mm_body()),
         "coarsen": _oracle(_coarsen_body()),
         "coarsen_l2": _oracle(_coarsen_hier_body()),
+        "partition_audit": _oracle(_PARTITION_AUDIT_BODY),
         "langid": _LANGID_SQL,
         "blocking_audit": _BLOCKING_AUDIT_SQL,
         "comention_bursts": _oracle(_CB_BODY),

@@ -1972,6 +1972,102 @@ def coarsen_hierarchy(
     return cur
 
 
+def edge_partition_audit(
+    edges: DataFrame,
+    n_parts: int = 32,
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Compare edge-partitioning strategies for a distributed graph →
+    one row per strategy: (strategy, repl_micro, max_load, imb_micro).
+
+    The decision this audits is THE 100-TB graph question: how to shard
+    the edge list so iterative kernels shuffle least.  Three standard
+    strategies, each placing every edge in one of ``n_parts`` buckets by
+    the shared fingerprint family:
+
+    - ``src_hash``   — part = h(source): the plain hash partitioner
+      every groupBy uses; a hub's whole fan-out lands in ONE part.
+    - ``edge_hash``  — part = h(source||target): random vertex-cut
+      (PowerGraph's baseline) — perfect load, worst replication.
+    - ``dbh``        — part = h(lower-degree endpoint) (degree-based
+      hashing, Xie et al. 2014): cuts the HIGH-degree vertex, so hubs
+      spread across parts while low-degree vertices stay whole.
+
+    Metrics (all exact integers; micro = floor(1e6·ratio)):
+    ``repl_micro`` = mean vertex replication factor — Σ_v |parts
+    touching v| / |V| — the PowerGraph communication-cost proxy;
+    ``max_load`` = edges in the fullest part; ``imb_micro`` =
+    max_load · n_parts / |E| (1e6 = perfectly balanced).
+
+    Scale shape: degrees are one symmetric groupBy; the two degree
+    lookups are node-keyed hash equi-joins (|V|-sized — broadcast only
+    when small); each strategy is then a row-local part assignment
+    followed by a (node, part) distinct + two tiny aggregates — nothing
+    driver-side.
+    """
+    from ..functions.textqc import rolling_fingerprint
+
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    p = F.lit(n_parts)
+    cut = (
+        F.when(F.col("da") < F.col("db"), F.col("a"))
+        .when(F.col("db") < F.col("da"), F.col("b"))
+        .otherwise(F.least("a", "b"))
+    )
+    parts = {
+        "src_hash": F.pmod(rolling_fingerprint(F.col("a")), p),
+        "edge_hash": F.pmod(
+            rolling_fingerprint(F.concat_ws("|", "a", "b")), p
+        ),
+        "dbh": F.pmod(rolling_fingerprint(cut), p),
+    }
+    out = None
+    for name, part in parts.items():
+        pe = e.select(
+            F.lit(name).alias("strategy"), "a", "b", part.alias("part")
+        ).persist()
+        np_pairs = (
+            pe.select("part", F.col("a").alias("node"))
+            .unionByName(pe.select("part", F.col("b").alias("node")))
+            .distinct()
+        )
+        repl = np_pairs.agg(
+            F.count("*").alias("pairs"),
+            F.countDistinct("node").alias("n_v"),
+        ).select(
+            # integer div: exact at any scale (float div drifts past 2^53)
+            F.expr("(pairs * 1000000) div n_v").cast("bigint").alias("repl_micro")
+        )
+        load = pe.groupBy("part").agg(F.count("*").alias("n")).agg(
+            F.max("n").alias("max_load"), F.sum("n").alias("n_e")
+        )
+        row = (
+            repl.crossJoin(load)
+            .select(
+                F.lit(name).alias("strategy"),
+                "repl_micro",
+                F.col("max_load").cast("bigint").alias("max_load"),
+                F.expr(f"(max_load * {n_parts} * 1000000) div n_e")
+                .cast("bigint")
+                .alias("imb_micro"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        pe.unpersist()
+    return out
+
+
 def edge_pmi(edges: DataFrame) -> DataFrame:
     """PMI re-weighting of the co-occurrence KG → (source, target, c_ab,
     pmi_bits): floor(log2( c_ab * N / (c_a * c_b) )) per edge, computed

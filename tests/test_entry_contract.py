@@ -128,6 +128,7 @@ CHECK = [
     "langid",
     "coarsen",
     "coarsen_l2",
+    "partition_audit",
 ]
 
 
