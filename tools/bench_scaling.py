@@ -104,15 +104,67 @@ def _load_samples() -> dict[int, list[dict]]:
     the best-per-level estimator only sharpens with samples, since a host
     burst can slow a run but nothing can make the deterministic job run
     faster than its true cost."""
-    out: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
+    rows: list[dict] = []
     if SAMPLES_LOG.exists():
         for line in SAMPLES_LOG.read_text().splitlines():
             r = json.loads(line)
-            if r["cpus"] in out:
+            if r["cpus"] in CPU_LEVELS:
+                rows.append(r)
+    # The log may hold several deliberate input sizes (e.g. the quarter-size
+    # Amdahl probe alongside the 4.1M-turn protocol).  The HEADLINE covers the
+    # LARGEST size present — that is where fixed serial costs are the smallest
+    # fraction of the 2-core wall, i.e. the truest parallel-scaling signal
+    # (the 1M-turn size carries a ~9 s serial floor ≈ 20% of its 2-core wall).
+    # SCALING_REPORT_TURNS overrides the choice explicitly.
+    out: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
+    if rows:
+        target = int(os.environ.get("SCALING_REPORT_TURNS", "0")) or max(
+            r["n_turns"] for r in rows
+        )
+        for r in rows:
+            if r["n_turns"] == target:
                 out[r["cpus"]].append(r)
-    turns = {r["n_turns"] for rs in out.values() for r in rs}
-    assert len(turns) <= 1, f"mixed input sizes in {SAMPLES_LOG}: {turns}"
     return out
+
+
+def _secondary_sizes(headline_turns: int) -> str:
+    """Markdown paragraph summarizing every OTHER input size in the sample
+    log — corroborating probes, each reported with its own best-per-level
+    efficiency so a smaller-size run never silently replaces the headline."""
+    by_size: dict[int, dict[int, list[float]]] = {}
+    if SAMPLES_LOG.exists():
+        for line in SAMPLES_LOG.read_text().splitlines():
+            r = json.loads(line)
+            if r["cpus"] in CPU_LEVELS and r["n_turns"] != headline_turns:
+                by_size.setdefault(r["n_turns"], {}).setdefault(r["cpus"], []).append(
+                    r["sec"]
+                )
+    lines = []
+    lo, mid, hi = CPU_LEVELS
+    for size in sorted(by_size):
+        lv = by_size[size]
+        if not all(c in lv for c in CPU_LEVELS):
+            continue
+        b = {c: min(lv[c]) for c in CPU_LEVELS}
+        e28 = round((b[lo] / b[mid]) / (mid / lo), 3)
+        e2_32 = round((b[lo] / b[hi]) / (hi / lo), 3)
+        lines.append(
+            f"- {size:,} turns ({sum(len(v) for v in lv.values())} samples): best "
+            f"local[2] {b[lo]:.1f}s / local[8] {b[mid]:.1f}s / local[32] {b[hi]:.1f}s "
+            f"— 2→8 efficiency **{e28}**, 2→32 {e2_32}."
+        )
+    if not lines:
+        return ""
+    return (
+        "Corroborating probes at other input sizes (same harness, same\n"
+        "materialized-bytes protocol).  Smaller sizes UNDER-state scaling:\n"
+        "the job carries a fixed serial floor (session setup, plan analysis,\n"
+        "stage scheduling — fitted at ~9 s in the round-2 Amdahl study),\n"
+        "which is ~20% of a 1M-turn 2-core wall but <5% at 4.1M turns, so\n"
+        "only the largest size isolates the parallel fraction:\n\n"
+        + "\n".join(lines)
+        + "\n\n"
+    )
 
 
 def main() -> None:
@@ -191,7 +243,11 @@ def main() -> None:
         "write) — resources a multi-executor cluster distributes.  The 2 -> 8\n"
         "window is the regime where added parallelism, not the host, is the\n"
         "limiting factor, so it is the honest N -> 4N evidence.\n\n"
-        "Reproduce: `python tools/bench_scaling.py`.\n"
+        + _secondary_sizes(best[mid]["n_turns"])
+        + "Reproduce: `SCALING_CONVS=60000 python tools/bench_scaling.py`\n"
+        "(the env pins the 4.1M-turn protocol size; smaller probes append to\n"
+        "the same log and surface in the corroborating list, never as the\n"
+        "headline).\n"
         + tail
     )
     print(f"wrote {md}")

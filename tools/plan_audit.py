@@ -88,6 +88,7 @@ AUDIT = [
     ("kg_retract", "conv anti-join on persisted records + re-merge (no re-extract)"),
     ("coarsen_l2", "two-level matching contraction (map joins + provenance sums)"),
     ("langid", "trigram profile train (WindowGroupLimit) + broadcast apply"),
+    ("partition_audit", "edge-partition strategies (src-hash/vertex-cut/DBH) scored in one pass"),
 ]
 
 PY_NODES = (
