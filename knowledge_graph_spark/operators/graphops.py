@@ -2025,47 +2025,51 @@ def edge_partition_audit(
         .when(F.col("db") < F.col("da"), F.col("b"))
         .otherwise(F.least("a", "b"))
     )
-    parts = {
-        "src_hash": F.pmod(rolling_fingerprint(F.col("a")), p),
-        "edge_hash": F.pmod(
-            rolling_fingerprint(F.concat_ws("|", "a", "b")), p
-        ),
-        "dbh": F.pmod(rolling_fingerprint(cut), p),
-    }
-    out = None
-    for name, part in parts.items():
-        pe = e.select(
-            F.lit(name).alias("strategy"), "a", "b", part.alias("part")
-        ).persist()
-        np_pairs = (
-            pe.select("part", F.col("a").alias("node"))
-            .unionByName(pe.select("part", F.col("b").alias("node")))
-            .distinct()
-        )
-        repl = np_pairs.agg(
-            F.count("*").alias("pairs"),
-            F.countDistinct("node").alias("n_v"),
-        ).select(
-            # integer div: exact at any scale (float div drifts past 2^53)
-            F.expr("(pairs * 1000000) div n_v").cast("bigint").alias("repl_micro")
-        )
-        load = pe.groupBy("part").agg(F.count("*").alias("n")).agg(
-            F.max("n").alias("max_load"), F.sum("n").alias("n_e")
-        )
-        row = (
-            repl.crossJoin(load)
-            .select(
-                F.lit(name).alias("strategy"),
-                "repl_micro",
-                F.col("max_load").cast("bigint").alias("max_load"),
-                F.expr(f"(max_load * {n_parts} * 1000000) div n_e")
-                .cast("bigint")
-                .alias("imb_micro"),
+    # One frame holding every (strategy, part) assignment — each of the
+    # two metric aggregates below is then ONE pass covering all three
+    # strategies, instead of per-strategy branches each re-running the
+    # degree joins (an earlier version persisted per-strategy slices but
+    # unpersisted them before the lazy plan ever executed, so downstream
+    # consumers recomputed the joins ~6×).
+    stacked = e.select(
+        "a",
+        "b",
+        F.explode(
+            F.create_map(
+                F.lit("src_hash"),
+                F.pmod(rolling_fingerprint(F.col("a")), p),
+                F.lit("edge_hash"),
+                F.pmod(rolling_fingerprint(F.concat_ws("|", "a", "b")), p),
+                F.lit("dbh"),
+                F.pmod(rolling_fingerprint(cut), p),
             )
+        ).alias("strategy", "part"),
+    )
+    repl = (
+        stacked.select("strategy", "part", F.explode(F.array("a", "b")).alias("node"))
+        .distinct()
+        .groupBy("strategy")
+        .agg(F.count("*").alias("pairs"), F.countDistinct("node").alias("n_v"))
+        .select(
+            "strategy",
+            # integer div: exact at any scale (float div drifts past 2^53)
+            F.expr("(pairs * 1000000) div n_v").cast("bigint").alias("repl_micro"),
         )
-        out = row if out is None else out.unionByName(row)
-        pe.unpersist()
-    return out
+    )
+    load = (
+        stacked.groupBy("strategy", "part")
+        .agg(F.count("*").alias("n"))
+        .groupBy("strategy")
+        .agg(F.max("n").alias("max_load"), F.sum("n").alias("n_e"))
+    )
+    return repl.join(load, "strategy").select(
+        "strategy",
+        "repl_micro",
+        F.col("max_load").cast("bigint").alias("max_load"),
+        F.expr(f"(max_load * {n_parts} * 1000000) div n_e")
+        .cast("bigint")
+        .alias("imb_micro"),
+    )
 
 
 def edge_pmi(edges: DataFrame) -> DataFrame:

@@ -76,6 +76,21 @@ def read_current(io: TableIO, name: str) -> DataFrame:
     return io.read(f"{name}__v{state['version']}")
 
 
+def gc_graph_version(io: TableIO, version: int) -> None:
+    """Delete a superseded ``nodes__v{k}``/``edges__v{k}`` pair.  Only
+    ever called on versions at least two behind the committed marker, so
+    correctness never depends on it — the folds' storage stays O(graph)
+    instead of O(graph × batches).  Shared by the append-only and CDC
+    sinks so the GC half of the commit protocol has ONE definition."""
+    if version < 0:
+        return
+    for name in (f"nodes__v{version}", f"edges__v{version}"):
+        try:
+            io.delete(name)
+        except Exception:
+            pass
+
+
 def fold_batch(
     io: TableIO, batch_df: DataFrame, cfg: PipelineConfig, epoch_id: int, lineage: str = ""
 ) -> None:
@@ -111,12 +126,7 @@ def fold_batch(
     )
     new_nodes.unpersist()
     new_edges.unpersist()
-    if k >= 1:  # GC a superseded version; correctness never depends on it
-        for name in (f"nodes__v{k - 1}", f"edges__v{k - 1}"):
-            try:
-                io.delete(name)
-            except Exception:
-                pass
+    gc_graph_version(io, k - 1)
 
 
 def run_incremental(

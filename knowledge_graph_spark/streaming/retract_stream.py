@@ -45,6 +45,7 @@ from ..io import TableIO
 from ..operators.merge import incremental_union_edges, incremental_union_nodes
 from ..operators.parse import parse_and_merge
 from ..pipeline import PipelineConfig, build_graph
+from .incremental import gc_graph_version
 from .incremental import stream_transcripts  # noqa: F401  (re-export for callers)
 
 DELETE_DDL = "conv_id string"
@@ -69,7 +70,9 @@ def read_current_kg(io: TableIO, name: str) -> DataFrame:
     """Committed version of 'nodes' or 'edges' (marker-resolved, so a
     fold that crashed mid-write is invisible)."""
     state = _state(io)
-    if state is None:
+    # version -1 means only no-op folds committed (e.g. a delete that
+    # arrived before any insert recorded its epoch) — no graph exists yet
+    if state is None or int(state["version"]) < 0:
         raise FileNotFoundError(f"no committed kg-cdc state under {io.base}")
     return io.read(f"{name}__v{state['version']}")
 
@@ -96,9 +99,16 @@ def fold_insert_batch(
     batch_df: DataFrame,
     cfg: PipelineConfig,
     epoch_id: int,
-    lineage: str = "",
+    lineage: str = "insert",
 ) -> None:
-    """Insert micro-batch: graph union + ONE new record segment."""
+    """Insert micro-batch: graph union + ONE new record segment.
+
+    ``lineage`` identifies the STREAM (its checkpoint location in
+    ``run_kg_cdc``); insert and delete folds must never share one — each
+    stream numbers epochs independently, so a shared lineage would make
+    a delete at epoch ≤ the last insert epoch look like a committed
+    replay and be silently skipped.  The defaults are therefore distinct
+    per fold."""
     state = _state(io)
     if _committed(state, lineage, epoch_id):
         return
@@ -120,16 +130,18 @@ def fold_insert_batch(
     _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
     for df in (records, new_nodes, new_edges):
         df.unpersist()
+    gc_graph_version(io, k - 1)
 
 
 def fold_delete_batch(
     io: TableIO,
     batch_df: DataFrame,
     epoch_id: int,
-    lineage: str = "",
+    lineage: str = "delete",
 ) -> None:
     """Delete micro-batch (conv_ids): anti-join the record segments,
-    re-merge, compact — extraction never re-runs."""
+    re-merge, compact — extraction never re-runs.  See fold_insert_batch
+    on why the default ``lineage`` must differ from the insert fold's."""
     state = _state(io)
     if _committed(state, lineage, epoch_id):
         return
@@ -143,6 +155,9 @@ def fold_delete_batch(
     for seg in old_segments:
         part = io.read(seg)
         records = part if records is None else records.unionByName(part)
+    # same retained-records semantics as merge.retract_conversations
+    # (the kg_retract gate's op); spelled out here because the CDC fold
+    # must WRITE the retained segment and re-merge from the written table
     deleted = batch_df.select("conv_id").distinct()
     kept = records.join(deleted, "conv_id", "left_anti").persist()
     compact = f"records__s{k + 1}c"
@@ -152,6 +167,7 @@ def fold_delete_batch(
     io.write(edges, f"edges__v{k + 1}")
     _publish(io, state, lineage, epoch_id, k + 1, [compact])
     kept.unpersist()
+    gc_graph_version(io, k - 1)
     for seg in old_segments:  # superseded by the compact segment
         try:
             io.delete(seg)

@@ -103,11 +103,45 @@ def test_kg_cdc_replay_idempotence(spark, tmp_path):
     assert json.loads(io.read_text(CDC_MARKER)) == state0
     assert _nodes_dict(read_current_kg(io, "nodes")) == nodes0
 
-    # a delete arriving before ANY insert just records its epoch
+    # a delete arriving before ANY insert just records its epoch — and
+    # the marker's version=-1 must read as "no graph yet", not a crash
     io2 = TableIO(spark, base=str(tmp_path / "wh2"))
     fold_delete_batch(io2, spark.createDataFrame([("cX",)], "conv_id string"), 0, lineage="del")
     st = json.loads(io2.read_text(CDC_MARKER))
     assert st["epochs"]["del"] == 0 and st["segments"] == []
+    with pytest.raises(FileNotFoundError):
+        read_current_kg(io2, "nodes")
+    # an insert folding AFTER that no-op delete starts cleanly at v0
+    fold_insert_batch(io2, _batch(spark, "c9", ["OMEGA"]), CFG, 0, lineage="ins")
+    assert "OMEGA" in _committed_titles(io2)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_default_lineages_do_not_collide(spark, tmp_path):
+    """Insert then delete via the DEFAULT lineage args: the delete's
+    epoch 0 must not be mistaken for a replay of insert epoch 0 (the
+    folds carry distinct default lineages)."""
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0)
+    fold_insert_batch(io, _batch(spark, "c2", ["GAMMA"]), CFG, 1)
+    fold_delete_batch(io, spark.createDataFrame([("c1",)], "conv_id string"), 0)
+    titles = _committed_titles(io)
+    assert "BETA" not in titles and "GAMMA" in titles
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_gcs_superseded_versions(spark, tmp_path):
+    """Storage stays O(graph): after three folds the v0 tables (two
+    versions behind the marker) are gone, the committed version reads."""
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    names = {"c1": "BETA", "c2": "GAMMA", "c3": "DELTA"}
+    for epoch, (conv, name) in enumerate(names.items()):
+        fold_insert_batch(io, _batch(spark, conv, ["ALPHA", name]), CFG, epoch)
+    state = json.loads(io.read_text(CDC_MARKER))
+    assert state["version"] == 2
+    assert {"BETA", "GAMMA", "DELTA"} <= _committed_titles(io)
+    with pytest.raises(Exception):  # v0 was GC'd
+        io.read("nodes__v0").collect()
 
 
 def _committed_titles(io):

@@ -118,9 +118,20 @@ def _load_samples() -> dict[int, list[dict]]:
     # SCALING_REPORT_TURNS overrides the choice explicitly.
     out: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
     if rows:
-        target = int(os.environ.get("SCALING_REPORT_TURNS", "0")) or max(
-            r["n_turns"] for r in rows
-        )
+        target = int(os.environ.get("SCALING_REPORT_TURNS", "0"))
+        if not target:
+            # largest size that has samples at EVERY level — a stray
+            # single-level probe at a bigger size must not hijack the
+            # headline (and then fail the all-levels check downstream)
+            complete = [
+                n
+                for n in {r["n_turns"] for r in rows}
+                if all(
+                    any(r["cpus"] == c and r["n_turns"] == n for r in rows)
+                    for c in CPU_LEVELS
+                )
+            ]
+            target = max(complete) if complete else max(r["n_turns"] for r in rows)
         for r in rows:
             if r["n_turns"] == target:
                 out[r["cpus"]].append(r)
