@@ -1300,6 +1300,45 @@ def q_coarsen_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_hierarchy(e, levels=2, rounds=MM_ROUNDS)
 
 
+MSF_ROUNDS = 5
+DN_ROUNDS = 8
+KNN_K = 3
+
+
+def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest of the merged KG (per-component
+    min outgoing edge under the (weight, pair) total order, then CC
+    contraction) — the strongest-tie backbone sparsifier; 5 rounds cover
+    any component of < 2^5 nodes and a fixed unroll is oracle-exact
+    regardless."""
+    from knowledge_graph_spark.operators.graphops import min_spanning_forest
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target", "weight")
+    return min_spanning_forest(e, rounds=MSF_ROUNDS)
+
+
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar / Bahmani et al.
+    2(1+ε)-approx, ε=0.1): peel nodes at ≤ (1+ε)·avg degree per round,
+    keep the argmax-density prefix — the KG's 'hot core' detector.
+    Thresholds compare as exact int64 cross-multiplications."""
+    from knowledge_graph_spark.operators.graphops import densest_subgraph
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target")
+    return densest_subgraph(e, rounds=DN_ROUNDS)
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN sparsification of the KG: each node keeps its top-3 incident
+    edges by (weight DESC, pair); kept_by=2 marks mutual-kNN edges.  The
+    |E| ≤ k·|V| pre-pass that makes the expensive kernels affordable at
+    100-TB edge counts."""
+    from knowledge_graph_spark.operators.graphops import knn_graph
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target", "weight")
+    return knn_graph(e, k=KNN_K)
+
+
 PA_PARTS = 32
 
 
@@ -4359,6 +4398,129 @@ FROM tlp_base n JOIN tlp_l{rounds} l USING (title)
     return "".join(parts)
 
 
+def _msf_body(rounds: int = MSF_ROUNDS) -> str:
+    """Unrolled Borůvka MSF over kg_edges — mirrors graphops.
+    min_spanning_forest round-for-round: per round every component picks
+    its min-(weight, "a|b") outgoing edge (top-1 window over both
+    directed copies, deduped — a cut's two sides may pick the same
+    edge), then components contract to the min label reachable over the
+    SELECTED edges (one recursive min-reach CTE per round, the same
+    fixpoint the Spark side's pointer-doubling CC computes)."""
+    parts = [
+        """
+, msf_e0 AS MATERIALIZED (
+  SELECT least(source, target) AS a, greatest(source, target) AS b,
+         min(weight) AS w
+  FROM kg_edges WHERE source <> target GROUP BY 1, 2),
+msf_es AS (SELECT a, b, w, a || '|' || b AS estr FROM msf_e0),
+msf_c0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS comp FROM (
+    SELECT a AS node FROM msf_es UNION ALL SELECT b FROM msf_es))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+msf_ec{r} AS MATERIALIZED (
+  SELECT ca.comp AS c1, cb.comp AS c2, e.a, e.b, e.w, e.estr
+  FROM msf_es e
+  JOIN msf_c{r - 1} ca ON e.a = ca.node
+  JOIN msf_c{r - 1} cb ON e.b = cb.node
+  WHERE ca.comp <> cb.comp),
+msf_sel{r} AS MATERIALIZED (
+  SELECT DISTINCT a, b, w, estr FROM (
+    SELECT a, b, w, estr,
+           row_number() OVER (PARTITION BY c ORDER BY w, estr) AS rn
+    FROM (SELECT c1 AS c, a, b, w, estr FROM msf_ec{r}
+          UNION ALL SELECT c2, a, b, w, estr FROM msf_ec{r})
+  ) WHERE rn = 1),
+msf_sc{r} AS (
+  SELECT DISTINCT ca.comp AS x, cb.comp AS y
+  FROM msf_sel{r} e
+  JOIN msf_c{r - 1} ca ON e.a = ca.node
+  JOIN msf_c{r - 1} cb ON e.b = cb.node),
+msf_reach{r}(c, t) AS (
+  SELECT comp, comp FROM (SELECT DISTINCT comp FROM msf_c{r - 1})
+  UNION
+  SELECT s.x, rr.t
+  FROM (SELECT x, y FROM msf_sc{r} UNION SELECT y, x FROM msf_sc{r}) s
+  JOIN msf_reach{r} rr ON s.y = rr.c),
+msf_cm{r} AS MATERIALIZED (
+  SELECT c AS comp, min(t) AS newc FROM msf_reach{r} GROUP BY c),
+msf_c{r} AS MATERIALIZED (
+  SELECT n.node, m.newc AS comp FROM msf_c{r - 1} n JOIN msf_cm{r} m USING (comp))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT a AS source, b AS target, CAST(w AS DOUBLE) AS weight,"
+        f" CAST({r} AS INT) AS round FROM msf_sel{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + union + "\n")
+    return "".join(parts)
+
+
+def _densest_body(rounds: int = DN_ROUNDS, eps_num: int = 11, eps_den: int = 10) -> str:
+    """Unrolled Bahmani densest-subgraph peel over kg_edges — mirrors
+    graphops.densest_subgraph: per round drop every remaining node with
+    deg·|V|·eps_den ≤ 2·|E|·eps_num (coalesce(deg,0) folds the isolated
+    survivors into the same rule), record the prefix stats, and pick the
+    argmax-(2E/V) prefix (double division — identical IEEE754 on both
+    engines), ties to the earliest round."""
+    parts = [
+        """
+, dn_e0 AS MATERIALIZED (
+  SELECT DISTINCT least(source, target) AS a, greatest(source, target) AS b
+  FROM kg_edges WHERE source <> target),
+dn_n0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM dn_e0 UNION ALL SELECT b FROM dn_e0))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+dn_st{r} AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM dn_n{r - 1}) AS nv,
+         (SELECT count(*) FROM dn_e{r - 1}) AS ne),
+dn_deg{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM dn_e{r - 1} UNION ALL SELECT b FROM dn_e{r - 1})
+  GROUP BY node),
+dn_drop{r} AS MATERIALIZED (
+  SELECT n.node FROM dn_n{r - 1} n
+  LEFT JOIN dn_deg{r} d ON n.node = d.node
+  CROSS JOIN dn_st{r} s
+  WHERE coalesce(d.deg, 0) * s.nv * {eps_den} <= 2 * s.ne * {eps_num}),
+dn_n{r} AS MATERIALIZED (
+  SELECT node FROM dn_n{r - 1}
+  WHERE node NOT IN (SELECT node FROM dn_drop{r})),
+dn_e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM dn_e{r - 1} e
+  WHERE e.a IN (SELECT node FROM dn_n{r})
+    AND e.b IN (SELECT node FROM dn_n{r}))"""
+        )
+    peel_union = "\nUNION ALL\n".join(
+        f"SELECT node, {r} AS pr FROM dn_drop{r}" for r in range(1, rounds + 1)
+    )
+    stats_union = "\nUNION ALL\n".join(
+        f"SELECT {r - 1} AS rp, nv, ne FROM dn_st{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+dn_peel AS ({peel_union}),
+dn_stats AS ({stats_union}),
+dn_best AS (
+  SELECT rp FROM dn_stats WHERE nv > 0
+  ORDER BY (2.0 * ne) / nv DESC, rp ASC LIMIT 1)
+SELECT n.node,
+       CAST(coalesce(p.pr, 0) AS INT) AS peel_round,
+       (coalesce(p.pr, 0) = 0 OR coalesce(p.pr, 0) > b.rp) AS in_best
+FROM dn_n0 n
+LEFT JOIN dn_peel p USING (node)
+CROSS JOIN dn_best b
+"""
+    )
+    return "".join(parts)
+
+
 def _mm_body(
     rounds: int = MM_ROUNDS,
     as_cte: str | None = None,
@@ -6166,6 +6328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen": q_coarsen,
         "coarsen_l2": q_coarsen_l2,
         "partition_audit": q_partition_audit,
+        "msf": q_msf,
+        "densest": q_densest,
+        "knn_graph": q_knn_graph,
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
@@ -6815,6 +6980,27 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "coarsen": _oracle(_coarsen_body()),
         "coarsen_l2": _oracle(_coarsen_hier_body()),
         "partition_audit": _oracle(_PARTITION_AUDIT_BODY),
+        "msf": _oracle(_msf_body()),
+        "densest": _oracle(_densest_body()),
+        "knn_graph": _oracle(
+            f"""
+            , kn_e0 AS (
+              SELECT least(source, target) AS a, greatest(source, target) AS b,
+                     max(weight) AS w
+              FROM kg_edges WHERE source <> target GROUP BY 1, 2),
+            kn_es AS (SELECT a, b, w, a || '|' || b AS estr FROM kn_e0)
+            SELECT a AS source, b AS target, CAST(w AS DOUBLE) AS weight,
+                   CAST(count(*) AS INT) AS kept_by
+            FROM (
+              SELECT a, b, w,
+                     row_number() OVER (
+                       PARTITION BY c ORDER BY w DESC, estr) AS rn
+              FROM (SELECT a AS c, a, b, w, estr FROM kn_es
+                    UNION ALL SELECT b, a, b, w, estr FROM kn_es)
+            ) WHERE rn <= {KNN_K}
+            GROUP BY a, b, w
+            """
+        ),
         "langid": _LANGID_SQL,
         "blocking_audit": _BLOCKING_AUDIT_SQL,
         "comention_bursts": _oracle(_CB_BODY),

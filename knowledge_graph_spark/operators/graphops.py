@@ -2361,3 +2361,276 @@ def jp_coloring(
         colored.unionByName(leftover)
         .select(F.col("node").alias(node_col), "color", "round")
     )
+
+
+def min_spanning_forest(
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    weight: str = "weight",
+    rounds: int = 5,
+    local_threshold: int = 0,
+    round_log: list | None = None,
+) -> DataFrame:
+    """Minimum spanning forest via Borůvka rounds → (source, target,
+    weight, round).
+
+    The MapReduce-classic MSF: per round every component selects its
+    minimum-weight outgoing edge under the TOTAL order (weight, "a|b")
+    — by the cut property every selected edge belongs to the unique MSF
+    of the tie-perturbed graph, so a fixed round budget yields a SUBSET
+    of the true forest (rounds ≥ ceil(log2 |V|) make it exact: component
+    count at least halves per round).  Deterministic, hence unrollable
+    as a DuckDB oracle round-for-round.
+
+    KG use: the MSF over inverse-weight edges is the "backbone" of the
+    co-mention graph (strongest-tie skeleton) — the sparsifier that lets
+    a 100-TB edge list feed layout/visual/path tooling that needs a
+    tree-like subgraph.
+
+    Scale shape per round: two hash joins stamp component labels on the
+    edge endpoints; the per-component argmin is a top-1 window
+    (WindowGroupLimit — rank<=1 prunes map-side, no global sort); the
+    contraction runs min-label CC with pointer doubling over the
+    SELECTED edges only (≤ one per component, so the contraction input
+    shrinks as fast as the components do).  localCheckpoint truncates
+    the per-round lineage, as in the other iterative kernels.
+
+    Reference anchor: the reference materializes its graph via
+    networkx (utils/graph.py); a spanning backbone is the distributed
+    stand-in for the layout/traversal passes that library family gives
+    for free on a single node.
+    """
+    from .community import connected_components
+
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .withColumn("estr", F.concat_ws("|", "a", "b"))
+        .localCheckpoint(eager=False)
+    )
+    comp = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        _t0 = time.perf_counter()
+        ec = (
+            e0.join(comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+        ).localCheckpoint(eager=True)
+        if ec.limit(1).count() == 0:
+            break  # forest complete — further rounds are no-ops (oracle too)
+        cand = ec.select(F.col("ca").alias("c"), "a", "b", "w", "estr").unionByName(
+            ec.select(F.col("cb").alias("c"), "a", "b", "w", "estr")
+        )
+        sel = (
+            cand.withColumn(
+                "rn", F.row_number().over(Window.partitionBy("c").orderBy("w", "estr"))
+            )
+            .filter(F.col("rn") == 1)
+            .select("a", "b", "w", "estr")
+            .dropDuplicates(["estr"])  # both endpoints of a cut may pick the same edge
+            .localCheckpoint(eager=True)
+        )
+        picked = sel.select(
+            F.col("a").alias("source"),
+            F.col("b").alias("target"),
+            F.col("w").alias("weight"),
+            F.lit(r).cast("int").alias("round"),
+        )
+        out = picked if out is None else out.unionByName(picked)
+        # contract: CC over the component graph induced by selected edges
+        sel_c = (
+            sel.join(comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")), "b")
+            .select(F.col("ca").alias("source"), F.col("cb").alias("target"))
+        )
+        comp_nodes = comp.select(F.col("comp").alias("title")).distinct()
+        cmap = connected_components(
+            comp_nodes, sel_c, local_threshold=local_threshold
+        ).select(F.col("title").alias("comp"), F.col("component").alias("newc"))
+        comp = (
+            comp.join(cmap, "comp")
+            .select("node", F.col("newc").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        if round_log is not None:
+            round_log.append(time.perf_counter() - _t0)
+    if out is None:
+        return edges.sparkSession.createDataFrame(
+            [], "source string, target string, weight double, round int"
+        )
+    return out
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    src: str = "source",
+    dst: str = "target",
+    eps_num: int = 11,
+    eps_den: int = 10,
+    rounds: int = 8,
+    round_log: list | None = None,
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Charikar 2000, MapReduce form of
+    Bahmani-Kumar-Vassilvitskii VLDB'12) → (node, peel_round, in_best).
+
+    Rounds peel every node whose degree is ≤ (1+ε)·average — the
+    2(1+ε)-approximation: S_r (survivors of r rounds) shrinks
+    geometrically, and the densest prefix S_r* is within 2(1+ε) of the
+    optimum.  peel_round = the round that removed the node (0 =
+    survived all rounds); in_best marks membership in the argmax-density
+    prefix (ties → earliest round).  The threshold compare is exact
+    int64 cross-multiplication (deg·|V|·eps_den ≤ 2·|E|·eps_num — valid
+    while deg·|V|·eps_den < 2^63) so no engine ever rounds.
+
+    KG use: the densest community of the co-mention graph is the "hot
+    core" — the entity cluster that dominates extraction volume; at
+    100 TB it is the first thing to inspect for hub-collapse artifacts.
+
+    Scale shape: each round is one degree aggregation (map-side
+    combinable) + a broadcast 1-row stats bound + an anti-join peel —
+    O(log n / ε) rounds, no windows, no driver data beyond two scalars
+    per round.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    peeled = None  # (node, peel_round)
+    rem_e, rem_n = e0, nodes
+    stats: list[tuple[int, int, int]] = []  # (round_prefix, n_nodes, n_edges)
+    for r in range(1, rounds + 1):
+        _t0 = time.perf_counter()
+        agg = rem_e.agg(F.count("*").alias("ne")).collect()[0]
+        n_e = int(agg["ne"])
+        n_v = rem_n.count()
+        stats.append((r - 1, n_v, n_e))
+        # break only on an EMPTY node set: with edges gone but nodes left,
+        # the isolated leftovers must still be peeled this round so peel
+        # rounds line up with the oracle's fixed unroll
+        if n_v == 0:
+            break
+        deg = (
+            rem_e.select(F.col("a").alias("node"))
+            .unionByName(rem_e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        # remove v iff deg(v)·|V|·eps_den ≤ 2·|E|·eps_num  (deg ≤ (1+ε)·2E/V)
+        drop = deg.filter(
+            F.col("deg") * F.lit(n_v) * F.lit(eps_den)
+            <= F.lit(2 * n_e * eps_num)
+        ).select("node", F.lit(r).cast("int").alias("peel_round"))
+        # isolated survivors (degree 0 after edge peeling) also go this round
+        iso = rem_n.join(deg, "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("peel_round")
+        )
+        drop = drop.unionByName(iso).localCheckpoint(eager=True)
+        peeled = drop if peeled is None else peeled.unionByName(drop)
+        rem_n = rem_n.join(drop.select("node"), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        rem_e = (
+            rem_e.join(drop.select(F.col("node").alias("a")), "a", "left_anti")
+            .join(drop.select(F.col("node").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if round_log is not None:
+            round_log.append(time.perf_counter() - _t0)
+    # best prefix: argmax 2E/V (double division — identical IEEE754 both
+    # engines), ties → earliest prefix (the larger subgraph)
+    best_round = 0
+    best = (-1.0, 0)
+    for rp, n_v, n_e in stats:
+        if n_v == 0:
+            continue
+        d = (2.0 * n_e) / n_v
+        if d > best[0]:
+            best = (d, rp)
+    best_round = best[1]
+    spark = edges.sparkSession
+    if peeled is None:
+        peeled = spark.createDataFrame([], "node string, peel_round int")
+    full = nodes.join(peeled, "node", "left").select(
+        "node", F.coalesce("peel_round", F.lit(0)).cast("int").alias("peel_round")
+    )
+    return full.select(
+        "node",
+        "peel_round",
+        (
+            (F.col("peel_round") == 0) | (F.col("peel_round") > F.lit(best_round))
+        ).alias("in_best"),
+    )
+
+
+def knn_graph(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "source",
+    dst: str = "target",
+    weight: str = "weight",
+) -> DataFrame:
+    """k-nearest-neighbor sparsification → (source, target, weight,
+    kept_by): keep each node's top-k incident edges by (weight DESC,
+    canonical pair ASC), union over endpoints; kept_by counts how many
+    endpoints retained the edge (2 = mutual kNN).
+
+    The standard pre-pass before an expensive kernel at 100-TB edge
+    counts: the union-of-kNN graph preserves connectivity of strong-tie
+    structure while bounding |E| ≤ k·|V|.  Per-node top-k is a rank ≤ k
+    window (WindowGroupLimit pushes the limit map-side — hubs never
+    materialize their full edge list in one task).
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+        .withColumn("estr", F.concat_ws("|", "a", "b"))
+    )
+    cand = e0.select(F.col("a").alias("c"), "a", "b", "w", "estr").unionByName(
+        e0.select(F.col("b").alias("c"), "a", "b", "w", "estr")
+    )
+    kept = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("c").orderBy(F.desc("w"), "estr")),
+        )
+        .filter(F.col("rn") <= k)
+        .groupBy("a", "b", "w")
+        .agg(F.count("*").cast("int").alias("kept_by"))
+    )
+    return kept.select(
+        F.col("a").alias("source"),
+        F.col("b").alias("target"),
+        F.col("w").alias("weight"),
+        "kept_by",
+    )

@@ -47,8 +47,8 @@ HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v,katz,truss,hits,
-# widest,typed,match,jp,mis,coarsen} — e.g. the 10M-edge probe runs
-# "cc,pagerank" to bound wall clock
+# widest,typed,match,jp,mis,coarsen,msf,densest,knn} — e.g. the 10M-edge
+# probe runs "cc,pagerank" to bound wall clock
 OPS = set(
     os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
 )
@@ -276,6 +276,32 @@ def main() -> None:
             "coarsen_l2",
             lambda rl: coarsen_hierarchy(we, levels=2, rounds=4).count(),
         )
+    if "msf" in OPS:
+        from knowledge_graph_spark.operators.graphops import min_spanning_forest
+
+        we = edges.withColumn(
+            "weight", (F.pmod(F.xxhash64("source", "target"), F.lit(97)) + 1).cast("double")
+        )
+        timed(
+            "msf",
+            lambda rl: min_spanning_forest(
+                we, rounds=5, local_threshold=0, round_log=rl
+            ).count(),
+        )
+    if "densest" in OPS:
+        from knowledge_graph_spark.operators.graphops import densest_subgraph
+
+        timed(
+            "densest",
+            lambda rl: densest_subgraph(edges, rounds=8, round_log=rl).count(),
+        )
+    if "knn" in OPS:
+        from knowledge_graph_spark.operators.graphops import knn_graph
+
+        we = edges.withColumn(
+            "weight", (F.pmod(F.xxhash64("source", "target"), F.lit(97)) + 1).cast("double")
+        )
+        timed("knn_graph", lambda rl: knn_graph(we, k=3).count())
     if "jp" in OPS:
         from knowledge_graph_spark.operators.graphops import jp_coloring
 
