@@ -6055,6 +6055,28 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(s["nodes"].select("title"), s["edges"], k=NEGS_K)
 
 
+LP_K = 5
+
+
+def q_lp_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link-prediction ranking protocol (Bordes et al.): every
+    true KG edge ranked against its clean hash-derived corruptions by
+    integer Adamic-Adar score — the KG-completion eval harness."""
+    from knowledge_graph_spark.operators.graphops import lp_ranking_audit
+
+    s = _stages(spark, sf_dir)
+    return lp_ranking_audit(s["nodes"].select("title"), s["edges"], k=LP_K)
+
+
+def q_lp_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row MRR / hits@1 / hits@3 summary of the filtered ranking
+    protocol — exact integer micros (1000000 DIV rank)."""
+    from knowledge_graph_spark.operators.graphops import lp_mrr, lp_ranking_audit
+
+    s = _stages(spark, sf_dir)
+    return lp_mrr(lp_ranking_audit(s["nodes"].select("title"), s["edges"], k=LP_K))
+
+
 def q_jp_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring of the KG — the conflict-free
     batch schedule for per-node mutations (fixed-round unrolled oracle,
@@ -6107,7 +6129,11 @@ JOIN pmi_m cb ON pmi_e.target = cb.title
 CROSS JOIN pmi_t
 """
 
-_NEGS_BODY = f"""
+def _negs_body(as_cte: str | None = None, k: int = NEGS_K) -> str:
+    """Deterministic filtered negative sampling over kg_edges — mirrors
+    graphops.negative_samples.  ``as_cte`` wraps the final SELECT so the
+    link-prediction ranking oracle can compose it (with its own ``k``)."""
+    sel = f"""
 , ng_idx AS MATERIALIZED (
   SELECT title AS nt, row_number() OVER (ORDER BY title) - 1 AS nid
   FROM kg_nodes),
@@ -6120,14 +6146,72 @@ ng_x AS (
 ng_c AS (
   SELECT source, target, CAST(u.j AS INT) AS sample_idx,
          ({_perm('x', 'u.j')}) % n_nodes AS cand_nid
-  FROM ng_x, ng_nv, LATERAL unnest(range(0, {NEGS_K})) AS u(j))
-SELECT n.source, n.target, n.sample_idx, i.nt AS neg_target,
-       (i.nt <> n.source AND i.nt <> n.target
-        AND NOT EXISTS (SELECT 1 FROM ng_e t
-                        WHERE t.source = least(n.source, i.nt)
-                          AND t.target = greatest(n.source, i.nt))) AS is_clean
-FROM ng_c n JOIN ng_idx i ON n.cand_nid = i.nid
-"""
+  FROM ng_x, ng_nv, LATERAL unnest(range(0, {k})) AS u(j)),
+ng_out AS MATERIALIZED (
+  SELECT n.source, n.target, n.sample_idx, i.nt AS neg_target,
+         (i.nt <> n.source AND i.nt <> n.target
+          AND NOT EXISTS (SELECT 1 FROM ng_e t
+                          WHERE t.source = least(n.source, i.nt)
+                            AND t.target = greatest(n.source, i.nt))) AS is_clean
+  FROM ng_c n JOIN ng_idx i ON n.cand_nid = i.nid)"""
+    if as_cte:
+        return sel.replace("ng_out AS MATERIALIZED", f"{as_cte} AS MATERIALIZED")
+    return sel + "\nSELECT source, target, sample_idx, neg_target, is_clean FROM ng_out\n"
+
+
+_NEGS_BODY = _negs_body()
+
+
+def _lp_body(as_cte: str | None = None) -> str:
+    """Filtered ranking protocol over kg_edges — mirrors graphops.
+    lp_ranking_audit: Adamic-Adar integer scores for the true target vs
+    its clean ``negative_samples`` corruptions; rank ties break candidate
+    ASC.  Composes _negs_body's CTE chain (ng_e / ng_out reused)."""
+    body = (
+        _negs_body(as_cte="ng_out", k=LP_K)
+        + f""",
+lp_adj AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM ng_e WHERE source <> target
+    UNION ALL
+    SELECT target AS a, source AS b FROM ng_e WHERE source <> target)),
+lp_w AS (
+  SELECT a AS z,
+         1000000 // greatest(length(bin(CAST(count(*) AS BIGINT))) - 1, 1)
+           AS w_micro
+  FROM lp_adj GROUP BY a),
+lp_cand AS MATERIALIZED (
+  SELECT source, target, target AS cand, TRUE AS is_pos FROM ng_e
+  UNION ALL
+  SELECT source, target, neg_target AS cand, FALSE AS is_pos
+  FROM ng_out WHERE is_clean),
+lp_pairsc AS MATERIALIZED (
+  SELECT c.source, c.cand, sum(w.w_micro) AS aa
+  FROM (SELECT DISTINCT source, cand FROM lp_cand WHERE source <> cand) c
+  JOIN lp_adj e1 ON e1.a = c.source
+  JOIN lp_adj e2 ON e2.a = c.cand AND e2.b = e1.b
+  JOIN lp_w w ON w.z = e1.b
+  GROUP BY c.source, c.cand),
+lp_scored AS MATERIALIZED (
+  SELECT c.source, c.target, c.cand, c.is_pos,
+         coalesce(p.aa, 0) AS aa
+  FROM lp_cand c
+  LEFT JOIN lp_pairsc p ON p.source = c.source AND p.cand = c.cand),
+lp_rank AS MATERIALIZED (
+  SELECT p.source, p.target,
+         CAST(1 + count(CASE WHEN n.aa > p.aa
+                               OR (n.aa = p.aa AND n.cand < p.target)
+                             THEN 1 END) AS INT) AS rank,
+         CAST(1 + count(n.cand) AS INT) AS n_cand
+  FROM (SELECT source, target, aa FROM lp_scored WHERE is_pos) p
+  LEFT JOIN (SELECT source, target, cand, aa FROM lp_scored
+             WHERE NOT is_pos) n
+    ON n.source = p.source AND n.target = p.target
+  GROUP BY p.source, p.target)"""
+    )
+    if as_cte:
+        return body.replace("lp_rank AS MATERIALIZED", f"{as_cte} AS MATERIALIZED")
+    return body + "\nSELECT source, target, rank, n_cand FROM lp_rank\n"
 
 
 def _jp_body(rounds: int = JP_ROUNDS) -> str:
@@ -6331,6 +6415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "densest": q_densest,
         "knn_graph": q_knn_graph,
+        "lp_ranking": q_lp_ranking,
+        "lp_mrr": q_lp_mrr,
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
@@ -6981,6 +7067,17 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "coarsen_l2": _oracle(_coarsen_hier_body()),
         "partition_audit": _oracle(_PARTITION_AUDIT_BODY),
         "msf": _oracle(_msf_body()),
+        "lp_ranking": _oracle(_lp_body()),
+        "lp_mrr": _oracle(
+            _lp_body(as_cte="lp_rank")
+            + """
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(sum(1000000 // rank) AS BIGINT) AS sum_rr_micro,
+                   CAST(count(CASE WHEN rank = 1 THEN 1 END) AS BIGINT) AS hits1,
+                   CAST(count(CASE WHEN rank <= 3 THEN 1 END) AS BIGINT) AS hits3
+            FROM lp_rank
+            """
+        ),
         "densest": _oracle(_densest_body()),
         "knn_graph": _oracle(
             f"""

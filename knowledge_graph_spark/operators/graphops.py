@@ -2634,3 +2634,129 @@ def knn_graph(
         F.col("w").alias("weight"),
         "kept_by",
     )
+
+
+def lp_ranking_audit(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 5,
+    node_col: str = "title",
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """Filtered link-prediction ranking protocol (Bordes et al. 2013's
+    TransE evaluation, scored structurally) → (source, target, rank,
+    n_cand): for every true edge, rank the TRUE target against its
+    ``negative_samples`` corruptions by Adamic-Adar common-neighbor
+    score (the same floor(1e6/bitlen(deg)) integer weights as
+    adamic_adar_pairs), ties broken candidate-name ASC.  rank = 1 means
+    the scorer put the real edge first; MRR/hits@k read off downstream
+    (lp_mrr).
+
+    This is the KG-completion eval harness: it measures how well a
+    scorer recovers held-out structure, the quality loop for extraction
+    and linking (a recall drop in the extractor shows up as rank decay
+    before any human reads a triple).  Only CLEAN corruptions count
+    (the filtered protocol — corruptions that hit a true edge or an
+    endpoint are excluded, so a dense graph never punishes the scorer
+    for "wrong" negatives that are actually right).
+
+    Scale shape: candidates are k rows per edge (closed form); scoring
+    joins are blocked on the common neighbor exactly like
+    adamic_adar_pairs (per candidate pair the fan-out is deg(source),
+    never a cross join); the final rank is one groupBy over the
+    candidate set — no windows, no driver collects.  Duplicate sampled
+    corruptions stay in the multiset (rank counts them twice), matching
+    the closed-form row budget of negative_samples.
+    """
+    e = edges.select(F.col(src).alias("source"), F.col(dst).alias("target")).distinct()
+    negs = negative_samples(nodes, edges, k=k, node_col=node_col, src=src, dst=dst)
+    cand = e.select(
+        "source", "target", F.col("target").alias("cand"), F.lit(True).alias("is_pos")
+    ).unionByName(
+        negs.filter(F.col("is_clean")).select(
+            "source",
+            "target",
+            F.col("neg_target").alias("cand"),
+            F.lit(False).alias("is_pos"),
+        )
+    )
+    adj = (
+        e.select(F.col("source").alias("a"), F.col("target").alias("b"))
+        .unionByName(e.select(F.col("target").alias("a"), F.col("source").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w = (
+        adj.groupBy("a")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .select(
+            F.col("a").alias("z"),
+            F.floor(
+                F.lit(AA_SCALE)
+                / F.greatest(F.length(F.bin(F.col("deg"))) - 1, F.lit(1))
+            )
+            .cast("bigint")
+            .alias("w_micro"),
+        )
+    )
+    pairs = (
+        cand.select("source", "cand")
+        .distinct()
+        .filter(F.col("source") != F.col("cand"))
+    )
+    sc = (
+        pairs.join(adj.select(F.col("a").alias("source"), F.col("b").alias("z")), "source")
+        .join(adj.select(F.col("a").alias("cand"), F.col("b").alias("z")), ["cand", "z"])
+        .join(w, "z")
+        .groupBy("source", "cand")
+        .agg(F.sum("w_micro").cast("bigint").alias("aa"))
+    )
+    scored = cand.join(sc, ["source", "cand"], "left").select(
+        "source",
+        "target",
+        "cand",
+        "is_pos",
+        F.coalesce("aa", F.lit(0)).cast("bigint").alias("aa"),
+    )
+    pos = scored.filter(F.col("is_pos")).select(
+        "source", "target", F.col("aa").alias("aa_pos")
+    )
+    neg = scored.filter(~F.col("is_pos")).select(
+        "source", "target", F.col("cand").alias("ncand"), F.col("aa").alias("naa")
+    )
+    return (
+        pos.join(neg, ["source", "target"], "left")
+        .groupBy("source", "target")
+        .agg(
+            (
+                F.lit(1)
+                + F.count(
+                    F.when(
+                        (F.col("naa") > F.col("aa_pos"))
+                        | (
+                            (F.col("naa") == F.col("aa_pos"))
+                            & (F.col("ncand") < F.col("target"))
+                        ),
+                        True,
+                    )
+                )
+            )
+            .cast("int")
+            .alias("rank"),
+            (F.lit(1) + F.count("ncand")).cast("int").alias("n_cand"),
+        )
+    )
+
+
+def lp_mrr(ranking: DataFrame) -> DataFrame:
+    """One-row MRR/hits summary of lp_ranking_audit — exact integers:
+    sum_rr_micro = Σ 1000000 DIV rank (the reciprocal-rank sum in
+    micros), hits1/hits3 counts, n_edges.  DIV keeps both engines in
+    integer arithmetic; consumers divide by n_edges themselves."""
+    return ranking.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.expr("1000000 DIV rank")).cast("bigint").alias("sum_rr_micro"),
+        F.count(F.when(F.col("rank") == 1, True)).cast("bigint").alias("hits1"),
+        F.count(F.when(F.col("rank") <= 3, True)).cast("bigint").alias("hits3"),
+    )

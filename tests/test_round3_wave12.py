@@ -207,3 +207,80 @@ def test_knn_graph_bound_and_connectivity(spark):
         deg_kept[r.target] += 1
     for n in nodes:
         assert deg_kept[n] >= min(k, deg_in[n]), n
+
+
+def test_lp_ranking_bounds_and_mrr(spark):
+    from knowledge_graph_spark.operators.graphops import (
+        lp_mrr,
+        lp_ranking_audit,
+        negative_samples,
+    )
+
+    rows = _rand_graph(seed=9, n=20, m=40, distinct_w=False)
+    e = _edges(spark, rows).select("source", "target")
+    nodes = (
+        e.select(F.col("source").alias("title"))
+        .unionByName(e.select(F.col("target").alias("title")))
+        .distinct()
+    )
+    rk = lp_ranking_audit(nodes, e, k=4).collect()
+    negs = negative_samples(nodes, e, k=4).filter("is_clean").collect()
+    n_clean = {}
+    for r in negs:
+        key = (r.source, r.target)
+        n_clean[key] = n_clean.get(key, 0) + 1
+    canon = {(min(a, b), max(a, b)) for a, b, _ in rows}
+    assert len(rk) == len(canon)
+    for r in rk:
+        assert 1 <= r.rank <= r.n_cand, r
+        assert r.n_cand == 1 + n_clean.get((r.source, r.target), 0), r
+    m = lp_mrr(lp_ranking_audit(nodes, e, k=4)).collect()[0]
+    assert m.n_edges == len(canon)
+    assert m.sum_rr_micro == sum(1000000 // r.rank for r in rk)
+    assert m.hits1 == sum(1 for r in rk if r.rank == 1)
+    assert m.hits3 == sum(1 for r in rk if r.rank <= 3)
+
+
+def test_lp_ranking_prefers_true_edge_in_triangle_lattice(spark):
+    from knowledge_graph_spark.operators.graphops import lp_ranking_audit
+
+    # two triangles sharing a node: true neighbors share a common
+    # neighbor, distant corruptions share none -> the positive candidate
+    # scores strictly above any zero-common-neighbor corruption
+    rows = [
+        ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0),
+        ("c", "d", 1.0), ("d", "e", 1.0), ("c", "e", 1.0),
+    ]
+    e = _edges(spark, rows).select("source", "target")
+    nodes = spark.createDataFrame([(x,) for x in "abcdexyz"], "title string")
+    out = {(r.source, r.target): r for r in lp_ranking_audit(nodes, e, k=3).collect()}
+    # python mirror: AA integer score with bitlen weights over the same
+    # sampled corruptions -> exact expected ranks
+    from knowledge_graph_spark.operators.graphops import negative_samples
+
+    adj = {}
+    for a, b, _ in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def aa(u, v):
+        if u == v:
+            return 0
+        return sum(
+            1000000 // max(len(adj[z]).bit_length() - 1, 1)
+            for z in adj.get(u, set()) & adj.get(v, set())
+        )
+
+    negs = negative_samples(nodes, e, k=3).filter("is_clean").collect()
+    by_edge = {}
+    for r in negs:
+        by_edge.setdefault((r.source, r.target), []).append(r.neg_target)
+    for (s, t), r in out.items():
+        cands = by_edge.get((s, t), [])
+        pos = aa(s, t)
+        want_rank = 1 + sum(
+            1 for c in cands if aa(s, c) > pos or (aa(s, c) == pos and c < t)
+        )
+        assert r.rank == want_rank, (s, t)
+        assert r.n_cand == 1 + len(cands), (s, t)
+        assert pos > 0  # every true edge sits in a triangle
