@@ -6055,6 +6055,38 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(s["nodes"].select("title"), s["edges"], k=NEGS_K)
 
 
+DECAY_BUCKET_SEC = 86400
+
+
+def q_edge_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential recency decay over the KG's temporal edge lineage —
+    decay_micro = 1000000 DIV 2^age_days from the corpus's own max
+    last_seen; the freshness re-ranker for KG reads (exact integers)."""
+    from knowledge_graph_spark.operators.temporal import (
+        edge_recency_weights,
+        edge_time_ranges,
+    )
+
+    s = _stages(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir)
+    et = edge_time_ranges(s["raw_records"], t).select(
+        "source",
+        "target",
+        F.unix_timestamp("last_seen").cast("bigint").alias("last_seen_epoch"),
+        "n_convs",
+    )
+    return edge_recency_weights(et, bucket_sec=DECAY_BUCKET_SEC)
+
+
+def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps vocabulary-growth curve over the documents corpus: per doc
+    in id order, exact cumulative token and distinct-type counts via the
+    first-occurrence identity + two-phase prefix sums."""
+    from knowledge_graph_spark.operators.corpus import heaps_profile
+
+    return heaps_profile(_docs(spark, sf_dir))
+
+
 LP_K = 5
 
 
@@ -6417,6 +6449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "lp_ranking": q_lp_ranking,
         "lp_mrr": q_lp_mrr,
+        "edge_decay": q_edge_decay,
+        "heaps_law": q_heaps,
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
@@ -7068,6 +7102,68 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "partition_audit": _oracle(_PARTITION_AUDIT_BODY),
         "msf": _oracle(_msf_body()),
         "lp_ranking": _oracle(_lp_body()),
+        "edge_decay": _oracle(
+            f"""
+            , et_pairs AS (
+              SELECT DISTINCT least(source, target) AS source,
+                              greatest(source, target) AS target, conv_id
+              FROM rel_records),
+            et_conv AS (SELECT conv_id, max(ts) AS c_last
+                        FROM transcripts GROUP BY conv_id),
+            ed_et AS MATERIALIZED (
+              SELECT source, target,
+                     CAST(floor(epoch(max(c_last))) AS BIGINT)
+                       AS last_seen_epoch,
+                     CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+              FROM et_pairs JOIN et_conv USING (conv_id)
+              GROUP BY source, target),
+            ed_tm AS (SELECT max(last_seen_epoch) AS t_max FROM ed_et)
+            SELECT source, target, last_seen_epoch,
+                   CAST((t_max - last_seen_epoch) // {DECAY_BUCKET_SEC}
+                        AS BIGINT) AS age_buckets,
+                   CAST(CASE WHEN (t_max - last_seen_epoch)
+                                  // {DECAY_BUCKET_SEC} >= 20 THEN 0
+                             ELSE 1000000 // (CAST(1 AS BIGINT) <<
+                                  ((t_max - last_seen_epoch)
+                                   // {DECAY_BUCKET_SEC}))
+                        END AS BIGINT) AS decay_micro,
+                   CAST(n_convs * (CASE WHEN (t_max - last_seen_epoch)
+                                  // {DECAY_BUCKET_SEC} >= 20 THEN 0
+                             ELSE 1000000 // (CAST(1 AS BIGINT) <<
+                                  ((t_max - last_seen_epoch)
+                                   // {DECAY_BUCKET_SEC}))
+                        END) AS BIGINT) AS support_decayed_micro
+            FROM ed_et CROSS JOIN ed_tm
+            """
+        ),
+        "heaps_law": _oracle(
+            r"""
+            , hp_base AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+                       AS doc_ord,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            hp_first AS MATERIALIZED (
+              SELECT token, min(doc_ord) AS first_ord FROM (
+                SELECT doc_ord, unnest(toks) AS token FROM hp_base)
+              GROUP BY token),
+            hp_new AS (
+              SELECT first_ord AS doc_ord,
+                     CAST(count(*) AS BIGINT) AS new_types
+              FROM hp_first GROUP BY first_ord)
+            SELECT d.doc_ord, d.doc_id,
+                   CAST(len(d.toks) AS BIGINT) AS n_tokens,
+                   coalesce(n.new_types, 0) AS new_types,
+                   CAST(sum(len(d.toks)) OVER (ORDER BY d.doc_ord)
+                        AS BIGINT) AS cum_tokens,
+                   CAST(sum(coalesce(n.new_types, 0))
+                        OVER (ORDER BY d.doc_ord) AS BIGINT) AS cum_types
+            FROM hp_base d LEFT JOIN hp_new n USING (doc_ord)
+            """
+        ),
         "lp_mrr": _oracle(
             _lp_body(as_cte="lp_rank")
             + """

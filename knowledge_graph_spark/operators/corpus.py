@@ -798,3 +798,71 @@ def tertile_buckets(
     return ranked.select(
         id_col, strata_col, score_col, F.col("rk"), bucket.alias("bucket")
     )
+
+
+def heaps_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps/Herdan vocabulary-growth curve → one row per document in
+    ``id_col`` order: (doc_ord, doc_id, n_tokens, new_types, cum_tokens,
+    cum_types).
+
+    cum_types(d) counts DISTINCT normalized whitespace tokens seen in
+    docs 1..d — the V(N) ≈ K·N^β law every tokenizer-budget and
+    vocab-size decision leans on; a corpus whose curve bends early is
+    repetitive (dedup target), one that never bends is noisy (garbage
+    tokens).  Exact integers, no estimation.
+
+    Scale shape: the naive form (cumulative DISTINCT per prefix) is
+    quadratic; the distributed identity used here is
+    cum_types(d) = #{tokens whose FIRST occurrence ord ≤ d} — one
+    min-aggregate per token, one count per first-occurrence ord, then
+    two prefix sums via with_running_sum (two-phase, no
+    single-partition window).  Everything is a map-side-combinable
+    aggregate on (token) or (ord); no driver loops.
+
+    Reference anchor: none (the reference has no corpus telemetry) —
+    this is part of the training-data-pipeline brief, companion to
+    build_vocab / unigram_counts.
+    """
+    from ..functions.textqc import normalized_text, ws_tokens_col
+    from .graphops import with_global_index, with_running_sum
+
+    base = with_global_index(
+        widen(docs).select(
+            F.col(id_col).alias("doc_id"),
+            ws_tokens_col(normalized_text(F.col(text_col))).alias("__toks"),
+        ),
+        ["doc_id"],
+        "doc_ord",
+    ).select(
+        "doc_id",
+        (F.col("doc_ord") + 1).cast("bigint").alias("doc_ord"),
+        "__toks",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+    )
+    base = base.persist()
+    first_occ = (
+        base.select("doc_ord", F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_ord").alias("first_ord"))
+    )
+    new_types = first_occ.groupBy(F.col("first_ord").alias("doc_ord")).agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    per_doc = base.join(new_types, "doc_ord", "left").select(
+        "doc_ord",
+        "doc_id",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    out = with_running_sum(per_doc, ["doc_ord"], "n_tokens", "cum_tokens")
+    out = with_running_sum(out, ["doc_ord"], "new_types", "cum_types")
+    return out.select(
+        "doc_ord",
+        "doc_id",
+        "n_tokens",
+        "new_types",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_types").cast("bigint").alias("cum_types"),
+    )

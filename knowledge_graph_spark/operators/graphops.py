@@ -2369,7 +2369,6 @@ def min_spanning_forest(
     dst: str = "target",
     weight: str = "weight",
     rounds: int = 5,
-    local_threshold: int = 0,
     round_log: list | None = None,
 ) -> DataFrame:
     """Minimum spanning forest via Borůvka rounds → (source, target,
@@ -2391,17 +2390,28 @@ def min_spanning_forest(
     Scale shape per round: two hash joins stamp component labels on the
     edge endpoints; the per-component argmin is a top-1 window
     (WindowGroupLimit — rank<=1 prunes map-side, no global sort); the
-    contraction runs min-label CC with pointer doubling over the
-    SELECTED edges only (≤ one per component, so the contraction input
-    shrinks as fast as the components do).  localCheckpoint truncates
-    the per-round lineage, as in the other iterative kernels.
+    contraction pointer-jumps the SELECTION STAR GRAPH (exactly one
+    pointer per active component, so each doubling is a self-join of a
+    |components|-row table — ceil(log2) doublings, never a general CC
+    over the edge list).  Under the total edge order the pointer graph's
+    only cycles are 2-cycles (the Borůvka invariant: a longer cycle
+    would contain an edge that is not its source's minimum), broken to
+    the lexicographic-min endpoint; the resulting labels differ from
+    min-reach labels but induce the SAME partition, and selection only
+    depends on the partition — so the emitted edge set is oracle-exact.
+    localCheckpoint truncates the per-round lineage, as in the other
+    iterative kernels.  (First cut ran distributed CC per round: the
+    LogicalRDD inputs carry default Long.Max size stats and Catalyst's
+    size-only estimation spent MINUTES in BigInteger products on the
+    repeated self-join diamonds — driver-bound with zero running jobs.
+    The star-pointer contraction avoids the whole class.)
 
     Reference anchor: the reference materializes its graph via
     networkx (utils/graph.py); a spanning backbone is the distributed
     stand-in for the layout/traversal passes that library family gives
     for free on a single node.
     """
-    from .community import connected_components
+    import math
 
     e0 = (
         edges.select(
@@ -2432,38 +2442,70 @@ def min_spanning_forest(
         ).localCheckpoint(eager=True)
         if ec.limit(1).count() == 0:
             break  # forest complete — further rounds are no-ops (oracle too)
-        cand = ec.select(F.col("ca").alias("c"), "a", "b", "w", "estr").unionByName(
-            ec.select(F.col("cb").alias("c"), "a", "b", "w", "estr")
+        cand = ec.select(
+            F.col("ca").alias("c"), F.col("cb").alias("oc"), "a", "b", "w", "estr"
+        ).unionByName(
+            ec.select(
+                F.col("cb").alias("c"), F.col("ca").alias("oc"), "a", "b", "w", "estr"
+            )
         )
-        sel = (
+        # per-component minimum cut edge: (c -> other comp) plus the edge
+        selp = (
             cand.withColumn(
                 "rn", F.row_number().over(Window.partitionBy("c").orderBy("w", "estr"))
             )
             .filter(F.col("rn") == 1)
-            .select("a", "b", "w", "estr")
-            .dropDuplicates(["estr"])  # both endpoints of a cut may pick the same edge
+            .select("c", "oc", "a", "b", "w", "estr")
             .localCheckpoint(eager=True)
         )
-        picked = sel.select(
-            F.col("a").alias("source"),
-            F.col("b").alias("target"),
-            F.col("w").alias("weight"),
-            F.lit(r).cast("int").alias("round"),
+        n_active = selp.count()
+        picked = (
+            selp.select("a", "b", "w", "estr")
+            .dropDuplicates(["estr"])  # both sides of a cut may pick the same edge
+            .select(
+                F.col("a").alias("source"),
+                F.col("b").alias("target"),
+                F.col("w").alias("weight"),
+                F.lit(r).cast("int").alias("round"),
+            )
         )
         out = picked if out is None else out.unionByName(picked)
-        # contract: CC over the component graph induced by selected edges
-        sel_c = (
-            sel.join(comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")), "a")
-            .join(comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")), "b")
-            .select(F.col("ca").alias("source"), F.col("cb").alias("target"))
+        # contract via star pointer-jumping: ptr(c) = oc; break the
+        # 2-cycles to the min endpoint (roots become self-loops), then
+        # pointer-double ceil(log2 n_active) times — each step a
+        # |components|-row self-join
+        ptr = selp.select("c", F.col("oc").alias("p"))
+        par = (
+            ptr.alias("X")
+            .join(
+                ptr.select(F.col("c").alias("p"), F.col("p").alias("pp")).alias("Y"),
+                "p",
+                "left",
+            )
+            .select(
+                "c",
+                F.when(
+                    F.col("pp") == F.col("c"), F.least(F.col("c"), F.col("p"))
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
         )
-        comp_nodes = comp.select(F.col("comp").alias("title")).distinct()
-        cmap = connected_components(
-            comp_nodes, sel_c, local_threshold=local_threshold
-        ).select(F.col("title").alias("comp"), F.col("component").alias("newc"))
+        for _ in range(max(1, math.ceil(math.log2(max(n_active, 2))))):
+            par = (
+                par.join(
+                    par.select(F.col("c").alias("p"), F.col("p").alias("p2")),
+                    "p",
+                    "left",
+                )
+                .select("c", F.coalesce("p2", "p").alias("p"))
+                .localCheckpoint(eager=True)
+            )
+        # inactive components (no cut edge) keep their label
         comp = (
-            comp.join(cmap, "comp")
-            .select("node", F.col("newc").alias("comp"))
+            comp.join(par.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("node", F.coalesce("p", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
         if round_log is not None:

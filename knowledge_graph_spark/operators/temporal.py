@@ -460,3 +460,63 @@ def comention_burst_profile(
             )
         ).alias("is_burst"),
     )
+
+
+def edge_recency_weights(
+    edge_times: DataFrame, bucket_sec: int = 86400, max_buckets: int = 20
+) -> DataFrame:
+    """Exponential recency decay over the KG's temporal edge lineage →
+    (source, target, last_seen_epoch, age_buckets, decay_micro,
+    support_decayed_micro).
+
+    Half-life = one ``bucket_sec`` bucket: decay_micro =
+    1000000 DIV 2^age_buckets (0 past ``max_buckets`` — 2^20 > 1e6, so
+    the cap changes nothing numerically, it just keeps the shift inside
+    int64); support_decayed_micro = n_convs · decay_micro, the
+    recency-weighted assertion count.  Pure integer arithmetic both
+    engines (epoch seconds, floor division, bigint shift).
+
+    The freshness re-ranker for KG reads: a 100-TB transcript corpus
+    spans years, and an edge asserted daily last week should outrank one
+    asserted once in 2019 even at lower raw weight.  t_max comes from the
+    edge table itself (max last_seen) so the op is deterministic given
+    its input — no wall-clock dependence to break resume/oracle parity.
+
+    Scale shape: one 1-row max aggregate broadcast onto the edge table
+    (BroadcastNestedLoopJoin on a scalar — the hits_int pattern), then
+    row-local Column algebra.  No shuffle beyond the aggregate.
+
+    Reference anchor: the reference keeps no temporal metadata at all
+    (graph rows carry only source_id provenance, index/operate.py) —
+    this is the freshness layer a trillion-turn KG needs.
+    """
+    et = edge_times.select(
+        "source",
+        "target",
+        F.col("last_seen_epoch").cast("bigint").alias("last_seen_epoch"),
+        F.col("n_convs").cast("bigint").alias("n_convs"),
+    )
+    tmax = et.agg(F.max("last_seen_epoch").alias("t_max"))
+    # DIV keeps the bucket index in integer arithmetic end-to-end
+    age = F.expr(f"(t_max - last_seen_epoch) DIV {int(bucket_sec)}").cast("bigint")
+    decay = F.when(age >= max_buckets, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            "CAST(1000000 AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), "
+            "CAST(age_buckets AS INT))"
+        )
+    )
+    return (
+        et.join(F.broadcast(tmax))
+        .withColumn("age_buckets", age)
+        .withColumn("decay_micro", decay)
+        .select(
+            "source",
+            "target",
+            "last_seen_epoch",
+            "age_buckets",
+            "decay_micro",
+            (F.col("n_convs") * F.col("decay_micro"))
+            .cast("bigint")
+            .alias("support_decayed_micro"),
+        )
+    )

@@ -284,3 +284,52 @@ def test_lp_ranking_prefers_true_edge_in_triangle_lattice(spark):
         assert r.rank == want_rank, (s, t)
         assert r.n_cand == 1 + len(cands), (s, t)
         assert pos > 0  # every true edge sits in a triangle
+
+
+def test_heaps_profile_mirror(spark):
+    from knowledge_graph_spark.operators.corpus import heaps_profile
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog sat down"),
+        (3, ""),
+        (4, "THE  Cat\truns"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_ord: r for r in heaps_profile(d).collect()}
+    seen, cum_tok = set(), 0
+    for i, (did, text) in enumerate(sorted(rows), start=1):
+        toks = text.lower().split()
+        new = [t for t in toks if t not in seen and toks.index(t) == toks.index(t)]
+        fresh = set(toks) - seen
+        seen |= set(toks)
+        cum_tok += len(toks)
+        r = out[i]
+        assert r.doc_id == did
+        assert r.n_tokens == len(toks)
+        assert r.new_types == len(fresh)
+        assert r.cum_tokens == cum_tok
+        assert r.cum_types == len(seen)
+
+
+def test_edge_recency_weights_fixture(spark):
+    from knowledge_graph_spark.operators.temporal import edge_recency_weights
+
+    day = 86400
+    t0 = 1_700_000_000
+    rows = [
+        ("a", "b", t0, 3),            # freshest: age 0, decay 1e6
+        ("a", "c", t0 - day, 2),      # 1 bucket: 500000
+        ("b", "c", t0 - 3 * day, 1),  # 3 buckets: 125000
+        ("c", "d", t0 - 25 * day, 4), # past the cap: 0
+    ]
+    d = spark.createDataFrame(
+        rows, "source string, target string, last_seen_epoch long, n_convs long"
+    )
+    out = {(r.source, r.target): r for r in edge_recency_weights(d).collect()}
+    assert out[("a", "b")].decay_micro == 1_000_000
+    assert out[("a", "b")].support_decayed_micro == 3_000_000
+    assert out[("a", "c")].decay_micro == 500_000
+    assert out[("b", "c")].decay_micro == 125_000
+    assert out[("c", "d")].decay_micro == 0
+    assert out[("c", "d")].age_buckets == 25

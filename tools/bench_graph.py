@@ -284,9 +284,7 @@ def main() -> None:
         )
         timed(
             "msf",
-            lambda rl: min_spanning_forest(
-                we, rounds=5, local_threshold=0, round_log=rl
-            ).count(),
+            lambda rl: min_spanning_forest(we, rounds=5, round_log=rl).count(),
         )
     if "densest" in OPS:
         from knowledge_graph_spark.operators.graphops import densest_subgraph
