@@ -33,6 +33,8 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import checkpoint_fresh
+
 # Graphs whose EDGE LIST fits comfortably on the driver skip the
 # iterative-join path: per-round shuffle+checkpoint overhead (seconds per
 # round regardless of data size) dwarfs the actual work below this size.
@@ -126,7 +128,7 @@ def connected_components(
         )
     adj = _symmetric(edges, src, dst, None).distinct()
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = checkpoint_fresh(labels)
     for _ in range(max_iter):
         _t0 = time.perf_counter()
         nbr = (
@@ -150,7 +152,7 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("p_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_fresh)
         )
         changed = (
             new_labels.alias("n")
@@ -206,7 +208,7 @@ def label_propagation(
         )
     adj = _symmetric(edges, src, dst, weight)
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = checkpoint_fresh(labels)
     for _ in range(max_iter):
         _t0 = time.perf_counter()
         scored = (
@@ -229,7 +231,7 @@ def label_propagation(
         new_labels = (
             labels.join(best, labels["node"] == best["a"], "left")
             .select("node", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_fresh)
         )
         changed = (
             new_labels.alias("n")

@@ -2413,6 +2413,8 @@ def min_spanning_forest(
     """
     import math
 
+    from ..partitioning import checkpoint_fresh
+
     e0 = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -2430,7 +2432,7 @@ def min_spanning_forest(
         .unionByName(e0.select(F.col("b").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_fresh)
     )
     out = None
     for r in range(1, rounds + 1):
@@ -2439,7 +2441,7 @@ def min_spanning_forest(
             e0.join(comp.select(F.col("node").alias("a"), F.col("comp").alias("ca")), "a")
             .join(comp.select(F.col("node").alias("b"), F.col("comp").alias("cb")), "b")
             .filter(F.col("ca") != F.col("cb"))
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_fresh)
         if ec.limit(1).count() == 0:
             break  # forest complete — further rounds are no-ops (oracle too)
         cand = ec.select(
@@ -2456,7 +2458,7 @@ def min_spanning_forest(
             )
             .filter(F.col("rn") == 1)
             .select("c", "oc", "a", "b", "w", "estr")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_fresh)
         )
         n_active = selp.count()
         picked = (
@@ -2490,7 +2492,7 @@ def min_spanning_forest(
                 .otherwise(F.col("p"))
                 .alias("p"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_fresh)
         )
         for _ in range(max(1, math.ceil(math.log2(max(n_active, 2))))):
             par = (
@@ -2500,13 +2502,13 @@ def min_spanning_forest(
                     "left",
                 )
                 .select("c", F.coalesce("p2", "p").alias("p"))
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_fresh)
             )
         # inactive components (no cut edge) keep their label
         comp = (
             comp.join(par.withColumnRenamed("c", "comp"), "comp", "left")
             .select("node", F.coalesce("p", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_fresh)
         )
         if round_log is not None:
             round_log.append(time.perf_counter() - _t0)
