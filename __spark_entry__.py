@@ -1317,6 +1317,20 @@ def q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_spanning_forest(e, rounds=MSF_ROUNDS)
 
 
+SL_CUTS = 3
+
+
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clustering of the KG: cut the 3 heaviest Borůvka
+    forest edges (global top-k via TakeOrderedAndProject) and label the
+    remaining trees — the conservative hierarchical grouping for
+    canonicalization review (MST↔single-linkage duality)."""
+    from knowledge_graph_spark.operators.graphops import single_linkage_clusters
+
+    e = _stages(spark, sf_dir)["edges"].select("source", "target", "weight")
+    return single_linkage_clusters(e, n_cuts=SL_CUTS, msf_rounds=MSF_ROUNDS)
+
+
 def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy densest-subgraph peeling (Charikar / Bahmani et al.
     2(1+ε)-approx, ε=0.1): peel nodes at ≤ (1+ε)·avg degree per round,
@@ -2159,6 +2173,15 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledge_graph_spark.operators.corpus import bpe_segment
 
     return bpe_segment(_docs(spark, sf_dir), rounds=BPE_ROUNDS)
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per whitespace word) per language
+    — the tokenizer-equity audit over the freshly-trained BPE merges;
+    exact integer micros."""
+    from knowledge_graph_spark.operators.corpus import bpe_fertility
+
+    return bpe_fertility(_docs(spark, sf_dir), rounds=BPE_ROUNDS)
 
 
 HITS_ROUNDS = 3
@@ -4398,7 +4421,7 @@ FROM tlp_base n JOIN tlp_l{rounds} l USING (title)
     return "".join(parts)
 
 
-def _msf_body(rounds: int = MSF_ROUNDS) -> str:
+def _msf_body(rounds: int = MSF_ROUNDS, as_cte: str | None = None) -> str:
     """Unrolled Borůvka MSF over kg_edges — mirrors graphops.
     min_spanning_forest round-for-round: per round every component picks
     its min-(weight, "a|b") outgoing edge (top-1 window over both
@@ -4454,7 +4477,10 @@ msf_c{r} AS MATERIALIZED (
         f" CAST({r} AS INT) AS round FROM msf_sel{r}"
         for r in range(1, rounds + 1)
     )
-    parts.append("\n" + union + "\n")
+    if as_cte:
+        parts.append(f",\n{as_cte} AS MATERIALIZED (\n{union}\n)")
+    else:
+        parts.append("\n" + union + "\n")
     return "".join(parts)
 
 
@@ -6445,6 +6471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_l2": q_coarsen_l2,
         "partition_audit": q_partition_audit,
         "msf": q_msf,
+        "single_linkage": q_single_linkage,
         "densest": q_densest,
         "knn_graph": q_knn_graph,
         "lp_ranking": q_lp_ranking,
@@ -6515,6 +6542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_fertility": q_bpe_fertility,
         "events_asof": q_events_asof,
         "event_hourly": q_event_hourly,
         "event_anomaly": q_event_anomaly,
@@ -7101,6 +7129,26 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "coarsen_l2": _oracle(_coarsen_hier_body()),
         "partition_audit": _oracle(_PARTITION_AUDIT_BODY),
         "msf": _oracle(_msf_body()),
+        "single_linkage": _oracle(
+            _msf_body(as_cte="msf_out")
+            + f""",
+sl_rk AS (
+  SELECT source, target, source || '|' || target AS estr,
+         row_number() OVER (
+           ORDER BY weight DESC, source || '|' || target) AS rn
+  FROM msf_out),
+sl_kept AS MATERIALIZED (
+  SELECT source, target FROM sl_rk WHERE rn > {SL_CUTS}),
+sl_reach(c, t) AS (
+  SELECT node, node FROM msf_c0
+  UNION
+  SELECT s.a, rr.t
+  FROM (SELECT source AS a, target AS b FROM sl_kept
+        UNION SELECT target, source FROM sl_kept) s
+  JOIN sl_reach rr ON s.b = rr.c)
+SELECT c AS node, min(t) AS cluster FROM sl_reach GROUP BY c
+"""
+        ),
         "lp_ranking": _oracle(_lp_body()),
         "edge_decay": _oracle(
             f"""
@@ -7228,6 +7276,20 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "bpe_pairs": _BPE_PAIRS_SQL,
         "bpe_merges": _bpe_oracle(BPE_ROUNDS),
         "bpe_tokenize": _bpe_oracle(BPE_ROUNDS, segment=True),
+        # composes the full segment statement as a nested WITH (the
+        # _FILTER_AUDIT_SQL pattern); integer fertility micros
+        "bpe_fertility": f"""
+            WITH segd AS ({_bpe_oracle(BPE_ROUNDS, segment=True)})
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.n_words) AS BIGINT) AS sum_words,
+                   CAST(sum(s.n_bpe_tokens) AS BIGINT) AS sum_bpe,
+                   CAST((1000000 * sum(s.n_bpe_tokens))
+                        // greatest(sum(s.n_words), 1) AS BIGINT)
+                     AS fertility_micro
+            FROM segd s JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+            """,
         "ppr_entities": _oracle(_ppr_body()),
         "modularity": _oracle(_mod_body()),
         "triangles": _oracle(f"""

@@ -115,6 +115,18 @@ def _run_pass(spark, entry, sf_dir: str, graph_edges: int) -> tuple[dict, int, i
     from knowledge_graph_spark.operators.graphops import betweenness_sampled
 
     timed("betweenness_graph", lambda: betweenness_sampled(g_edges))
+    # session-13 addition: Borůvka MSF (3 rounds for the bench line —
+    # the selection+contraction cost profile, not forest completeness);
+    # subtract for round-2 comparability too
+    from pyspark.sql import functions as _F
+
+    from knowledge_graph_spark.operators.graphops import min_spanning_forest
+
+    g_w = g_edges.withColumn(
+        "weight",
+        (_F.pmod(_F.xxhash64("source", "target"), _F.lit(97)) + 1).cast("double"),
+    )
+    timed("msf_graph", lambda: min_spanning_forest(g_w, rounds=3))
     g_edges.unpersist()
     g_nodes.unpersist()
     return timings, n_turns, n_edges, kg_secs

@@ -866,3 +866,40 @@ def heaps_profile(
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         F.col("cum_types").cast("bigint").alias("cum_types"),
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility audit → one row per language: (lang, n_docs,
+    sum_words, sum_bpe, fertility_micro) where fertility_micro =
+    floor(1e6 · bpe_tokens / words).
+
+    Fertility (BPE tokens emitted per whitespace word) is the standard
+    tokenizer-equity metric: a tokenizer trained on skewed data segments
+    under-represented languages into more pieces, inflating their
+    training cost and truncation rate.  Reuses bpe_segment's dictionary
+    join (the merges run once over the Zipf-bounded vocab, never per
+    occurrence) and folds to one exact-integer row per language.
+    """
+    seg = bpe_segment(docs, rounds=rounds, id_col=id_col, text_col=text_col)
+    tagged = seg.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("sum_bpe"),
+        )
+        .withColumn(
+            "fertility_micro",
+            F.expr("(1000000 * sum_bpe) DIV greatest(sum_words, 1)").cast("bigint"),
+        )
+    )

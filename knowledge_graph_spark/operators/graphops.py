@@ -2804,3 +2804,54 @@ def lp_mrr(ranking: DataFrame) -> DataFrame:
         F.count(F.when(F.col("rank") == 1, True)).cast("bigint").alias("hits1"),
         F.count(F.when(F.col("rank") <= 3, True)).cast("bigint").alias("hits3"),
     )
+
+
+def single_linkage_clusters(
+    edges: DataFrame,
+    n_cuts: int = 3,
+    msf_rounds: int = 5,
+    src: str = "source",
+    dst: str = "target",
+    weight: str = "weight",
+) -> DataFrame:
+    """Single-linkage clustering via the Borůvka forest → (node,
+    cluster): cut the ``n_cuts`` HEAVIEST forest edges under the global
+    (weight DESC, pair ASC) order and label the remaining trees by their
+    lexicographic-min member — the classic MST↔single-linkage duality
+    (cutting the k heaviest MST edges yields exactly the k+1 clusters of
+    single-linkage agglomeration stopped k merges early).
+
+    KG use: distance-free hierarchical entity grouping — unlike LPA this
+    never merges two clusters across a heavy (weak-tie) edge, so it is
+    the conservative grouping for canonicalization review queues.
+
+    Scale shape: the forest is |V|−#CC rows; the global top-k is an
+    orderBy().limit(k) (TakeOrderedAndProject — per-partition heaps, no
+    global sort or single-partition window) anti-joined back; labeling
+    runs connected_components over FOREST edges only (≤|V| rows, the
+    cheap regime of the CC kernel).
+    """
+    from .community import connected_components
+
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    forest = min_spanning_forest(e0, src="a", dst="b", weight="w", rounds=msf_rounds)
+    fe = forest.withColumn("estr", F.concat_ws("|", "source", "target"))
+    cut = fe.orderBy(F.desc("weight"), F.asc("estr")).limit(n_cuts).select("estr")
+    kept = fe.join(cut, "estr", "left_anti").select("source", "target")
+    nodes = (
+        e0.select(F.col("a").alias("title"))
+        .unionByName(e0.select(F.col("b").alias("title")))
+        .distinct()
+    )
+    return connected_components(nodes, kept).select(
+        F.col("title").alias("node"), F.col("component").alias("cluster")
+    )

@@ -333,3 +333,55 @@ def test_edge_recency_weights_fixture(spark):
     assert out[("b", "c")].decay_micro == 125_000
     assert out[("c", "d")].decay_micro == 0
     assert out[("c", "d")].age_buckets == 25
+
+
+def test_single_linkage_cuts_heavy_bridges(spark):
+    from knowledge_graph_spark.operators.graphops import single_linkage_clusters
+
+    # three light-weight blobs joined by two heavy bridges: n_cuts=2
+    # must recover the blobs exactly (single-linkage never merges
+    # across a cut edge)
+    rows = []
+    for blob, names in enumerate((["a1", "a2", "a3"], ["b1", "b2", "b3"], ["c1", "c2", "c3"])):
+        for i in range(len(names) - 1):
+            rows.append((names[i], names[i + 1], 1.0))
+    rows += [("a3", "b1", 9.0), ("b3", "c1", 8.0)]
+    out = {r.node: r.cluster for r in
+           single_linkage_clusters(_edges(spark, rows), n_cuts=2).collect()}
+    assert {out["a1"], out["a2"], out["a3"]} == {"a1"}
+    assert {out["b1"], out["b2"], out["b3"]} == {"b1"}
+    assert {out["c1"], out["c2"], out["c3"]} == {"c1"}
+
+
+def test_single_linkage_zero_cuts_equals_components(spark):
+    from knowledge_graph_spark.operators.graphops import single_linkage_clusters
+
+    rows = _rand_graph(seed=13, n=20, m=30, distinct_w=False)
+    out = {r.node: r.cluster for r in
+           single_linkage_clusters(_edges(spark, rows), n_cuts=0).collect()}
+    g = nx.Graph()
+    for a, b, _ in rows:
+        g.add_edge(a, b)
+    for comp in nx.connected_components(g):
+        assert len({out[n] for n in comp}) == 1
+        assert out[min(comp)] == min(comp)
+
+
+def test_bpe_fertility_mirror(spark):
+    from knowledge_graph_spark.operators.corpus import bpe_fertility, bpe_segment
+
+    rows = [
+        (1, "aa bb aa", "xx"),
+        (2, "aa aa", "xx"),
+        (3, "cc dd", "yy"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    seg = {r.doc_id: r for r in bpe_segment(d, rounds=2).collect()}
+    out = {r.lang: r for r in bpe_fertility(d, rounds=2).collect()}
+    for lang, ids in (("xx", [1, 2]), ("yy", [3])):
+        sw = sum(seg[i].n_words for i in ids)
+        sb = sum(seg[i].n_bpe_tokens for i in ids)
+        assert out[lang].n_docs == len(ids)
+        assert out[lang].sum_words == sw
+        assert out[lang].sum_bpe == sb
+        assert out[lang].fertility_micro == (1_000_000 * sb) // max(sw, 1)
