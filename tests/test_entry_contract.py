@@ -129,6 +129,16 @@ CHECK = [
     "coarsen",
     "coarsen_l2",
     "partition_audit",
+    # wave 12/13: Borůvka MSF family, peeling, ranking eval, telemetry
+    "msf",
+    "single_linkage",
+    "densest",
+    "knn_graph",
+    "lp_ranking",
+    "lp_mrr",
+    "edge_decay",
+    "heaps_law",
+    "bpe_fertility",
 ]
 
 

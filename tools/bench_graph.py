@@ -300,6 +300,13 @@ def main() -> None:
             "weight", (F.pmod(F.xxhash64("source", "target"), F.lit(97)) + 1).cast("double")
         )
         timed("knn_graph", lambda rl: knn_graph(we, k=3).count())
+    if "lp" in OPS:
+        from knowledge_graph_spark.operators.graphops import lp_ranking_audit
+
+        timed(
+            "lp_ranking",
+            lambda rl: lp_ranking_audit(nodes, edges, k=2).count(),
+        )
     if "jp" in OPS:
         from knowledge_graph_spark.operators.graphops import jp_coloring
 

@@ -89,6 +89,14 @@ AUDIT = [
     ("coarsen_l2", "two-level matching contraction (map joins + provenance sums)"),
     ("langid", "trigram profile train (WindowGroupLimit) + broadcast apply"),
     ("partition_audit", "edge-partition strategies (src-hash/vertex-cut/DBH) scored in one pass"),
+    ("msf", "Borůvka rounds: comp-label joins + top-1 window + star pointer doubling"),
+    ("single_linkage", "forest top-k cut (TakeOrderedAndProject) + CC labeling"),
+    ("densest", "peel rounds: combinable degree agg + scalar-bound anti-joins"),
+    ("knn_graph", "per-node top-k edges (WindowGroupLimit) + kept_by groupBy"),
+    ("lp_ranking", "corruption candidates + blocked common-neighbor scoring + rank groupBy"),
+    ("edge_decay", "edge lineage + 1-row t_max broadcast + row-local decay"),
+    ("heaps_law", "first-occurrence identity + two-phase prefix sums"),
+    ("bpe_fertility", "BPE dictionary join folded per language"),
 ]
 
 PY_NODES = (
