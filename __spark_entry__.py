@@ -46,7 +46,12 @@ from knowledge_graph_spark.functions.hashing import (
     HASH_M31,
 )
 from knowledge_graph_spark.operators import claims as claims_ops
-from knowledge_graph_spark.operators.corpus import SALT_CAP, SALT_SPLIT, salt_ab
+from knowledge_graph_spark.operators.corpus import (
+    LM_BACKOFF_BITS,
+    SALT_CAP,
+    SALT_SPLIT,
+    salt_ab,
+)
 from knowledge_graph_spark.operators import dedup, multimodal, reports, similarity
 from knowledge_graph_spark.operators import query as query_ops
 from knowledge_graph_spark.operators.community import hierarchical_lpa
@@ -2118,6 +2123,8 @@ def q_conv_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WIDEST_ROUNDS = 3
+SSSP_ROUNDS = 4
+PREFIX_DIM = 32
 
 
 def q_widest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,6 +2395,29 @@ _IVF_CELL = " + ".join(
 
 _EMB_TOPK_SQL = f"""
 WITH {_UNIT_CTE},
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_MICRO} AS sim_micro
+  FROM uemb a JOIN uemb b ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, sim_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rk
+FROM scored QUALIFY rk <= {TOPK_K}
+"""
+
+# Matryoshka prefix-dim variant: identical plan on vectors truncated to the
+# first PREFIX_DIM dims (re-normalized in the prefix space, same fold order).
+_PREFIX_UNIT_CTE = f"""
+emb AS (SELECT vec_id, list_slice(CAST(embedding AS DOUBLE[]), 1, {PREFIX_DIM}) AS e
+        FROM embeddings),
+uemb AS (
+  SELECT vec_id, nrm, list_transform(e, x -> x / nrm) AS e
+  FROM (SELECT vec_id, e, {_NORM} AS nrm FROM emb)
+)
+"""
+
+_EMB_PREFIX_TOPK_SQL = f"""
+WITH {_PREFIX_UNIT_CTE},
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id, {_COS_MICRO} AS sim_micro
   FROM uemb a JOIN uemb b ON b.vec_id < {TOPK_QUERY_LIMIT} AND a.vec_id <> b.vec_id
@@ -2710,6 +2740,90 @@ dtoks AS (
                      '\\s+'), x -> x <> '') AS t
   FROM documents
 )
+"""
+
+# Trained bigram-LM scoring (corpus.lm_bits): fit on the TRAIN hash-split,
+# score all docs with stupid-backoff integer bit-length costs.  The split
+# subquery is _HASH_SPLIT_SQL's key rule inlined (same salt family).
+_LM_BITS_SQL_TMPL = """
+WITH {dtoks},
+lm_train AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           CAST(({split_a} * (doc_id % {fp_mod}) + {split_b}) % {m31} AS DOUBLE)
+             / {m31} AS key
+    FROM documents
+  ) WHERE key >= {cut}
+),
+lm_tr AS (SELECT d.doc_id, d.t FROM dtoks d JOIN lm_train USING (doc_id)),
+lm_uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(t) AS w FROM lm_tr) GROUP BY w
+),
+lm_bi AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lm_tr, LATERAL unnest(range(1, len(t))) AS r(i)
+  GROUP BY 1, 2
+),
+lm_tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_total FROM lm_uni),
+lm_prs AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM dtoks, LATERAL unnest(range(1, len(t))) AS r(i)
+),
+lm_sc AS (
+  SELECT p.doc_id,
+    CASE WHEN b.cnt IS NOT NULL
+           THEN (length(bin(u1.cnt)) - 1) - (length(bin(b.cnt)) - 1)
+         WHEN u2.cnt IS NOT NULL
+           THEN {penalty} + (length(bin(t.n_total)) - 1) - (length(bin(u2.cnt)) - 1)
+         ELSE {penalty} + (length(bin(t.n_total)) - 1) END AS cost,
+    CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS backoff,
+    CASE WHEN b.cnt IS NULL AND u2.cnt IS NULL THEN 1 ELSE 0 END AS oov
+  FROM lm_prs p
+  LEFT JOIN lm_bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN lm_uni u1 ON u1.w = p.w1
+  LEFT JOIN lm_uni u2 ON u2.w = p.w2
+  CROSS JOIN lm_tot t
+),
+lm_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(cost) AS BIGINT) AS total_bits,
+         CAST(sum(backoff) AS BIGINT) AS n_backoff,
+         CAST(sum(oov) AS BIGINT) AS n_oov
+  FROM lm_sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(s.total_bits, 0) AS BIGINT) AS total_bits,
+       CAST(coalesce(s.total_bits, 0) * 1000000
+              // greatest(coalesce(s.n_scored, 0), 1) AS BIGINT)
+         AS bits_per_token_micro,
+       CAST(coalesce(s.n_backoff, 0) AS BIGINT) AS n_backoff,
+       CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov
+FROM dtoks d LEFT JOIN lm_doc s USING (doc_id)
+"""
+
+# Positional phrase search (keywords.phrase_search): the corpus's own top
+# bigram matched adjacent-in-order over 1-based positional postings.
+_PHRASE_SQL_TMPL = """
+WITH {dtoks},
+ph_post AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS term
+  FROM dtoks, LATERAL unnest(range(1, len(t) + 1)) AS r(i)
+),
+ph_bg AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM ph_post a JOIN ph_post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+ph_top AS (SELECT w1, w2 FROM ph_bg ORDER BY cnt DESC, w1, w2 LIMIT 1)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(a.pos) AS INT) AS first_pos
+FROM ph_post a
+JOIN ph_post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+JOIN ph_top t ON a.term = t.w1 AND b.term = t.w2
+GROUP BY a.doc_id
 """
 
 _EVAL_CTE = f"""
@@ -5068,6 +5182,66 @@ wp_s{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _sssp_body(rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled fixed-round Bellman-Ford from the top-degree seed —
+    mirrors graphops.sssp_int bit-for-bit (int64 edge weights, additive
+    costs, min-fold).  AS MATERIALIZED: each round references the
+    previous twice."""
+    parts = [
+        """
+, sp_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS BIGINT) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS BIGINT) AS w FROM kg_edges
+),
+sp_adj AS MATERIALIZED (SELECT a, b, min(w) AS w FROM sp_sym GROUP BY a, b),
+sp_d0 AS MATERIALIZED (
+  SELECT title, CAST(0 AS BIGINT) AS dist
+  FROM (SELECT title FROM degrees ORDER BY degree DESC, title LIMIT 1)
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+sp_d{k} AS MATERIALIZED (
+  SELECT title, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT title, dist FROM sp_d{k - 1}
+    UNION ALL
+    SELECT a.b AS title, d.dist + a.w AS dist
+    FROM sp_d{k - 1} d JOIN sp_adj a ON a.a = d.title
+  ) GROUP BY title
+)"""
+        )
+    parts.append(f"\nSELECT title, dist FROM sp_d{rounds}\n")
+    return "".join(parts)
+
+
+_C4_BODY = """
+, c4_sym AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT source AS a, target AS b FROM kg_edges
+    UNION ALL
+    SELECT target AS a, source AS b FROM kg_edges
+  ) WHERE a <> b
+),
+c4_pairs AS (
+  SELECT x.b AS u, y.b AS v, CAST(count(*) AS BIGINT) AS c
+  FROM c4_sym x JOIN c4_sym y ON x.a = y.a AND x.b < y.b
+  GROUP BY x.b, y.b HAVING count(*) >= 2
+),
+c4_node AS (
+  SELECT title, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS four_cycles FROM (
+    SELECT u AS title, c FROM c4_pairs
+    UNION ALL
+    SELECT v AS title, c FROM c4_pairs
+  ) GROUP BY title
+)
+SELECT d.title, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(n.four_cycles, 0) AS BIGINT) AS four_cycles
+FROM degrees d LEFT JOIN c4_node n ON n.title = d.title
+"""
+
+
 _AA_BODY = """
 , aa_sym AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
@@ -6364,6 +6538,89 @@ FROM jp_act{rounds + 1})
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 14: weighted SSSP, 4-cycle census, trained bigram-LM scoring,
+# positional phrase search, Matryoshka prefix-dim ANN recall.
+# ---------------------------------------------------------------------------
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the top-degree entity — additive
+    evidence-traversal cost, the third member of the reachability family
+    next to bfs_hops (unweighted) and widest_paths (max-min); unrolled
+    Bellman-Ford oracle, int64 distances exact cross-engine."""
+    from knowledge_graph_spark.operators.graphops import sssp_int
+
+    s = _stages(spark, sf_dir)
+    seed = (
+        s["degrees"].orderBy(F.desc("degree"), F.asc("title")).limit(1).select("title")
+    )
+    return sssp_int(
+        s["edges"].select("source", "target", "weight"), seed, rounds=SSSP_ROUNDS
+    )
+
+
+def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity 4-cycle census over the KG — the bipartite-redundancy
+    motif triangles miss (two entities sharing two distinct
+    intermediaries); diagonal-pair counting, exact integers."""
+    from knowledge_graph_spark.operators.graphops import four_cycle_profile
+
+    return four_cycle_profile(_stages(spark, sf_dir)["edges"])
+
+
+def q_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style quality filter with split discipline: bigram LM
+    fitted on the TRAIN hash-split only, every document scored with
+    stupid-backoff bits-per-token (integer bit-length logs)."""
+    from knowledge_graph_spark.operators.corpus import (
+        hash_split,
+        lm_bits,
+        lm_train_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    split = hash_split(
+        docs.select("doc_id"), val_frac=SPLIT_VAL_FRAC, test_frac=SPLIT_TEST_FRAC
+    )
+    train = docs.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    uni, bi, total = lm_train_counts(train)
+    return lm_bits(docs, uni, bi, total)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the positional index: the corpus's own
+    top bigram (data-derived, deterministic) matched ADJACENT-in-order —
+    the phrase predicate bm25_search's bag-of-words ranking lacks."""
+    from knowledge_graph_spark.operators.keywords import phrase_search, top_bigram
+
+    docs = _docs(spark, sf_dir)
+    return phrase_search(docs, top_bigram(docs))
+
+
+def q_emb_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension ANN: cosine top-k computed on
+    only the first PREFIX_DIM dims — the memory/bandwidth trade of
+    truncation-trained embeddings (Kusupati et al. 2022)."""
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.slice(F.col("embedding").cast("array<double>"), 1, PREFIX_DIM)
+    )
+    queries_df = embs.filter(F.col("vec_id") < TOPK_QUERY_LIMIT)
+    return similarity.cosine_topk(embs, queries_df, k=TOPK_K).select(
+        "query_id", "neighbor_id", "sim_micro", "rk"
+    )
+
+
+def q_ann_recall_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the half-dimension prefix search against the full-dim
+    exact scan — the audit that prices a Matryoshka truncation level
+    before committing the index to it."""
+    return similarity.topk_recall(
+        q_emb_topk(spark, sf_dir), q_emb_prefix_topk(spark, sf_dir)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full construction pipeline,
     returning the ranked canonical edge list (relationship.csv analogue)."""
@@ -6470,6 +6727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen": q_coarsen,
         "coarsen_l2": q_coarsen_l2,
         "partition_audit": q_partition_audit,
+        "sssp": q_sssp,
+        "four_cycles": q_four_cycles,
+        "lm_bits": q_lm_bits,
+        "phrase_search": q_phrase_search,
+        "emb_prefix_topk": q_emb_prefix_topk,
+        "ann_recall_prefix": q_ann_recall_prefix,
         "msf": q_msf,
         "single_linkage": q_single_linkage,
         "densest": q_densest,
@@ -7128,6 +7391,22 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "coarsen": _oracle(_coarsen_body()),
         "coarsen_l2": _oracle(_coarsen_hier_body()),
         "partition_audit": _oracle(_PARTITION_AUDIT_BODY),
+        "sssp": _oracle(_sssp_body()),
+        "four_cycles": _oracle(_C4_BODY),
+        "lm_bits": _LM_BITS_SQL_TMPL.format(
+            dtoks=_DTOKS_CTE.strip(),
+            split_a=_SPLIT_A,
+            split_b=_SPLIT_B,
+            fp_mod=textqc.FP_MOD,
+            m31=HASH_M31,
+            cut=SPLIT_TEST_FRAC + SPLIT_VAL_FRAC,
+            penalty=LM_BACKOFF_BITS,
+        ),
+        "phrase_search": _PHRASE_SQL_TMPL.format(dtoks=_DTOKS_CTE.strip()),
+        "emb_prefix_topk": _EMB_PREFIX_TOPK_SQL,
+        "ann_recall_prefix": _ANN_RECALL_SQL.format(
+            topk=_EMB_TOPK_SQL, ivf=_EMB_PREFIX_TOPK_SQL
+        ),
         "msf": _oracle(_msf_body()),
         "single_linkage": _oracle(
             _msf_body(as_cte="msf_out")

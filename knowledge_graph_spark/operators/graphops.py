@@ -2855,3 +2855,117 @@ def single_linkage_clusters(
     return connected_components(nodes, kept).select(
         F.col("title").alias("node"), F.col("component").alias("cluster")
     )
+
+
+def sssp_int(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "source",
+    dst: str = "target",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford rounds) from a
+    seed set → (title, dist) for every node reachable within ``rounds``
+    relaxations.
+
+    The additive-cost complement of ``widest_paths`` (max-min) and
+    ``bfs_hops`` (unweighted): a path's cost is the SUM of its edge
+    weights and a node keeps the cheapest path found so far,
+
+        d_k(v) = min(d_{k-1}(v), min over (u,v,w) of d_{k-1}(u) + w)
+
+    Monotone non-increasing and idempotent at fixpoint, so a fixed-round
+    unroll is oracle-checkable exactly like widest_paths (extra rounds
+    past convergence are no-ops).  Edge weights are the merge stage's
+    summed assertion counts — integer-valued doubles — cast to int64, so
+    every distance is exact cross-engine (no float accumulation).  On the
+    KG this reads as a minimum-evidence-traversal cost; on any weighted
+    edge table it is plain SSSP.  Seeds enter at distance 0.
+
+    Scale shape per round: ONE equi-join of the current distance table
+    against the symmetrized adjacency plus a min-aggregate (map-side
+    combinable) — the Pregel-on-DataFrames round shared with
+    widest_paths/bfs_hops; localCheckpoint caps lineage growth.
+    Bellman-Ford needs |V|-1 rounds for exactness on arbitrary graphs;
+    a fixed budget bounds work per job the same way pagerank_int does,
+    and every emitted distance is a true path cost (never an
+    underestimate)."""
+    e = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    adj = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = seeds.select("title", F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(rounds):
+        step = dist.join(adj, dist["title"] == adj["a"]).select(
+            F.col("b").alias("title"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("title")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def four_cycle_profile(
+    edges: DataFrame, src: str = "source", dst: str = "target"
+) -> DataFrame:
+    """Per-node 4-cycle participation count → (title, degree,
+    four_cycles).
+
+    The quadrilateral sibling of ``triangle_profile``: C4 motifs capture
+    bipartite-style redundancy (two entities sharing two distinct
+    intermediaries) that triangles miss entirely — the canonical signal
+    for co-reference candidates and templated-relation detection in a KG,
+    and the basis of the rectangle clustering coefficient.
+
+    Counting identity: for an unordered node pair {u,w} (u < w) with c
+    common neighbours there are C(c,2) four-cycles whose diagonal is
+    {u,w}.  Every 4-cycle has exactly two diagonals and every node of the
+    cycle is an endpoint of exactly one of them, so summing C(c,2) over
+    the pairs containing v counts each 4-cycle through v exactly once.
+    (Chorded quadrilaterals count too — this is the standard C4 census,
+    not the induced-cycle variant.)  All integers; c·(c−1) is even so the
+    DIV 2 is exact.
+
+    Scale shape: wedge enumeration grouped by ENDPOINT pair — the same
+    O(Σ d²) plan as triangle_profile with the common neighbour as the
+    blocking key, then one groupBy (map-side combinable) and an explode
+    of the surviving c ≥ 2 pairs (far fewer than wedges).  Hot hubs
+    split via AQE skew handling."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    w1 = adj.select(F.col("a").alias("z"), F.col("b").alias("u"))
+    w2 = adj.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    pairs = (
+        w1.join(w2, "z")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= 2)
+        .withColumn("c4", F.expr("c * (c - 1) DIV 2").cast("bigint"))
+    )
+    per_node = (
+        pairs.select(F.explode(F.array("u", "v")).alias("title"), "c4")
+        .groupBy("title")
+        .agg(F.sum("c4").cast("bigint").alias("four_cycles"))
+    )
+    deg = node_degrees(
+        edges.select(F.col(src).alias("source"), F.col(dst).alias("target"))
+    )
+    return deg.join(per_node, "title", "left").select(
+        "title",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.coalesce("four_cycles", F.lit(0)).cast("bigint").alias("four_cycles"),
+    )

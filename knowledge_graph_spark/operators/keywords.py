@@ -186,3 +186,73 @@ def bm25_search(
         agg.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k_top)
     )
+
+
+def phrase_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings (doc_id, pos, term) over normalized whitespace
+    tokens — the index layout behind phrase and proximity queries (pos is
+    1-based to match SQL generate_subscripts)."""
+    return widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ws_tokens_col(normalized_text(F.col(text_col)))).alias(
+            "pos0", "term"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "term")
+
+
+def top_bigram(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The corpus's most frequent adjacent token pair → 1 row (w1, w2,
+    cnt), ties broken lexicographically.  Deterministic data-derived
+    query seed for the phrase-search gate (no corpus knowledge embedded
+    in code).  TakeOrderedAndProject top-1 — per-partition heaps, no
+    global sort."""
+    p = phrase_postings(docs, id_col, text_col)
+    nxt = p.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("w2")
+    )
+    return (
+        p.join(nxt, ["doc_id", "pos"])
+        .groupBy(F.col("term").alias("w1"), "w2")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase match over the positional index → (doc_id, n_hits,
+    first_pos) for every document containing the 2-token phrase.
+
+    ``phrase`` is a 1-row (w1, w2) frame (e.g. ``top_bigram``'s output);
+    it is broadcast, so the probe is two narrow semi-join-style filters
+    fused into the postings scan followed by ONE self equi-join on
+    (doc_id, pos+1) — the standard positional-intersection plan.  BM25
+    (``bm25_search``) ranks bags of words; this is the missing phrase
+    predicate ("match these tokens ADJACENT, in order") used for quote
+    detection, boilerplate queries, and contamination forensics.
+
+    Scale shape: each side of the position join is pre-filtered to one
+    term's postings (|postings(term)| rows, not |corpus|), the join key
+    (doc_id, pos) is unique per side, and the per-doc fold is map-side
+    combinable."""
+    p = phrase_postings(docs, id_col, text_col)
+    ph = F.broadcast(phrase.select("w1", "w2"))
+    left = p.join(ph, p["term"] == F.col("w1")).select("doc_id", "pos")
+    right = p.join(ph, p["term"] == F.col("w2")).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        left.join(right, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+    )

@@ -139,6 +139,13 @@ CHECK = [
     "edge_decay",
     "heaps_law",
     "bpe_fertility",
+    # wave 14: SSSP, C4 census, trained-LM filter, phrase search,
+    # Matryoshka prefix recall
+    "sssp",
+    "four_cycles",
+    "lm_bits",
+    "phrase_search",
+    "ann_recall_prefix",
 ]
 
 
