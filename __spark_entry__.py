@@ -6621,6 +6621,295 @@ def q_ann_recall_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Wave 15: directed reciprocity, double-sweep diameter bound, 1-WL color
+# refinement, event-time lateness audit, hourly KG churn, distinct-n
+# diversity, tf-idf cosine near-dup pairs.
+# ---------------------------------------------------------------------------
+
+DS_HOPS = 4
+WL_ROUNDS = 3
+TFIDF_N = 2
+TFIDF_TAU_MICRO = 500_000
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity over the raw relation records — mutual
+    assertion (A→B and B→A) as a per-node confidence/merge-audit signal
+    the undirected least/greatest merge folds away."""
+    from knowledge_graph_spark.operators.graphops import reciprocity_profile
+    from knowledge_graph_spark.operators.parse import (
+        parse_relationships,
+        split_records,
+    )
+
+    rel = parse_relationships(split_records(_stages(spark, sf_dir)["raw_records"]))
+    return reciprocity_profile(rel.select("source", "target"))
+
+
+def q_diameter_lb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep BFS diameter lower bound (Magnien et al. 2009) — the
+    exact-arithmetic floor under hyperball's eff_diameter ceiling; two
+    bounded-round BFS sweeps, argmax restart."""
+    from knowledge_graph_spark.operators.graphops import double_sweep_diameter
+
+    return double_sweep_diameter(_stages(spark, sf_dir)["edges"], hops=DS_HOPS)
+
+
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement over the typed KG — structural-role
+    signatures (same color ⇔ same k-hop typed unfolding), the blocking
+    key for role-based canonicalization and the GNN-expressiveness
+    baseline; shared polynomial hash, unrolled oracle."""
+    from knowledge_graph_spark.operators.graphops import wl_refinement
+
+    s = _stages(spark, sf_dir)
+    return wl_refinement(
+        s["nodes"].select("title", "type"), s["edges"], rounds=WL_ROUNDS
+    )
+
+
+def q_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness audit per conversation (arrival order =
+    (conv_id, turn_idx)) — the watermark-sizing telemetry for the
+    streaming sessionizers; exact int64 epoch-us deficits."""
+    from knowledge_graph_spark.operators.temporal import lateness_profile
+
+    return lateness_profile(transcripts_from_events(spark, sf_dir))
+
+
+def q_kg_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour KG edge-set churn: exact intersection / Jaccard of
+    consecutive active-hour edge sets — the temporal-stability twin of
+    kg_growth's first-seen curve (extraction regressions show up as a
+    Jaccard cliff)."""
+    from knowledge_graph_spark.operators.temporal import kg_churn
+
+    s = _stages(spark, sf_dir)
+    return kg_churn(s["raw_records"], transcripts_from_events(spark, sf_dir))
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity profile (Li et al. 2016) per document — the
+    in-document repetition filter (decoding loops, boilerplate) in exact
+    integer micros; entirely row-local Column algebra."""
+    from knowledge_graph_spark.operators.corpus import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir))
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine near-dup pairs on bigram terms — the WEIGHTED
+    (Salton) complement of the unweighted n-gram Jaccard dedup; integer
+    bit-length idf, df-pruned inverted-index self-join, one identical
+    IEEE-double normalization both engines."""
+    from knowledge_graph_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir), threshold_micro=TFIDF_TAU_MICRO, n=TFIDF_N
+    )
+
+
+def _ds_body(hops: int = DS_HOPS) -> str:
+    """Double-sweep oracle: two unrolled BFS expansions with an argmax
+    restart between them (namespaced ds_ so _bfs_body can coexist)."""
+    sql = """
+, ds_adj AS MATERIALIZED (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION SELECT target AS a, source AS b FROM kg_edges),
+ds_seed1 AS MATERIALIZED (
+  SELECT title FROM degrees ORDER BY degree DESC, title ASC LIMIT 1),
+ds_a0 AS MATERIALIZED (SELECT title, 0 AS hop FROM ds_seed1)"""
+    for r in range(hops):
+        sql += f""",
+ds_a{r + 1} AS MATERIALIZED (
+  SELECT title, min(hop) AS hop FROM (
+    SELECT title, hop FROM ds_a{r}
+    UNION ALL
+    SELECT ds_adj.b AS title, ds_a{r}.hop + 1 AS hop
+    FROM ds_a{r} JOIN ds_adj ON ds_a{r}.title = ds_adj.a
+  ) GROUP BY title)"""
+    sql += f""",
+ds_seed2 AS MATERIALIZED (
+  SELECT title FROM ds_a{hops} ORDER BY hop DESC, title ASC LIMIT 1),
+ds_b0 AS MATERIALIZED (SELECT title, 0 AS hop FROM ds_seed2)"""
+    for r in range(hops):
+        sql += f""",
+ds_b{r + 1} AS MATERIALIZED (
+  SELECT title, min(hop) AS hop FROM (
+    SELECT title, hop FROM ds_b{r}
+    UNION ALL
+    SELECT ds_adj.b AS title, ds_b{r}.hop + 1 AS hop
+    FROM ds_b{r} JOIN ds_adj ON ds_b{r}.title = ds_adj.a
+  ) GROUP BY title)"""
+    sql += f"""
+SELECT (SELECT title FROM ds_seed1) AS seed_a,
+       (SELECT title FROM ds_seed2) AS seed_b,
+       (SELECT CAST(max(hop) AS INT) FROM ds_a{hops}) AS ecc_a_lb,
+       CAST(max(hop) AS INT) AS diameter_lb,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM ds_b{hops}"""
+    return sql
+
+
+def _wl_body(rounds: int = WL_ROUNDS) -> str:
+    """Unrolled 1-WL refinement: per round, numeric-sorted neighbour-color
+    string_agg + the shared polynomial hash of 'color|c1,c2,...'."""
+    sql = f"""
+, wl_adj AS MATERIALIZED (
+  SELECT source AS a, target AS b FROM kg_edges WHERE source <> target
+  UNION SELECT target AS a, source AS b FROM kg_edges WHERE source <> target),
+wl_c0 AS MATERIALIZED (SELECT title, {_POLY.format(s="type")} AS c FROM kg_nodes)"""
+    sig = _POLY.format(s="(CAST(c AS VARCHAR) || '|' || coalesce(sig, ''))")
+    for r in range(1, rounds + 1):
+        sql += f""",
+wl_n{r} AS (
+  SELECT x.title, x.c, n.sig FROM wl_c{r - 1} x LEFT JOIN (
+    SELECT wl_adj.a AS title,
+           string_agg(CAST(y.c AS VARCHAR), ',' ORDER BY y.c) AS sig
+    FROM wl_adj JOIN wl_c{r - 1} y ON y.title = wl_adj.b
+    GROUP BY wl_adj.a) n USING (title)),
+wl_c{r} AS MATERIALIZED (SELECT title, {sig} AS c FROM wl_n{r})"""
+    sql += f"""
+SELECT title, CAST(c AS BIGINT) AS wl_color,
+       CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS class_size
+FROM wl_c{rounds}"""
+    return sql
+
+
+_RECIPROCITY_BODY = """
+, rp_d AS MATERIALIZED (
+  SELECT DISTINCT source AS a, target AS b FROM rel_records WHERE source <> target),
+rp_out AS (SELECT a, CAST(count(*) AS BIGINT) AS n_out FROM rp_d GROUP BY a),
+rp_rec AS (
+  SELECT x.a, CAST(count(*) AS BIGINT) AS n_recip
+  FROM rp_d x JOIN rp_d y ON y.a = x.b AND y.b = x.a GROUP BY x.a)
+SELECT o.a AS title, o.n_out,
+       CAST(coalesce(r.n_recip, 0) AS BIGINT) AS n_recip,
+       CAST(coalesce(r.n_recip, 0) * 1000000 // o.n_out AS BIGINT) AS recip_micro
+FROM rp_out o LEFT JOIN rp_rec r ON r.a = o.a
+"""
+
+_LATENESS_BODY = """
+, lt AS (
+  SELECT conv_id,
+         epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM transcripts),
+lt2 AS (
+  SELECT conv_id,
+         greatest(CAST(0 AS BIGINT), coalesce(prev_max - ts_us, 0)) AS late_us
+  FROM lt)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(sum(late_us) AS BIGINT) AS total_late_us
+FROM lt2 GROUP BY conv_id
+"""
+
+_KG_CHURN_BODY = """
+, kc_pairs AS (
+  SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t, conv_id
+  FROM rel_records),
+kc_conv AS (
+  SELECT conv_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS cf
+  FROM transcripts GROUP BY conv_id),
+kc_occ AS MATERIALIZED (
+  SELECT DISTINCT s, t, (cf // 3600) * 3600 AS h
+  FROM kc_pairs JOIN kc_conv USING (conv_id)),
+kc_cnt AS MATERIALIZED (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_curr FROM kc_occ GROUP BY h),
+kc_int AS (
+  SELECT cur.h, CAST(count(*) AS BIGINT) AS n_inter
+  FROM kc_occ cur JOIN kc_occ prv
+    ON prv.s = cur.s AND prv.t = cur.t AND prv.h + 3600 = cur.h
+  GROUP BY cur.h)
+SELECT c.h AS hour_epoch,
+       CAST(coalesce(p.n_curr, 0) AS BIGINT) AS n_prev,
+       c.n_curr,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(c.n_curr - coalesce(i.n_inter, 0) AS BIGINT) AS n_added,
+       CAST(coalesce(p.n_curr, 0) - coalesce(i.n_inter, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(i.n_inter, 0) * 1000000 // greatest(
+         CAST(1 AS BIGINT),
+         coalesce(p.n_curr, 0) + c.n_curr - coalesce(i.n_inter, 0)) AS BIGINT)
+         AS jaccard_micro
+FROM kc_cnt c
+LEFT JOIN kc_cnt p ON p.h + 3600 = c.h
+LEFT JOIN kc_int i ON i.h = c.h
+"""
+
+_NGRAM_DIVERSITY_SQL = """
+WITH dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         list_transform(range(1, CASE WHEN len(t) < 2 THEN 1 ELSE len(t) END),
+                        i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]) AS g2,
+         list_transform(range(1, CASE WHEN len(t) < 3 THEN 1 ELSE len(t) - 1 END),
+                        i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+                             || ' ' || t[CAST(i AS INT) + 2]) AS g3
+  FROM dtoks
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS distinct_1,
+       CAST(len(list_distinct(t)) * 1000000
+            // greatest(CAST(1 AS BIGINT), len(t)) AS BIGINT) AS ratio_micro_1,
+       CAST(len(list_distinct(g2)) AS BIGINT) AS distinct_2,
+       CAST(len(list_distinct(g2)) * 1000000
+            // greatest(CAST(1 AS BIGINT), len(t) - 1) AS BIGINT) AS ratio_micro_2,
+       CAST(len(list_distinct(g3)) AS BIGINT) AS distinct_3,
+       CAST(len(list_distinct(g3)) * 1000000
+            // greatest(CAST(1 AS BIGINT), len(t) - 2) AS BIGINT) AS ratio_micro_3
+FROM g
+"""
+
+_TFIDF_SQL = f"""
+WITH dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tp_g AS (
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS term
+  FROM dtoks,
+       LATERAL unnest(range(1, CASE WHEN len(t) < 2 THEN 1 ELSE len(t) END)) AS u(i)
+),
+tp_tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tp_g GROUP BY doc_id, term),
+tp_nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tp_tf),
+tp_df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tp_tf GROUP BY term),
+tp_w AS MATERIALIZED (
+  SELECT tp_tf.doc_id, tp_tf.term,
+         tp_tf.tf * (length(bin((SELECT n FROM tp_nd) // tp_df.df)) - 1) AS w
+  FROM tp_tf JOIN tp_df USING (term)
+  WHERE tp_df.df <= 1000
+    AND (length(bin((SELECT n FROM tp_nd) // tp_df.df)) - 1) > 0),
+tp_norm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM tp_w GROUP BY doc_id),
+tp_dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM tp_w a JOIN tp_w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, dot,
+       CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT)
+         AS sim_micro
+FROM tp_dot
+JOIN tp_norm na ON na.doc_id = id_a
+JOIN tp_norm nb ON nb.doc_id = id_b
+WHERE CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))) AS BIGINT)
+      >= {TFIDF_TAU_MICRO}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full construction pipeline,
     returning the ranked canonical edge list (relationship.csv analogue)."""
@@ -6733,6 +7022,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "emb_prefix_topk": q_emb_prefix_topk,
         "ann_recall_prefix": q_ann_recall_prefix,
+        "reciprocity": q_reciprocity,
+        "diameter_lb": q_diameter_lb,
+        "wl_colors": q_wl_colors,
+        "lateness": q_lateness,
+        "kg_churn": q_kg_churn,
+        "ngram_diversity": q_ngram_diversity,
+        "tfidf_pairs": q_tfidf_pairs,
         "msf": q_msf,
         "single_linkage": q_single_linkage,
         "densest": q_densest,
@@ -7407,6 +7703,13 @@ GROUP BY least(ta.type, tb.type), greatest(ta.type, tb.type)
         "ann_recall_prefix": _ANN_RECALL_SQL.format(
             topk=_EMB_TOPK_SQL, ivf=_EMB_PREFIX_TOPK_SQL
         ),
+        "reciprocity": _oracle(_RECIPROCITY_BODY),
+        "diameter_lb": _oracle(_ds_body()),
+        "wl_colors": _oracle(_wl_body()),
+        "lateness": _oracle(_LATENESS_BODY),
+        "kg_churn": _oracle(_KG_CHURN_BODY),
+        "ngram_diversity": _NGRAM_DIVERSITY_SQL,
+        "tfidf_pairs": _TFIDF_SQL,
         "msf": _oracle(_msf_body()),
         "single_linkage": _oracle(
             _msf_body(as_cte="msf_out")

@@ -1052,3 +1052,56 @@ def lm_bits(
             F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
         )
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-document distinct-n diversity profile → (doc_id, n_tokens,
+    distinct_1..distinct_{max_n}, ratio_micro_1..ratio_micro_{max_n}).
+
+    Li et al. 2016's distinct-n metric as a curation filter: the fraction
+    of n-gram positions occupied by DISTINCT n-grams, in exact integer
+    micros (ratio_micro_n = 1e6 · distinct_n / max(1, positions_n)).
+    Low distinct-2/3 flags degenerate repetition (decoding loops, boiler-
+    plate, keyword stuffing) that per-token QC misses; the corpus-level
+    aggregate tracks diversity drift across dumps.  Complements
+    `textqc.repeated_token_fraction` (adjacent repeats only) and
+    `dedup.repeated_span_profile` (cross-doc spans) with the in-document
+    multiset view.
+
+    Scale shape: entirely ROW-LOCAL Column algebra — tokenize once,
+    slide windows with transform/slice, count distincts with
+    array_distinct — no explode, no shuffle, no UDF; Catalyst keeps the
+    whole computation in one codegen stage over the text scan."""
+    from ..functions.textqc import normalized_text, ws_tokens_col
+
+    toks = ws_tokens_col(normalized_text(F.col(text_col)))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("t")
+    ).withColumn("n_tokens", F.size("t").cast("bigint"))
+    def _grams(n: int) -> F.Column:
+        # NB: a 1-arg lambda only — F.transform passes (element, index) to
+        # 2-arg callables, which would shadow a default-arg n binding
+        if n == 1:
+            return F.col("t")
+        return F.when(F.size("t") < n, F.expr("CAST(array() AS ARRAY<STRING>)")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+            )
+        )
+
+    for n in range(1, max_n + 1):
+        grams = _grams(n)
+        out = out.withColumn(f"distinct_{n}", F.size(F.array_distinct(grams)).cast("bigint"))
+        out = out.withColumn(
+            f"ratio_micro_{n}",
+            F.expr(
+                f"distinct_{n} * 1000000 DIV greatest(CAST(1 AS BIGINT), n_tokens - {n} + 1)"
+            ).cast("bigint"),
+        )
+    return out.drop("t")

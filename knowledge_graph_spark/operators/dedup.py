@@ -807,3 +807,92 @@ def blocking_quality(
             ).alias("pairs_quality"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_micro: int = 500_000,
+    max_df: int = 1000,
+    n: int = 1,
+) -> DataFrame:
+    """Sparse tf-idf cosine near-duplicate pairs → (id_a, id_b, dot,
+    sim_micro) for pairs with cosine ≥ threshold_micro/1e6.
+
+    The WEIGHTED complement of `ngram_jaccard_pairs`: Jaccard treats
+    every shared n-gram equally, while tf-idf cosine up-weights rare
+    terms and down-weights boilerplate — the Broder-vs-Salton pair every
+    dedup stack ends up running side by side (templated docs score high
+    on Jaccard but low here; topical near-dups the reverse).  Weights are
+    exact int64: w = tf · idf_bits with idf_bits = floor(log2(n_docs //
+    df)) — the same bit-length IDF device as `keywords.bm25_top_terms` —
+    so dot products and norms are integers on both engines; only the
+    final cosine normalization runs ONE identical IEEE-double expression
+    (floor(1e6 · dot / sqrt(na·nb))), bit-reproducible cross-engine.
+
+    Scale shape: the classic df-pruned inverted-index self-join (Bayardo
+    et al. WWW'07 family): tf reduces on (doc, term) FIRST — the shuffle
+    key includes doc_id, so the stop-word head never funnels one task —
+    terms with df > max_df or idf_bits = 0 drop out of the posting list
+    BEFORE the candidate join (they are the O(n²) skew bomb and carry
+    near-zero weight anyway), and the pair aggregate is map-side
+    combinable.  The weighted posting table feeds three consumers →
+    persisted.  ``n`` sets the token n-gram order of the term space
+    (n = 1: plain unigram tf-idf; n >= 2: shingled cosine - rarer terms,
+    sharper idf spectrum, the w-shingling middle ground between unigram
+    cosine and n-gram Jaccard)."""
+    from .keywords import doc_term_freq
+
+    if n == 1:
+        tf = doc_term_freq(docs, id_col, text_col)
+    else:
+        tf = (
+            widen(docs)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(token_ngrams(F.col(text_col), n)).alias("term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+        )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = tf.groupBy("doc_id").count().agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    weighted = (
+        tf.join(dfreq.filter(F.col("df") <= max_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_bits", (F.length(F.bin(F.expr("n_docs DIV df"))) - 1).cast("bigint")
+        )
+        .filter(F.col("idf_bits") > 0)
+        .select("doc_id", "term", (F.col("tf") * F.col("idf_bits")).alias("w"))
+        .persist()
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("norm2")
+    )
+    dots = (
+        weighted.alias("a")
+        .join(weighted.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "sim_micro",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("sim_micro") >= threshold_micro)
+        .select("id_a", "id_b", "dot", "sim_micro")
+    )

@@ -2969,3 +2969,164 @@ def four_cycle_profile(
         F.col("degree").cast("bigint").alias("degree"),
         F.coalesce("four_cycles", F.lit(0)).cast("bigint").alias("four_cycles"),
     )
+
+
+def reciprocity_profile(
+    directed_edges: DataFrame, src: str = "source", dst: str = "target"
+) -> DataFrame:
+    """Per-node directed-edge reciprocity → (title, n_out, n_recip,
+    recip_micro).
+
+    Over the raw DIRECTED relation records (the extraction stream before
+    the undirected least/greatest merge — reference
+    graph/extractors/graph_extractor.py:267-290 discards direction; this
+    audits what that merge folds away): for each node, how many of its
+    distinct out-neighbours also assert the reverse edge.
+    recip_micro = floor(1e6 · n_recip / n_out) — Garlaschelli & Loffredo's
+    node-level reciprocity in exact integer micros.  The KG reading:
+    mutually-asserted relations (A→B and B→A) are higher-confidence
+    merge candidates than one-directional mentions; corpus-level
+    reciprocity also calibrates whether the undirected merge is lossy.
+
+    Scale shape: one distinct on the directed pairs (combinable), a
+    self-equi-join on the reversed key — shuffle on the pair, uniform —
+    and two map-side-combinable counts.  No windows, no driver state.
+    """
+    d = (
+        directed_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = d.intersect(rev).groupBy("a").agg(
+        F.count("*").cast("bigint").alias("n_recip")
+    )
+    out = d.groupBy("a").agg(F.count("*").cast("bigint").alias("n_out"))
+    return (
+        out.join(recip, "a", "left")
+        .select(
+            F.col("a").alias("title"),
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("bigint").alias("n_recip"),
+            F.expr("coalesce(n_recip, 0) * 1000000 DIV n_out")
+            .cast("bigint")
+            .alias("recip_micro"),
+        )
+    )
+
+
+def double_sweep_diameter(
+    edges: DataFrame, hops: int = 4, src: str = "source", dst: str = "target"
+) -> DataFrame:
+    """Double-sweep BFS diameter lower bound → one row (seed_a, seed_b,
+    ecc_a_lb, diameter_lb, n_reached).
+
+    Magnien, Latapy & Habib 2009: BFS from a high-degree seed, restart
+    from the farthest node found (ties broken by title ASC — total
+    order), and the second eccentricity is a lower bound on the graph
+    diameter that is exact on trees and empirically tight on real
+    graphs.  Each sweep is the bounded-round `bfs_hops` kernel, so with a
+    fixed ``hops`` budget the reported bound is itself a sound lower
+    bound (hop counts are true shortest distances for every reached
+    node).  Pairs with the HyperBall `eff_diameter` estimate: this is
+    the exact-arithmetic floor under that sketched ceiling.
+
+    Scale shape: 2·hops Pregel rounds (one equi-join + min-aggregate
+    each) plus two 1-row argmax reductions (TakeOrderedAndProject — no
+    global window, no collect)."""
+    deg = node_degrees(
+        edges.select(F.col(src).alias("source"), F.col(dst).alias("target"))
+    )
+    seed_a = deg.orderBy(F.desc("degree"), F.asc("title")).limit(1).select("title")
+    d1 = bfs_hops(edges, seed_a, hops=hops, src=src, dst=dst)
+    seed_b = d1.orderBy(F.desc("hop"), F.asc("title")).limit(1).select("title")
+    d2 = bfs_hops(edges, seed_b, hops=hops, src=src, dst=dst)
+    a_row = seed_a.select(F.col("title").alias("seed_a"))
+    ecc1 = d1.agg(F.max("hop").cast("int").alias("ecc_a_lb"))
+    b_row = seed_b.select(F.col("title").alias("seed_b"))
+    d2agg = d2.agg(
+        F.max("hop").cast("int").alias("diameter_lb"),
+        F.count("*").cast("bigint").alias("n_reached"),
+    )
+    return (
+        a_row.crossJoin(ecc1)
+        .crossJoin(b_row)
+        .crossJoin(d2agg)
+        .select("seed_a", "seed_b", "ecc_a_lb", "diameter_lb", "n_reached")
+    )
+
+
+def wl_refinement(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    type_col: str = "type",
+    src: str = "source",
+    dst: str = "target",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement → (title, wl_color,
+    class_size).
+
+    Shervashidze et al. 2011 / the classic 1-WL canonical-labeling round:
+    every node starts from a hash of its type and each round re-hashes
+
+        sig(v) = color(v) || '|' || join(sorted([color(u) for u in N(v)]), ',')
+
+    so after k rounds two nodes share a color iff their k-hop typed
+    unfoldings agree.  On a KG this is the structural-role signature:
+    same-color nodes are exchangeable under every graph query that sees
+    only types and adjacency — the blocking key for role-based entity
+    canonicalization and the standard graph-isomorphism/GNN
+    expressiveness baseline (WL colors = what message passing can
+    distinguish).  class_size counts each color's equivalence class.
+
+    The hash is the shared SQL-expressible polynomial fold
+    (functions/hashing.py), the neighbour multiset is rendered with
+    NUMERIC sort order, and isolated nodes hash 'color|' — every round
+    is bit-reproducible on both engines, so a fixed unroll gates it.
+
+    Scale shape per round: one equi-join of colors onto the symmetrized
+    adjacency (shuffle on node key, AQE-splittable) + one groupBy whose
+    sorted collect_list is bounded by node degree; the signature/hash is
+    row-local Column algebra.  localCheckpoint truncates per-round
+    lineage like every iterative kernel here."""
+    from ..functions.textqc import rolling_fingerprint
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    color = nodes.select(
+        "title", rolling_fingerprint(F.col(type_col)).alias("c")
+    )
+    for _ in range(rounds):
+        nbr = (
+            adj.join(color.select(F.col("title").alias("b"), F.col("c").alias("nc")), "b")
+            .groupBy("a")
+            .agg(F.sort_array(F.collect_list("nc")).alias("ncs"))
+            .select(F.col("a").alias("title"), "ncs")
+        )
+        color = (
+            color.join(nbr, "title", "left")
+            .select(
+                "title",
+                rolling_fingerprint(
+                    F.concat_ws(
+                        "|",
+                        F.col("c").cast("string"),
+                        F.array_join(
+                            F.transform(
+                                F.coalesce(F.col("ncs"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                    )
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = color.groupBy("c").agg(F.count("*").cast("bigint").alias("class_size"))
+    return color.join(sizes, "c").select(
+        "title", F.col("c").cast("bigint").alias("wl_color"), "class_size"
+    )

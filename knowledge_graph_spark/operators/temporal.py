@@ -520,3 +520,124 @@ def edge_recency_weights(
             .alias("support_decayed_micro"),
         )
     )
+
+
+def lateness_profile(transcripts: DataFrame) -> DataFrame:
+    """Event-time lateness audit per conversation → (conv_id, n_turns,
+    n_late, max_late_us, total_late_us).
+
+    The watermark-sizing telemetry every streaming deployment needs
+    BEFORE picking ``withWatermark`` delays: treating (conv_id, turn_idx)
+    as arrival order — the order the transcript log appends — a turn is
+    LATE when its event time precedes the running maximum of the turns
+    that arrived before it, and its lateness is that deficit in exact
+    int64 epoch-microseconds.  max_late_us over the corpus is the
+    smallest watermark delay that drops nothing; the n_late/n_turns
+    ratio says how much state a too-tight delay would discard.  (The
+    streaming sessionizers in streaming/ consume exactly this shape.)
+
+    Scale shape: one conv-keyed window (running max over prior rows —
+    partitioned, never global) + one map-side-combinable groupBy.
+    """
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = t.withColumn(
+        "late_us",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            # explicit coalesce: the first arrival has no prior max (NULL) —
+            # don't lean on engine-specific greatest() NULL semantics
+            F.coalesce(
+                F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0).cast("bigint")
+            ),
+        ),
+    )
+    return late.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum((F.col("late_us") > 0).cast("bigint")).cast("bigint").alias("n_late"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.sum("late_us").cast("bigint").alias("total_late_us"),
+    )
+
+
+def kg_churn(raw_records: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Hour-over-hour KG edge-set churn → (hour_epoch, n_prev, n_curr,
+    n_inter, n_added, n_removed, jaccard_micro).
+
+    The temporal-stability twin of `q_kg_growth`'s first-seen curve: an
+    edge is ACTIVE in hour h when some conversation asserting it starts
+    in h (conversation first-timestamp granularity, the same convention
+    as edge_time_ranges); consecutive active-hour edge sets are compared
+    by exact intersection / Jaccard.  A healthy ingest shows high
+    hour-over-hour overlap on a stable entity core; a schema change,
+    crawler swap, or extraction regression shows up as a Jaccard cliff
+    long before it distorts the merged KG.  Hours with no active edges
+    produce no row (the definition is over observed hours; both engines
+    share it).
+
+    Scale shape: the (pair, hour) frame is distinct-reduced first; the
+    previous-hour comparison is one self-equi-join on (pair, h−3600) and
+    one on the hour key — shuffles keyed on pair/hour, no windows, no
+    driver state.  All arithmetic int64 (jaccard in exact micros,
+    DIV-guarded)."""
+    from .parse import parse_relationships, split_records
+
+    rel = parse_relationships(split_records(raw_records))
+    conv_ts = transcripts.groupBy("conv_id").agg(F.min("ts").alias("c_first"))
+    occ = (
+        rel.select(
+            F.least("source", "target").alias("source"),
+            F.greatest("source", "target").alias("target"),
+            "conv_id",
+        )
+        .join(conv_ts, "conv_id")
+        .select(
+            "source",
+            "target",
+            F.expr("unix_timestamp(c_first) DIV 3600 * 3600").alias("h"),
+        )
+        .distinct()
+    )
+    counts = occ.groupBy("h").agg(F.count("*").cast("bigint").alias("n_curr"))
+    prev_counts = counts.select(
+        (F.col("h") + 3600).alias("h"), F.col("n_curr").alias("n_prev")
+    )
+    inter = (
+        occ.alias("cur")
+        .join(
+            occ.select("source", "target", (F.col("h") + 3600).alias("h")).alias("prv"),
+            ["source", "target", "h"],
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        counts.join(prev_counts, "h", "left")
+        .join(inter, "h", "left")
+        .select(
+            F.col("h").cast("bigint").alias("hour_epoch"),
+            F.coalesce("n_prev", F.lit(0)).cast("bigint").alias("n_prev"),
+            "n_curr",
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            (F.col("n_curr") - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("n_added"),
+            (F.coalesce("n_prev", F.lit(0)) - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.expr(
+                "coalesce(n_inter, 0) * 1000000 DIV greatest(1, "
+                "coalesce(n_prev, 0) + n_curr - coalesce(n_inter, 0))"
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

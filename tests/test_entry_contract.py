@@ -146,6 +146,15 @@ CHECK = [
     "lm_bits",
     "phrase_search",
     "ann_recall_prefix",
+    # wave 15: reciprocity, double-sweep diameter, 1-WL colors, lateness
+    # audit, hourly KG churn, distinct-n diversity, tf-idf cosine pairs
+    "reciprocity",
+    "diameter_lb",
+    "wl_colors",
+    "lateness",
+    "kg_churn",
+    "ngram_diversity",
+    "tfidf_pairs",
 ]
 
 
