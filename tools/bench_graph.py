@@ -47,8 +47,8 @@ HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v,katz,truss,hits,
-# widest,typed,match,jp,mis,coarsen,msf,densest,knn} — e.g. the 10M-edge
-# probe runs "cc,pagerank" to bound wall clock
+# widest,typed,match,jp,mis,coarsen,msf,densest,knn,lp,sssp,c4,wl,dsweep}
+# — e.g. the 10M-edge probe runs "cc,pagerank" to bound wall clock
 OPS = set(
     os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
 )
@@ -306,6 +306,45 @@ def main() -> None:
         timed(
             "lp_ranking",
             lambda rl: lp_ranking_audit(nodes, edges, k=2).count(),
+        )
+    if "sssp" in OPS:
+        from knowledge_graph_spark.operators.graphops import sssp_int
+
+        we = edges.withColumn(
+            "weight", (F.pmod(F.xxhash64("source", "target"), F.lit(97)) + 1).cast("double")
+        )
+        seeds = (
+            node_degrees(edges)
+            .orderBy(F.desc("degree"), F.asc("title"))
+            .limit(1)
+            .select("title")
+        )
+        timed("sssp", lambda rl: sssp_int(we, seeds, rounds=6).count())
+    if "c4" in OPS:
+        from knowledge_graph_spark.operators.graphops import four_cycle_profile
+
+        timed("four_cycles", lambda rl: four_cycle_profile(edges).count())
+    if "wl" in OPS:
+        from knowledge_graph_spark.operators.graphops import wl_refinement
+
+        # the synthetic graph carries no type column — plant the same
+        # deterministic 5-way one the typed_lpa bench uses
+        typed_nodes = nodes.withColumn(
+            "type",
+            F.concat(
+                F.lit("T"), F.pmod(F.xxhash64("title"), F.lit(5)).cast("string")
+            ),
+        )
+        timed(
+            "wl_colors",
+            lambda rl: wl_refinement(typed_nodes, edges, rounds=3).count(),
+        )
+    if "dsweep" in OPS:
+        from knowledge_graph_spark.operators.graphops import double_sweep_diameter
+
+        timed(
+            "diameter_lb",
+            lambda rl: double_sweep_diameter(edges, hops=4).count(),
         )
     if "jp" in OPS:
         from knowledge_graph_spark.operators.graphops import jp_coloring
