@@ -6910,6 +6910,222 @@ WHERE CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# Wave 16: TextRank turn salience, weak-supervision audit, per-source rollup.
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ROUNDS = 5
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation TextRank over turns (Mihalcea & Tarau 2004):
+    integer PageRank on the within-conversation shared-token similarity
+    graph — the centrality-based extractive summarizer next to
+    conversation_context's recency budget.  Unrolled-CTE oracle, same
+    strategy as the pagerank/LPA gates but with per-conversation teleport
+    normalization (graphops.grouped_pagerank)."""
+    from knowledge_graph_spark.operators.assemble import textrank_turns
+
+    return textrank_turns(
+        transcripts_from_events(spark, sf_dir), iterations=TEXTRANK_ROUNDS
+    )
+
+
+def _textrank_body(rounds: int = TEXTRANK_ROUNDS) -> str:
+    """Unrolled per-conversation integer PageRank over the turn-similarity
+    graph — mirrors assemble.textrank_turns / graphops.grouped_pagerank
+    bit-for-bit (`//` ≡ Spark DIV on positives; AS MATERIALIZED because
+    each round references the previous twice)."""
+    from knowledge_graph_spark.operators.graphops import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    parts = [
+        f"""
+, txr_tok AS MATERIALIZED (
+  SELECT conv_id, turn_idx AS i,
+         unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                                '\\s+'),
+                                          x -> x <> ''))) AS tok
+  FROM transcripts),
+txr_pair AS MATERIALIZED (
+  SELECT a.conv_id, a.i AS u, b.i AS v, CAST(count(*) AS BIGINT) AS w
+  FROM txr_tok a
+  JOIN txr_tok b ON a.conv_id = b.conv_id AND a.tok = b.tok AND a.i < b.i
+  GROUP BY a.conv_id, a.i, b.i),
+txr_sym AS MATERIALIZED (
+  SELECT conv_id, u, v, w FROM txr_pair
+  UNION ALL SELECT conv_id, v AS u, u AS v, w FROM txr_pair),
+txr_nodes AS MATERIALIZED (
+  SELECT conv_id, turn_idx AS node,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_g
+  FROM transcripts),
+txr_adj AS MATERIALIZED (
+  SELECT s.conv_id, s.u, s.v, s.w, o.outw
+  FROM txr_sym s JOIN (SELECT conv_id, u, CAST(sum(w) AS BIGINT) AS outw
+                       FROM txr_sym GROUP BY conv_id, u) o
+    ON s.conv_id = o.conv_id AND s.u = o.u),
+txr_r0 AS MATERIALIZED (
+  SELECT conv_id, node, CAST({PR_SCALE} // n_g AS BIGINT) AS rank_scaled
+  FROM txr_nodes)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+txr_c{k} AS MATERIALIZED (
+  SELECT a.conv_id, a.v AS node,
+         CAST(sum((r.rank_scaled * {PR_DAMP_NUM} * a.w)
+                  // ({PR_DAMP_DEN} * a.outw)) AS BIGINT) AS inflow
+  FROM txr_adj a
+  JOIN txr_r{k - 1} r ON r.conv_id = a.conv_id AND r.node = a.u
+  GROUP BY a.conv_id, a.v),
+txr_r{k} AS MATERIALIZED (
+  SELECT n.conv_id, n.node,
+         CAST(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM})
+                // ({PR_DAMP_DEN} * n.n_g)
+              + coalesce(c.inflow, 0) AS BIGINT) AS rank_scaled
+  FROM txr_nodes n
+  LEFT JOIN txr_c{k} c ON n.conv_id = c.conv_id AND n.node = c.node)"""
+        )
+    parts.append(
+        f"\nSELECT conv_id, node AS turn_idx, rank_scaled FROM txr_r{rounds}"
+    )
+    return "".join(parts)
+
+
+def q_weak_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style label matrix + deterministic majority vote over the
+    documents table (corpus.weak_label_matrix)."""
+    from knowledge_graph_spark.operators.corpus import weak_label_matrix
+
+    return weak_label_matrix(_docs(spark, sf_dir))
+
+
+def q_weak_lf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-labeling-function coverage/overlap/conflict audit
+    (corpus.weak_lf_stats) — the data-programming health table."""
+    from knowledge_graph_spark.operators.corpus import weak_lf_stats
+
+    return weak_lf_stats(_docs(spark, sf_dir))
+
+
+def _wl_matrix_ctes() -> str:
+    """Shared CTE chain for the weak-label oracles — built from the SAME
+    corpus.WEAK_LFS spec the Spark side applies (substring probes via
+    strpos ≡ F.instr, both 1-based / 0-absent)."""
+    from knowledge_graph_spark.operators.corpus import WEAK_LFS
+
+    def fired(terms):
+        return " AND ".join(f"strpos(lower(text), '{t}') > 0" for t in terms)
+
+    lf_cols = ",\n         ".join(
+        f"CAST(CASE WHEN {fired(terms)} THEN {label} END AS INT) AS {name}"
+        for name, terms, label in WEAK_LFS
+    )
+    n_pos = " + ".join(
+        f"CASE WHEN {name} = 1 THEN 1 ELSE 0 END" for name, _, _ in WEAK_LFS
+    )
+    n_neg = " + ".join(
+        f"CASE WHEN {name} = 0 THEN 1 ELSE 0 END" for name, _, _ in WEAK_LFS
+    )
+    return f"""
+wl_m0 AS (
+  SELECT doc_id,
+         {lf_cols}
+  FROM documents),
+wl_m AS (
+  SELECT *, CAST({n_pos} AS INT) AS n_pos, CAST({n_neg} AS INT) AS n_neg
+  FROM wl_m0),
+wl_v AS (
+  SELECT *, CAST(CASE WHEN n_pos > n_neg THEN 1
+                      WHEN n_neg > n_pos THEN 0
+                      WHEN n_pos > 0 THEN 0 END AS INT) AS vote
+  FROM wl_m)
+"""
+
+
+def _wl_stats_sql() -> str:
+    from knowledge_graph_spark.operators.corpus import WEAK_LFS
+
+    agg_parts = []
+    row_parts = []
+    for name, _, label in WEAK_LFS:
+        others = [o for o, _, _ in WEAK_LFS if o != name]
+        of = " OR ".join(f"{o} IS NOT NULL" for o in others)
+        oc = " OR ".join(f"({o} IS NOT NULL AND {o} <> {name})" for o in others)
+        agg_parts.append(
+            f"CAST(sum(CASE WHEN {name} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS f_{name},\n"
+            f"  CAST(sum(CASE WHEN {name} IS NOT NULL AND ({of}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS o_{name},\n"
+            f"  CAST(sum(CASE WHEN {name} IS NOT NULL AND ({oc}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS c_{name},\n"
+            f"  CAST(sum(CASE WHEN {name} IS NOT NULL AND vote = {name} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS a_{name}"
+        )
+        row_parts.append(
+            f"SELECT '{name}' AS lf, CAST({label} AS INT) AS label,"
+            f" f_{name} AS n_fired,"
+            f" CAST(f_{name} * 1000000 // n_docs AS BIGINT) AS coverage_micro,"
+            f" o_{name} AS n_overlap, c_{name} AS n_conflict,"
+            f" a_{name} AS n_agree_vote FROM wl_agg"
+        )
+    aggs = ",\n  ".join(agg_parts)
+    rows = "\nUNION ALL ".join(row_parts)
+    return (
+        f"WITH {_wl_matrix_ctes()}, "
+        f"wl_agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,\n  {aggs} FROM wl_v)\n{rows}"
+    )
+
+
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup — the domain-blocklist decision table
+    every web-scale mixer keeps (RefinedWeb/Dolma per-domain stats):
+    volume, exact-duplicate rate off the content hash, predicted-language
+    spread, and summed integer-micro quality.  Quality doubles are
+    floored to micros PER ROW before summing so the aggregate is
+    order-independent (never sum raw doubles across rows)."""
+    p = q_text_profile(spark, sf_dir).select(
+        "doc_id", "lang_pred", "quality", "content_hash", "n_ws_tokens"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        d.join(p, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_ws_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("content_hash").cast("bigint").alias("distinct_docs"),
+            F.countDistinct("lang_pred").cast("bigint").alias("n_langs"),
+            F.sum(F.floor(F.col("quality") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("quality_micro_sum"),
+        )
+        .withColumn(
+            "exact_dup_micro",
+            F.expr("(n_docs - distinct_docs) * 1000000 DIV n_docs").cast("bigint"),
+        )
+    )
+
+
+_SOURCE_PROFILE_SQL = """
+WITH prof AS ({profile})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_ws_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT p.content_hash) AS BIGINT) AS distinct_docs,
+       CAST(count(DISTINCT p.lang_pred) AS BIGINT) AS n_langs,
+       CAST(sum(CAST(floor(p.quality * 1000000) AS BIGINT)) AS BIGINT)
+         AS quality_micro_sum,
+       CAST((count(*) - count(DISTINCT p.content_hash)) * 1000000 // count(*)
+            AS BIGINT) AS exact_dup_micro
+FROM documents d JOIN prof p USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full construction pipeline,
     returning the ranked canonical edge list (relationship.csv analogue)."""
@@ -7105,6 +7321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "event_hourly": q_event_hourly,
         "event_anomaly": q_event_anomaly,
+        "textrank": q_textrank,
+        "weak_votes": q_weak_votes,
+        "weak_lf_stats": q_weak_lf_stats,
+        "source_profile": q_source_profile,
     }
 
 
@@ -8220,4 +8440,8 @@ GROUP BY source, target
             FROM ea_counts c JOIN ea_moments m USING (event_type)
             """
         ),
+        "textrank": _oracle(_textrank_body()),
+        "weak_votes": f"WITH {_wl_matrix_ctes()} SELECT * FROM wl_v",
+        "weak_lf_stats": _wl_stats_sql(),
+        "source_profile": _SOURCE_PROFILE_SQL.format(profile=_TEXT_PROFILE_SQL),
     }

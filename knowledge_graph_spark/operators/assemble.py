@@ -218,3 +218,65 @@ def topic_segments(
         "is_boundary",
         F.sum(F.col("is_boundary").cast("int")).over(wrun).cast("int").alias("seg_id"),
     )
+
+
+TEXTRANK_ITER = 5
+
+
+def textrank_turns(transcripts: DataFrame, iterations: int = TEXTRANK_ITER) -> DataFrame:
+    """TextRank at turn granularity (Mihalcea & Tarau 2004) →
+    (conv_id, turn_idx, rank_scaled): rank each conversation's turns by
+    centrality in the within-conversation similarity graph.
+
+    Nodes are turns; the edge weight between two turns is the size of
+    their shared distinct-token set (the same tokenization as
+    ``topic_segments``); ranking is per-conversation fixed-round integer
+    PageRank (``graphops.grouped_pagerank``), so every value is exact
+    int64 and an unrolled-CTE oracle reproduces it bit-for-bit.
+
+    This is the centrality complement of ``conversation_context``'s
+    recency bias: instead of keeping the most recent turns under a token
+    budget, keep the turns the rest of the conversation keeps referring
+    to — extractive summarization of a transcript for context assembly
+    (the reference's history builder truncates by recency only:
+    query/system_prompt_builder/history/conversation_history.py).
+
+    Scale shape: candidate pairs come from an equi-join on
+    (conv_id, token) — never a cross join — and every subsequent key
+    includes conv_id, so all stages are conversation-parallel.  The
+    within-conversation all-pairs worst case is T² with T the turn count
+    of ONE conversation — a bounded product property, not a corpus
+    property — and the similarity join is additionally damped by token
+    frequency only within that conversation.  Isolated turns (no shared
+    token with any other turn) keep pure teleport mass.
+    """
+    from ..functions.textqc import normalized_text, ws_tokens_col
+    from .graphops import grouped_pagerank
+
+    toks = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").alias("i"),
+        F.explode(
+            F.array_distinct(ws_tokens_col(normalized_text(F.col("text"))))
+        ).alias("tok"),
+    )
+    right = toks.select("conv_id", F.col("i").alias("j"), "tok")
+    pairs = (
+        toks.join(right, ["conv_id", "tok"])
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("conv_id", "i", "j")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    sym = pairs.unionByName(
+        pairs.select("conv_id", F.col("j").alias("i"), F.col("i").alias("j"), "w")
+    )
+    nodes = transcripts.select("conv_id", F.col("turn_idx").alias("node"))
+    ranks = grouped_pagerank(
+        sym.select("conv_id", F.col("i").alias("u"), F.col("j").alias("v"), "w"),
+        nodes,
+        group_col="conv_id",
+        node_col="node",
+        weight_col="w",
+        iterations=iterations,
+    )
+    return ranks.select("conv_id", F.col("node").alias("turn_idx"), "rank_scaled")

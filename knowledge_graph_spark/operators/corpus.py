@@ -1105,3 +1105,140 @@ def ngram_diversity(
             ).cast("bigint"),
         )
     return out.drop("t")
+
+
+# Default labeling functions for the weak-supervision audit: (name,
+# required lowercase substrings, label).  A function fires on a document
+# when every substring occurs; its vote is the attached binary label.
+# The default task separates query-shaped from stream-shaped docs — the
+# two salient registers of this corpus — but any (name, terms, label)
+# list works; terms are matched as plain substrings (no regex) so both
+# engines share exact semantics.
+WEAK_LFS: tuple[tuple[str, tuple[str, ...], int], ...] = (
+    ("lf_query", ("query",), 1),
+    ("lf_join_agg", ("join", "agg"), 1),
+    ("lf_stream", ("stream",), 0),
+    ("lf_batch_window", ("batch", "window"), 0),
+)
+
+
+def _lf_fired(text_low: F.Column, terms: tuple[str, ...]) -> F.Column:
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & (F.instr(text_low, t) > 0)
+    return cond
+
+
+def weak_label_matrix(
+    docs: DataFrame,
+    lfs: tuple = WEAK_LFS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-programming label matrix (Ratner et al. 2017, Snorkel):
+    apply every labeling function to every document and fold the votes →
+    (doc_id, <lf_name> … with NULL = abstain, n_pos, n_neg, vote).
+
+    The learned label model is replaced by a deterministic majority vote
+    (ties break to the smaller label, no-vote docs stay NULL) — the
+    auditable baseline every weak-supervision pipeline starts from; a
+    trained model plugs in where ``vote`` is computed.
+
+    Scale shape: entirely row-local Column algebra — k substring probes
+    and a constant-width CASE per row, zero shuffle, pipelines into
+    whatever consumes the labels."""
+    low = F.lower(F.col(text_col))
+    out = widen(docs).select(F.col(id_col).alias("doc_id"), low.alias("_low"))
+    for name, terms, label in lfs:
+        out = out.withColumn(
+            name, F.when(_lf_fired(F.col("_low"), terms), F.lit(label)).cast("int")
+        )
+    n_pos = sum(
+        (F.when(F.col(name) == 1, 1).otherwise(0) for name, _, _ in lfs), F.lit(0)
+    )
+    n_neg = sum(
+        (F.when(F.col(name) == 0, 1).otherwise(0) for name, _, _ in lfs), F.lit(0)
+    )
+    out = out.withColumn("n_pos", n_pos.cast("int")).withColumn(
+        "n_neg", n_neg.cast("int")
+    )
+    vote = (
+        F.when(F.col("n_pos") > F.col("n_neg"), F.lit(1))
+        .when(F.col("n_neg") > F.col("n_pos"), F.lit(0))
+        .when(F.col("n_pos") > 0, F.lit(0))  # tie with votes → smaller label
+        .otherwise(F.lit(None))
+    )
+    return out.withColumn("vote", vote.cast("int")).drop("_low")
+
+
+def weak_lf_stats(
+    docs: DataFrame,
+    lfs: tuple = WEAK_LFS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-labeling-function audit of the weak-label matrix → one row
+    per LF: (lf, label, n_fired, coverage_micro, n_overlap, n_conflict,
+    n_agree_vote) — Snorkel's coverage/overlap/conflict diagnostics as
+    exact integers (coverage_micro = 10^6·n_fired DIV n_docs).
+
+    n_overlap counts docs where the LF fired and at least one OTHER LF
+    fired; n_conflict where some other firing LF voted differently;
+    n_agree_vote where the LF's vote equals the majority vote.
+
+    Scale shape: one pass — the per-doc indicator columns are row-local,
+    folded by a single global aggregate (constant width: 4 counters per
+    LF), then unpivoted driver-free via an inline stack over the 1-row
+    frame.  n_docs rides the same aggregate — no second scan."""
+    m = weak_label_matrix(docs, lfs, id_col, text_col)
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    for name, _, label in lfs:
+        fired = F.col(name).isNotNull()
+        others_fired = F.lit(False)
+        others_conflict = F.lit(False)
+        for oname, _, _ in lfs:
+            if oname == name:
+                continue
+            ofired = F.col(oname).isNotNull()
+            others_fired = others_fired | ofired
+            others_conflict = others_conflict | (
+                ofired & (F.col(oname) != F.col(name))
+            )
+        aggs.append(
+            F.sum(F.when(fired, 1).otherwise(0)).cast("bigint").alias(f"_f_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(fired & others_fired, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_o_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(fired & others_conflict, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_c_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(fired & (F.col("vote") == F.col(name)), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_a_{name}")
+        )
+    one = m.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', CAST({label} AS INT), _f_{name}, _o_{name}, _c_{name}, _a_{name}"
+        for name, _, label in lfs
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(lfs)}, {stack_args}) AS "
+            "(lf, label, n_fired, n_overlap, n_conflict, n_agree_vote)"
+        ),
+        "n_docs",
+    ).select(
+        "lf",
+        "label",
+        "n_fired",
+        F.expr("n_fired * 1000000 DIV n_docs").cast("bigint").alias("coverage_micro"),
+        "n_overlap",
+        "n_conflict",
+        "n_agree_vote",
+    )

@@ -272,6 +272,96 @@ def pagerank_int(
     return ranks
 
 
+def grouped_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    group_col: str = "group",
+    node_col: str = "node",
+    src: str = "u",
+    dst: str = "v",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    scale: int = PR_SCALE,
+    damping_num: int = PR_DAMP_NUM,
+    damping_den: int = PR_DAMP_DEN,
+) -> DataFrame:
+    """Per-group fixed-round integer PageRank → (group, node,
+    rank_scaled): one independent PageRank per ``group_col`` value, all
+    groups advanced by the same relational loop.
+
+    Teleport mass is normalized WITHIN each group (rank0 = scale DIV n_g,
+    base_g = scale·(1−d) DIV (den·n_g)), which is the semantics TextRank
+    needs (Mihalcea & Tarau 2004 run one graph per document) and which a
+    single global ``pagerank_int`` cannot express — its 1/n teleport
+    couples the per-document components through the global node count.
+
+    ``edges`` are taken as DIRECTED as given; pass a symmetrized frame
+    for undirected similarity graphs.  ``nodes`` declares the full node
+    set per group — isolated nodes keep pure teleport mass; dangling
+    nodes drop their mass (floored away, same convention as
+    pagerank_int, mirrored in the unrolled oracle).
+
+    Scale shape: identical to pagerank_int except every join/groupBy key
+    is (group, node) — all rounds are group-parallel shuffles and the
+    per-group size n_g rides a count window partitioned by group (never
+    a global scalar or a driver count).  localCheckpoint per round
+    truncates lineage.  Exactness bound as pagerank_int: rank·d_num·w
+    < 2^63 ⇒ max edge weight ≲ 10^5 at the default 10^12 scale.
+    """
+    w_col = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(group_col).alias("g"),
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        w_col.alias("w"),
+    )
+    base_nodes = (
+        nodes.select(F.col(group_col).alias("g"), F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("n_g", F.count("*").over(Window.partitionBy("g")).cast("bigint"))
+        .persist()
+    )
+    outw = e.groupBy("g", "u").agg(F.sum("w").cast("bigint").alias("outw"))
+    adj = e.join(outw, ["g", "u"]).persist()
+    base_expr = F.expr(
+        f"CAST(({scale} * {damping_den - damping_num}) DIV ({damping_den} * n_g) AS BIGINT)"
+    )
+    ranks = base_nodes.select(
+        "g", "node", F.expr(f"CAST({scale} DIV n_g AS BIGINT)").alias("rank_scaled")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            adj.join(
+                ranks.select("g", F.col("node").alias("u"), "rank_scaled"), ["g", "u"]
+            )
+            .select(
+                "g",
+                "v",
+                F.expr(
+                    f"(rank_scaled * {damping_num} * w) DIV ({damping_den} * outw)"
+                ).alias("c"),
+            )
+            .groupBy("g", F.col("v").alias("node"))
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        ranks = (
+            base_nodes.join(contrib, ["g", "node"], "left")
+            .select(
+                "g",
+                "node",
+                (base_expr + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    base_nodes.unpersist()
+    return ranks.select(
+        F.col("g").alias(group_col), F.col("node").alias(node_col), "rank_scaled"
+    )
+
+
 KATZ_SCALE = 10**6
 KATZ_ATT_NUM = 1
 KATZ_ATT_DEN = 50

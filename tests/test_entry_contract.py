@@ -155,6 +155,11 @@ CHECK = [
     "kg_churn",
     "ngram_diversity",
     "tfidf_pairs",
+    # wave 16: TextRank turn salience, weak supervision, source rollup
+    "textrank",
+    "weak_votes",
+    "weak_lf_stats",
+    "source_profile",
 ]
 
 
