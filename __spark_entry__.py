@@ -7110,6 +7110,35 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: the n-gram Jaccard
+    clusters re-resolved to keep each cluster's HIGHEST-quality member
+    (dedup.quality_survivors) instead of the min-id convention — the
+    keep/drop table a training-data mixer actually wants."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD)
+    clusters = dedup.dedup_clusters(docs, pairs).select("doc_id", "canonical_id")
+    scores = q_text_profile(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("quality") * 1000000).cast("bigint").alias("quality_micro"),
+    )
+    return dedup.quality_survivors(clusters, scores)
+
+
+_BEST_OF_CLUSTER_SQL = """
+WITH dupc AS ({clusters}),
+prof AS ({profile}),
+boc AS (
+  SELECT c.doc_id, c.canonical_id,
+         CAST(floor(p.quality * 1000000) AS BIGINT) AS quality_micro
+  FROM dupc c JOIN prof p USING (doc_id))
+SELECT doc_id, canonical_id, quality_micro,
+       row_number() OVER (PARTITION BY canonical_id
+                          ORDER BY quality_micro DESC, doc_id) = 1 AS keep
+FROM boc
+"""
+
+
 _SOURCE_PROFILE_SQL = """
 WITH prof AS ({profile})
 SELECT d.source,
@@ -7325,6 +7354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weak_votes": q_weak_votes,
         "weak_lf_stats": q_weak_lf_stats,
         "source_profile": q_source_profile,
+        "best_of_cluster": q_best_of_cluster,
     }
 
 
@@ -8444,4 +8474,7 @@ GROUP BY source, target
         "weak_votes": f"WITH {_wl_matrix_ctes()} SELECT * FROM wl_v",
         "weak_lf_stats": _wl_stats_sql(),
         "source_profile": _SOURCE_PROFILE_SQL.format(profile=_TEXT_PROFILE_SQL),
+        "best_of_cluster": _BEST_OF_CLUSTER_SQL.format(
+            clusters=_DEDUP_CLUSTERS_SQL, profile=_TEXT_PROFILE_SQL
+        ),
     }

@@ -78,6 +78,10 @@ def _run_pass(spark, entry, sf_dir: str, graph_edges: int) -> tuple[dict, int, i
     # rounds over the word-frequency table) — subtract for comparability
     timed("dsir_select", lambda: entry.q_dsir_select(spark, sf_dir))
     timed("bpe_merges", lambda: entry.q_bpe_merges(spark, sf_dir))
+    # session-16 addition: per-conversation TextRank (grouped integer
+    # PageRank over the turn-similarity graph — the iterative text
+    # kernel, conv-parallel rounds) — subtract for round-2 comparability
+    timed("textrank", lambda: entry.q_textrank(spark, sf_dir))
     # round-3 additions: the distributed iterative graph family on an
     # sf-proportional synthetic graph (3M·sf edges — PAST the 200k
     # driver-local cutover at sf0.1), so regressions in the iterative

@@ -1171,20 +1171,17 @@ def weak_label_matrix(
     return out.withColumn("vote", vote.cast("int")).drop("_low")
 
 
-def weak_lf_stats(
+def weak_lf_counters(
     docs: DataFrame,
     lfs: tuple = WEAK_LFS,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-labeling-function audit of the weak-label matrix → one row
-    per LF: (lf, label, n_fired, coverage_micro, n_overlap, n_conflict,
-    n_agree_vote) — Snorkel's coverage/overlap/conflict diagnostics as
-    exact integers (coverage_micro = 10^6·n_fired DIV n_docs).
-
-    n_overlap counts docs where the LF fired and at least one OTHER LF
-    fired; n_conflict where some other firing LF voted differently;
-    n_agree_vote where the LF's vote equals the majority vote.
+    """Raw per-LF counter table → one row per LF: (lf, label, n_docs,
+    n_fired, n_overlap, n_conflict, n_agree_vote).  Every column is a
+    SUM of per-document indicators, so two counter tables over disjoint
+    corpora merge by summing — the streaming fold in
+    streaming/weak_label_stream.py relies on exactly this.
 
     Scale shape: one pass — the per-doc indicator columns are row-local,
     folded by a single global aggregate (constant width: 4 counters per
@@ -1234,6 +1231,15 @@ def weak_lf_stats(
         ),
         "n_docs",
     ).select(
+        "lf", "label", "n_docs", "n_fired", "n_overlap", "n_conflict", "n_agree_vote"
+    )
+
+
+def weak_stats_from_counters(counters: DataFrame) -> DataFrame:
+    """Read the audit table off a (possibly stream-folded) counter table:
+    adds coverage_micro = 10^6·n_fired DIV n_docs and drops n_docs —
+    derived quantities are computed at read time, never folded."""
+    return counters.select(
         "lf",
         "label",
         "n_fired",
@@ -1242,3 +1248,24 @@ def weak_lf_stats(
         "n_conflict",
         "n_agree_vote",
     )
+
+
+def weak_lf_stats(
+    docs: DataFrame,
+    lfs: tuple = WEAK_LFS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-labeling-function audit of the weak-label matrix → one row
+    per LF: (lf, label, n_fired, coverage_micro, n_overlap, n_conflict,
+    n_agree_vote) — Snorkel's coverage/overlap/conflict diagnostics as
+    exact integers (coverage_micro = 10^6·n_fired DIV n_docs).
+
+    n_overlap counts docs where the LF fired and at least one OTHER LF
+    fired; n_conflict where some other firing LF voted differently;
+    n_agree_vote where the LF's vote equals the majority vote.
+
+    One-shot composition of ``weak_lf_counters`` +
+    ``weak_stats_from_counters`` (same scale shape: one scan, one
+    constant-width aggregate)."""
+    return weak_stats_from_counters(weak_lf_counters(docs, lfs, id_col, text_col))

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -895,4 +895,39 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("sim_micro") >= threshold_micro)
         .select("id_a", "id_b", "dot", "sim_micro")
+    )
+
+
+def quality_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    score_col: str = "quality_micro",
+) -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the HIGHEST-scoring member instead of ``dedup_clusters``'s
+    min-id convention → input columns + ``keep``.
+
+    Min-id survivors are the right default for reproducibility, but a
+    training-data mixer wants the best-written copy of each duplicated
+    document (the near-dup members differ in boilerplate, truncation,
+    OCR noise); this swaps the survivor policy without touching cluster
+    membership.  Total order (score DESC, id ASC) makes the pick
+    deterministic under score ties.  Scores should be exact integers
+    (e.g. the QC profile's quality floored to micros) so both engines
+    agree bit-for-bit.
+
+    Scale shape: one equi-join on id + a top-1 row_number window
+    partitioned by cluster — rank<=1 pushes map-side (WindowGroupLimit),
+    so a pathological mega-cluster ships O(parts) rows, not its
+    population."""
+    j = clusters.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .withColumn("keep", F.col("_rk") == 1)
+        .drop("_rk")
     )

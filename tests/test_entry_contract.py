@@ -160,6 +160,7 @@ CHECK = [
     "weak_votes",
     "weak_lf_stats",
     "source_profile",
+    "best_of_cluster",
 ]
 
 

@@ -8,8 +8,6 @@ the values must be bit-identical) and for per-group teleport independence
 on a multi-group frame; the weak-label ops against hand fixtures.
 """
 
-from pyspark.sql import functions as F
-
 from knowledge_graph_spark.operators.assemble import textrank_turns
 from knowledge_graph_spark.operators.corpus import (
     WEAK_LFS,
@@ -169,3 +167,27 @@ def test_weak_lf_stats_custom_lfs(spark):
     got = {r["lf"]: r for r in weak_lf_stats(d, lfs=lfs).collect()}
     assert got["lf_a"]["n_fired"] == 2 and got["lf_a"]["n_conflict"] == 1
     assert got["lf_b"]["coverage_micro"] == 333_333
+
+
+# --- quality survivors -------------------------------------------------------
+
+
+def test_quality_survivors_picks_best_and_breaks_ties(spark):
+    from knowledge_graph_spark.operators.dedup import quality_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, canonical_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 2), (6, 2)],
+        "doc_id long, quality_micro long",
+    )
+    got = {r["doc_id"]: r for r in quality_survivors(clusters, scores).collect()}
+    kept = {d for d, r in got.items() if r["keep"]}
+    # best score wins; score ties break to the smaller doc_id; singletons keep
+    assert kept == {2, 4, 5}
+    # membership is untouched — every input row survives with its cluster
+    assert {(d, r["canonical_id"]) for d, r in got.items()} == {
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)
+    }

@@ -97,6 +97,16 @@ AUDIT = [
     ("edge_decay", "edge lineage + 1-row t_max broadcast + row-local decay"),
     ("heaps_law", "first-occurrence identity + two-phase prefix sums"),
     ("bpe_fertility", "BPE dictionary join folded per language"),
+    ("sssp", "Bellman-Ford relaxation rounds (min-agg per frontier join)"),
+    ("four_cycles", "common-neighbor pair counting (wedge join + C(c,2) fold)"),
+    ("wl_colors", "1-WL re-hash rounds (sorted neighbor-color fold joins)"),
+    ("tfidf_pairs", "df-pruned inverted-index cosine (weighted postings join)"),
+    ("diameter_lb", "double-sweep BFS rounds + two argmax TakeOrdered"),
+    ("lm_bits", "train-split bigram model + broadcast backoff joins"),
+    ("phrase_search", "positional postings adjacency self-join"),
+    ("textrank", "per-conversation PageRank rounds (grouped teleport, conv-keyed joins)"),
+    ("weak_lf_stats", "row-local LF probes + one constant-width aggregate + stack"),
+    ("source_profile", "profile-join rollup (count-distinct + integer-micro sums)"),
 ]
 
 PY_NODES = (
