@@ -1394,6 +1394,20 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_predict(test, train_language_profiles(train, top_p=LANGID_TOP))
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trained language-ID on the held-out
+    split: gold lang × predicted lang counts — the per-class error
+    profile behind q_langid's ``correct`` bit, read before trusting
+    langid-based curation filters (synthetic text is independent of the
+    lang label, so off-diagonal mass here is EXPECTED — the matrix is
+    the evidence).  One tiny-key groupBy over the held-out fifth."""
+    return (
+        q_langid(spark, sf_dir)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 BLOCK_TAU = 0.5
 
 
@@ -7355,6 +7369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weak_lf_stats": q_weak_lf_stats,
         "source_profile": q_source_profile,
         "best_of_cluster": q_best_of_cluster,
+        "langid_confusion": q_langid_confusion,
     }
 
 
@@ -8477,4 +8492,9 @@ GROUP BY source, target
         "best_of_cluster": _BEST_OF_CLUSTER_SQL.format(
             clusters=_DEDUP_CLUSTERS_SQL, profile=_TEXT_PROFILE_SQL
         ),
+        "langid_confusion": f"""
+WITH li AS ({_LANGID_SQL})
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM li GROUP BY lang, pred_lang
+""",
     }

@@ -161,6 +161,7 @@ CHECK = [
     "weak_lf_stats",
     "source_profile",
     "best_of_cluster",
+    "langid_confusion",
 ]
 
 
