@@ -1,0 +1,104 @@
+"""Scale probe for the grouped iterative kernel family (wave 16).
+
+textrank_turns is the first GROUPED fixed-round kernel (one independent
+PageRank per conversation, all conversations advanced by the same
+relational loop) — its scaling story is different from the global graph
+kernels in tools/bench_graph.py: every round's join/groupBy key includes
+conv_id, so the work is embarrassingly conversation-parallel and the
+probe checks that the implementation actually realizes that (throughput
+at local[8] vs local[32] on the SAME materialized input, efficiency =
+T_8 / (4 · T_32)).
+
+Input: the deterministic synthesizer at probe size (default 30k convs ×
+20/80 heavy-tailed turns ≈ 825k turns; the similarity join expands to
+~10^8 intermediate rows — a real shuffle workload, not a toy).  Levels
+run INTERLEAVED (8, 32, 8, 32 …) and the report takes the best per
+level, same protocol as tools/bench_scaling.py.  Run on a QUIET box.
+
+Usage:
+    python tools/bench_textrank.py            # interleaved probe + report
+    python tools/bench_textrank.py --one 8    # single level (subprocess mode)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+DATA = REPO / ".bench_textrank_data"
+N_CONVS = int(os.environ.get("TEXTRANK_CONVS", "30000"))
+BASE_TURNS = int(os.environ.get("TEXTRANK_TURNS", "20"))
+CYCLES = int(os.environ.get("TEXTRANK_CYCLES", "2"))
+LEVELS = (8, 32)
+
+
+def materialize() -> None:
+    sys.path.insert(0, str(REPO))
+    from knowledge_graph_spark.session import get_spark
+    from knowledge_graph_spark.synth import synth_transcripts
+
+    spark = get_spark(app_name="textrank-gen", master="local[32]")
+    df = synth_transcripts(spark, n_convs=N_CONVS, base_turns=BASE_TURNS)
+    df.write.mode("overwrite").parquet(str(DATA / "transcripts"))
+    spark.stop()
+
+
+def run_one(cpus: int) -> dict:
+    sys.path.insert(0, str(REPO))
+    from knowledge_graph_spark.operators.assemble import textrank_turns
+    from knowledge_graph_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"textrank-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+    t = spark.read.parquet(str(DATA / "transcripts"))
+    n_turns = t.count()
+    # warm the JVM + Python workers on a small prefix, then time the run
+    textrank_turns(t.filter("conv_id < 'c000200'")).count()
+    t0 = time.time()
+    n_rows = textrank_turns(t).count()
+    wall = time.time() - t0
+    spark.stop()
+    return {"cpus": cpus, "n_turns": n_turns, "rows": n_rows, "wall_s": round(wall, 1)}
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        print(json.dumps(run_one(int(sys.argv[2]))))
+        return
+    if not (DATA / "transcripts").exists():
+        materialize()
+    best: dict[int, dict] = {}
+    for c in range(CYCLES):
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, __file__, "--one", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
+                best[cpus] = r
+            print(f"cycle {c} local[{cpus}]: {r['wall_s']}s")
+    t8, t32 = best[8]["wall_s"], best[32]["wall_s"]
+    eff = t8 / (4 * t32)
+    report = {
+        "kernel": "textrank_turns (grouped integer PageRank, 5 rounds)",
+        "n_turns": best[8]["n_turns"],
+        "best": {str(k): v["wall_s"] for k, v in best.items()},
+        "turns_per_sec_32": round(best[32]["n_turns"] / t32, 1),
+        "efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
