@@ -320,6 +320,54 @@ def q_communities_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Warm-start (incremental-maintenance) gates: the "old" KG is the ~2/3 of
+# kg_edges whose pair fingerprint survives mod-3 — deterministic and
+# SQL-mirrorable; the remaining third plays the CDC insert delta.
+WARM_EDGE_MOD = 3
+LPA_WARM_ROUNDS = 5
+
+
+def _warm_old_edges(edges: DataFrame) -> DataFrame:
+    from knowledge_graph_spark.functions.textqc import rolling_fingerprint
+
+    fp = rolling_fingerprint(F.concat(F.col("source"), F.lit("|"), F.col("target")))
+    return edges.filter(F.pmod(fp, F.lit(WARM_EDGE_MOD)) != 0)
+
+
+def q_cc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance: cold components on the 'old' edge
+    subset, then WARM-START min-label propagation over the full graph
+    (distributed path forced).  Under edge additions the min-reachable-id
+    fixpoint is init-independent, so the oracle is the plain recursive
+    min-reachability CTE on the full graph — the hash match proves the
+    warm path lands on exactly the from-scratch components while only
+    reconverging the delta's neighborhood
+    (community.connected_components ``init_labels``)."""
+    s = _stages(spark, sf_dir)
+    init = connected_components(s["nodes"], _warm_old_edges(s["edges"]))
+    return connected_components(
+        s["nodes"], s["edges"], local_threshold=0, init_labels=init
+    ).select("title", "component")
+
+
+def q_lpa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start LPA re-clustering: 10 cold rounds on the 'old' subset,
+    then LPA_WARM_ROUNDS synchronous rounds over the FULL graph starting
+    from those labels (distributed path forced) — the incremental
+    re-cluster after a CDC insert batch.  Unlike CC the result depends on
+    the start labels, so the oracle unrolls both phases: the old-subgraph
+    10-round LPA feeding a 5-round warm unroll on the full graph."""
+    s = _stages(spark, sf_dir)
+    init = label_propagation(s["nodes"], _warm_old_edges(s["edges"]))
+    return label_propagation(
+        s["nodes"],
+        s["edges"],
+        max_iter=LPA_WARM_ROUNDS,
+        local_threshold=0,
+        init_labels=init,
+    ).select("title", "community")
+
+
 def q_qa_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA-pair folding of each conversation (reference
     conversation_history.py:42-56 to_qa_turns)."""
@@ -4372,7 +4420,8 @@ LPA_MAX_ITER = 10  # community.label_propagation default; unroll must match
 
 
 def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
-                    rounds: int = LPA_MAX_ITER) -> str:
+                    rounds: int = LPA_MAX_ITER,
+                    init_cte: str | None = None) -> str:
     """Chained CTEs for ``rounds`` synchronous weighted-LPA rounds.
 
     Mirrors community.label_propagation:199-231 exactly: per round every
@@ -4380,11 +4429,20 @@ def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
     max-total-incident-weight neighbor labels; isolated nodes keep their
     label.  ``nodes_cte`` must expose (node), ``sym_cte`` (a, b, w) with
     both edge directions.  Final labels are in CTE ``{prefix}l{rounds}``.
+
+    ``init_cte`` (exposing (node, label) for every node in ``nodes_cte``)
+    replaces the self-label round 0 — the warm-start mirror of
+    community.label_propagation's ``init_labels``.
     """
     # AS MATERIALIZED is load-bearing: each round references the previous
     # labels CTE twice, so DuckDB's default CTE inlining would double the
     # plan per round (2^rounds blowup).
-    parts = [f"{prefix}l0 AS MATERIALIZED (SELECT node, node AS label FROM {nodes_cte})"]
+    l0 = (
+        f"SELECT node, label FROM {init_cte}"
+        if init_cte
+        else f"SELECT node, node AS label FROM {nodes_cte}"
+    )
+    parts = [f"{prefix}l0 AS MATERIALIZED ({l0})"]
     for k in range(1, rounds + 1):
         prev = f"{prefix}l{k - 1}"
         parts.append(
@@ -5687,6 +5745,35 @@ lpa_sym AS MATERIALIZED (
 ),
 {_lpa_rounds_sql('lpa_nodes', 'lpa_sym', 'lpa_')}
 SELECT node AS title, label AS community FROM lpa_l{LPA_MAX_ITER}
+"""
+
+
+def _lpa_warm_body() -> str:
+    """Warm-start LPA oracle: an old-subgraph 10-round unroll (edges whose
+    pair fingerprint % WARM_EDGE_MOD survives) feeds a LPA_WARM_ROUNDS
+    unroll over the full graph via ``init_cte`` — mirrors
+    community.label_propagation(init_labels=...) round for round."""
+    poly_pair = _POLY.format(s="(source || '|' || target)")
+    return f"""
+, lw_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+lw_old AS MATERIALIZED (
+  SELECT source, target, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  WHERE ({poly_pair}) % {WARM_EDGE_MOD} <> 0
+),
+lw_old_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, w FROM lw_old
+  UNION ALL
+  SELECT target AS a, source AS b, w FROM lw_old
+),
+{_lpa_rounds_sql('lw_nodes', 'lw_old_sym', 'lwo_')},
+lw_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('lw_nodes', 'lw_sym', 'lww_', rounds=LPA_WARM_ROUNDS,
+                 init_cte=f'lwo_l{LPA_MAX_ITER}')}
+SELECT node AS title, label AS community FROM lww_l{LPA_WARM_ROUNDS}
 """
 
 
@@ -7201,6 +7288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities_lpa": q_communities,
         "cc_dist": q_components_dist,
         "lpa_dist": q_communities_dist,
+        "cc_warm": q_cc_warm,
+        "lpa_warm": q_lpa_warm,
         "qa_turns": q_qa_turns,
         "last_user_turns": q_last_user_turns,
         "conv_context": q_conv_context,
@@ -7478,6 +7567,23 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "lpa_dist": _oracle(_lpa_body()),
+        # warm-start CC converges to the same init-independent fixpoint,
+        # so its oracle is the plain full-graph min-reachability CTE
+        "cc_warm": _oracle(
+            """
+            , sym AS (
+                SELECT source AS a, target AS b FROM kg_edges
+                UNION SELECT target AS a, source AS b FROM kg_edges
+            ),
+            reach(node, r) AS (
+                SELECT title, title FROM kg_nodes
+                UNION
+                SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+            )
+            SELECT node AS title, min(r) AS component FROM reach GROUP BY node
+            """
+        ),
+        "lpa_warm": _oracle(_lpa_warm_body()),
         "qa_turns": _oracle(
             """
             , qa AS (

@@ -186,3 +186,116 @@ def test_bfs_hops_min_distance_and_ball_cutoff(spark):
     assert got == {"A": 0, "B": 1, "C": 1, "D": 2}
     one = {r.title: r.hop for r in bfs_hops(edges, seeds, hops=1).collect()}
     assert one == {"A": 0, "B": 1, "C": 1}
+
+
+def test_cc_warm_start_matches_cold_and_saves_rounds(spark):
+    """Warm-start CC (init_labels from a pre-delta subgraph) must land on
+    the identical init-independent fixpoint as a cold run on the full
+    graph — and reconverge in fewer rounds, since only the delta's
+    neighborhood is off its fixpoint."""
+    # two 40-node chains; the delta bridges them and extends one end
+    n = 40
+    left = [f"L{i:03d}" for i in range(n)]
+    right = [f"R{i:03d}" for i in range(n)]
+    old_edges = [(a, b) for a, b in zip(left, left[1:])] + [
+        (a, b) for a, b in zip(right, right[1:])
+    ]
+    delta = [("L039", "R000"), ("R039", "X000"), ("X000", "X001")]
+    names = left + right + ["X000", "X001"]
+    nodes = spark.createDataFrame([(x,) for x in names], "title string")
+    old = spark.createDataFrame(old_edges, "source string, target string")
+    full = spark.createDataFrame(old_edges + delta, "source string, target string")
+
+    init = connected_components(nodes, old, local_threshold=0, max_iter=12)
+    warm_log: list = []
+    cold_log: list = []
+    warm = {
+        r.title: r.component
+        for r in connected_components(
+            nodes, full, local_threshold=0, max_iter=12,
+            init_labels=init, round_log=warm_log,
+        ).collect()
+    }
+    cold = {
+        r.title: r.component
+        for r in connected_components(
+            nodes, full, local_threshold=0, max_iter=12, round_log=cold_log
+        ).collect()
+    }
+    assert warm == cold
+    assert set(warm.values()) == {"L000"}  # one merged component, min label
+    assert len(warm_log) < len(cold_log)  # the incremental win
+
+
+def test_cc_warm_start_from_fixpoint_verifies_in_one_round(spark):
+    """init = the converged labels of the SAME graph → the first round
+    changes nothing and the loop exits immediately."""
+    nodes = spark.createDataFrame([(f"N{i}",) for i in range(30)], "title string")
+    edges = spark.createDataFrame(
+        [(f"N{i}", f"N{i + 1}") for i in range(29)], "source string, target string"
+    )
+    fix = connected_components(nodes, edges, local_threshold=0, max_iter=10)
+    log: list = []
+    again = connected_components(
+        nodes, edges, local_threshold=0, init_labels=fix, round_log=log
+    )
+    assert len(log) == 1
+    assert {r.title: r.component for r in again.collect()} == {
+        r.title: r.component for r in fix.collect()
+    }
+
+
+def test_lpa_warm_start_distributed_matches_local_twin(spark):
+    """Warm LPA is 'max_iter rounds from the given start': the distributed
+    iterative-join path and the driver-local twin must agree round for
+    round from the same init, including self-labels for new nodes."""
+    import itertools
+
+    names = [f"C{c}_{i}" for c in range(2) for i in range(6)] + ["NEW_0", "NEW_1"]
+    nodes = spark.createDataFrame([(x,) for x in names], "title string")
+    rows = []
+    for c in range(2):
+        members = [f"C{c}_{i}" for i in range(6)]
+        rows += [(a, b, 4.0) for a, b in itertools.combinations(members, 2)]
+    rows += [("C0_0", "NEW_0", 1.0), ("NEW_0", "NEW_1", 6.0)]
+    edges = spark.createDataFrame(rows, "source string, target string, weight double")
+    # prior labels cover only the cliques; NEW_* must self-label
+    init = spark.createDataFrame(
+        [(f"C{c}_{i}", f"C{c}_0") for c in range(2) for i in range(6)],
+        "title string, community string",
+    )
+    local = {
+        r.title: r.community
+        for r in label_propagation(nodes, edges, max_iter=3, init_labels=init).collect()
+    }
+    dist = {
+        r.title: r.community
+        for r in label_propagation(
+            nodes, edges, max_iter=3, local_threshold=0, init_labels=init
+        ).collect()
+    }
+    assert dist == local
+
+
+def test_lpa_warm_start_from_converged_labels_is_stable(spark):
+    """A converged cold labeling is an LPA fixpoint — warm-starting from
+    it on the unchanged graph returns it unchanged (one verify round)."""
+    import itertools
+
+    names = [f"C{c}_{i}" for c in range(3) for i in range(8)]
+    nodes = spark.createDataFrame([(x,) for x in names], "title string")
+    rows = []
+    for c in range(3):
+        members = [f"C{c}_{i}" for i in range(8)]
+        rows += [(a, b, 5.0) for a, b in itertools.combinations(members, 2)]
+    rows += [("C0_0", "C1_0", 0.1), ("C1_7", "C2_0", 0.1)]
+    edges = spark.createDataFrame(rows, "source string, target string, weight double")
+    cold = label_propagation(nodes, edges)
+    log: list = []
+    warm = label_propagation(
+        nodes, edges, local_threshold=0, init_labels=cold, round_log=log
+    )
+    assert len(log) == 1
+    assert {r.title: r.community for r in warm.collect()} == {
+        r.title: r.community for r in cold.collect()
+    }

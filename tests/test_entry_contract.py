@@ -32,6 +32,8 @@ CHECK = [
     "conv_context",
     "cc_dist",
     "lpa_dist",
+    "cc_warm",
+    "lpa_warm",
     "kg_nodes",
     "kg_edges",
     "edge_rank",

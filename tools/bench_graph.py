@@ -46,8 +46,8 @@ NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
 HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# comma-separated subset of {cc,lpa,pagerank,scc,bw,n2v,katz,truss,hits,
-# widest,typed,match,jp,mis,coarsen,msf,densest,knn,lp,sssp,c4,wl,dsweep}
+# comma-separated subset of {cc,ccwarm,lpa,pagerank,scc,bw,n2v,katz,truss,
+# hits,widest,typed,match,jp,mis,coarsen,msf,densest,knn,lp,sssp,c4,wl,dsweep}
 # — e.g. the 10M-edge probe runs "cc,pagerank" to bound wall clock
 OPS = set(
     os.environ.get("GRAPH_OPS", "cc,lpa,pagerank,scc,bw").replace(" ", "").split(",")
@@ -178,6 +178,27 @@ def main() -> None:
             "connected_components",
             lambda rl: connected_components(
                 nodes, edges, local_threshold=0, max_iter=50, round_log=rl
+            ).count(),
+        )
+    if "ccwarm" in OPS:
+        # incremental maintenance: cold components on 99% of the edges
+        # (materialized OUTSIDE the timed region), then warm-start over
+        # the full graph — the CDC-insert reconvergence cost, to compare
+        # against the cold connected_components line above
+        old = edges.filter(F.pmod(F.xxhash64("source", "target"), F.lit(100)) != 0)
+        init = connected_components(
+            nodes, old, local_threshold=0, max_iter=50
+        ).persist()
+        init.count()
+        timed(
+            "cc_warm_1pct_delta",
+            lambda rl: connected_components(
+                nodes,
+                edges,
+                local_threshold=0,
+                max_iter=50,
+                round_log=rl,
+                init_labels=init,
             ).count(),
         )
     if "lpa" in OPS:

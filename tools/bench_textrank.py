@@ -34,7 +34,16 @@ DATA = REPO / ".bench_textrank_data"
 N_CONVS = int(os.environ.get("TEXTRANK_CONVS", "30000"))
 BASE_TURNS = int(os.environ.get("TEXTRANK_TURNS", "20"))
 CYCLES = int(os.environ.get("TEXTRANK_CYCLES", "2"))
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("TEXTRANK_LEVELS", "2,8").split(",")
+)
+# Shuffle partition count is FIXED across levels: for a shuffle-heavy
+# kernel the shard count is a property of the DATA (size partitions to
+# bytes so sorts don't spill), not of the core count — scaling 2×cores
+# like tools/bench_scaling.py does for the CPU-bound pipeline would give
+# local[2] four ~20M-row sort partitions (deep spill) and change the
+# PLAN between levels instead of just the parallelism.
+SHUFFLE = int(os.environ.get("TEXTRANK_SHUFFLE", "64"))
 
 
 def materialize() -> None:
@@ -56,7 +65,7 @@ def run_one(cpus: int) -> dict:
     spark = get_spark(
         app_name=f"textrank-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=SHUFFLE,
     )
     t = spark.read.parquet(str(DATA / "transcripts"))
     n_turns = t.count()
@@ -88,14 +97,16 @@ def main() -> None:
             if cpus not in best or r["wall_s"] < best[cpus]["wall_s"]:
                 best[cpus] = r
             print(f"cycle {c} local[{cpus}]: {r['wall_s']}s")
-    t8, t32 = best[8]["wall_s"], best[32]["wall_s"]
-    eff = t8 / (4 * t32)
+    lo, hi = min(LEVELS), max(LEVELS)
+    t_lo, t_hi = best[lo]["wall_s"], best[hi]["wall_s"]
+    eff = t_lo / ((hi / lo) * t_hi)
     report = {
         "kernel": "textrank_turns (grouped integer PageRank, 5 rounds)",
-        "n_turns": best[8]["n_turns"],
+        "n_turns": best[lo]["n_turns"],
+        "shuffle_partitions": SHUFFLE,
         "best": {str(k): v["wall_s"] for k, v in best.items()},
-        "turns_per_sec_32": round(best[32]["n_turns"] / t32, 1),
-        "efficiency_8_to_32": round(eff, 3),
+        f"turns_per_sec_{hi}": round(best[hi]["n_turns"] / t_hi, 1),
+        f"efficiency_{lo}_to_{hi}": round(eff, 3),
     }
     print(json.dumps(report))
 
