@@ -118,6 +118,48 @@ def test_textrank_hub_turn_ranks_first(spark):
     assert rows[0]["turn_idx"] == 1
 
 
+def test_textrank_arrow_kernel_matches_relational_on_synth(spark):
+    """The dense per-group Arrow kernel and the relational grouped-
+    PageRank loop must be bit-identical — same int64 floor-division
+    arithmetic, different physical plan (1 shuffle vs 5×2)."""
+    from knowledge_graph_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=40, base_turns=12)
+    arrow = {
+        (r["conv_id"], r["turn_idx"]): r["rank_scaled"]
+        for r in textrank_turns(t).collect()
+    }
+    rel = {
+        (r["conv_id"], r["turn_idx"]): r["rank_scaled"]
+        for r in textrank_turns(t, kernel="relational").collect()
+    }
+    assert arrow == rel and len(arrow) > 100
+
+
+def test_textrank_arrow_kernel_matches_relational_edge_cases(spark):
+    """Isolated turns, empty text, and a single-turn conversation take
+    the same values through both kernels."""
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha beta"),
+            ("c1", 1, "beta gamma"),
+            ("c1", 2, ""),
+            ("c1", 3, "   "),
+            ("c2", 0, "solo"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    arrow = {
+        (r["conv_id"], r["turn_idx"]): r["rank_scaled"]
+        for r in textrank_turns(t).collect()
+    }
+    rel = {
+        (r["conv_id"], r["turn_idx"]): r["rank_scaled"]
+        for r in textrank_turns(t, kernel="relational").collect()
+    }
+    assert arrow == rel and len(arrow) == 5
+
+
 # --- weak labels ------------------------------------------------------------
 
 

@@ -30,9 +30,11 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
-DATA = REPO / ".bench_textrank_data"
 N_CONVS = int(os.environ.get("TEXTRANK_CONVS", "30000"))
 BASE_TURNS = int(os.environ.get("TEXTRANK_TURNS", "20"))
+# data dir is size-keyed so changing TEXTRANK_CONVS can't silently reuse
+# a stale materialization (the bench_scaling mixed-size lesson)
+DATA = REPO / f".bench_textrank_data_{N_CONVS}x{BASE_TURNS}"
 CYCLES = int(os.environ.get("TEXTRANK_CYCLES", "2"))
 LEVELS = tuple(
     int(x) for x in os.environ.get("TEXTRANK_LEVELS", "2,8").split(",")
@@ -44,6 +46,9 @@ LEVELS = tuple(
 # local[2] four ~20M-row sort partitions (deep spill) and change the
 # PLAN between levels instead of just the parallelism.
 SHUFFLE = int(os.environ.get("TEXTRANK_SHUFFLE", "64"))
+# "arrow" (default; 1 shuffle, dense per-conv kernel) or "relational"
+# (grouped_pagerank loop — the shape the SQL oracle mirrors)
+KERNEL = os.environ.get("TEXTRANK_KERNEL", "arrow")
 
 
 def materialize() -> None:
@@ -70,9 +75,9 @@ def run_one(cpus: int) -> dict:
     t = spark.read.parquet(str(DATA / "transcripts"))
     n_turns = t.count()
     # warm the JVM + Python workers on a small prefix, then time the run
-    textrank_turns(t.filter("conv_id < 'c000200'")).count()
+    textrank_turns(t.filter("conv_id < 'c000200'"), kernel=KERNEL).count()
     t0 = time.time()
-    n_rows = textrank_turns(t).count()
+    n_rows = textrank_turns(t, kernel=KERNEL).count()
     wall = time.time() - t0
     spark.stop()
     return {"cpus": cpus, "n_turns": n_turns, "rows": n_rows, "wall_s": round(wall, 1)}
@@ -101,7 +106,7 @@ def main() -> None:
     t_lo, t_hi = best[lo]["wall_s"], best[hi]["wall_s"]
     eff = t_lo / ((hi / lo) * t_hi)
     report = {
-        "kernel": "textrank_turns (grouped integer PageRank, 5 rounds)",
+        "kernel": f"textrank_turns[{KERNEL}] (grouped integer PageRank, 5 rounds)",
         "n_turns": best[lo]["n_turns"],
         "shuffle_partitions": SHUFFLE,
         "best": {str(k): v["wall_s"] for k, v in best.items()},
