@@ -104,7 +104,7 @@ AUDIT = [
     ("diameter_lb", "double-sweep BFS rounds + two argmax TakeOrdered"),
     ("lm_bits", "train-split bigram model + broadcast backoff joins"),
     ("phrase_search", "positional postings adjacency self-join"),
-    ("textrank", "per-conversation PageRank rounds (grouped teleport, conv-keyed joins)"),
+    ("textrank", "dense per-conv Arrow kernel (ONE cogroup shuffle, no round joins)"),
     ("weak_lf_stats", "row-local LF probes + one constant-width aggregate + stack"),
     ("source_profile", "profile-join rollup (count-distinct + integer-micro sums)"),
 ]
