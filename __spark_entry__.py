@@ -7169,7 +7169,8 @@ def _wl_stats_sql() -> str:
         row_parts.append(
             f"SELECT '{name}' AS lf, CAST({label} AS INT) AS label,"
             f" f_{name} AS n_fired,"
-            f" CAST(f_{name} * 1000000 // n_docs AS BIGINT) AS coverage_micro,"
+            f" CAST(f_{name} * 1000000 // greatest(n_docs, 1) AS BIGINT)"
+            f" AS coverage_micro,"
             f" o_{name} AS n_overlap, c_{name} AS n_conflict,"
             f" a_{name} AS n_agree_vote FROM wl_agg"
         )

@@ -927,6 +927,21 @@ def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _token_pairs(toks: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — adjacent token pairs from ``_doc_tokens``
+    output.  ONE definition so LM training and scoring extract pairs
+    identically (the counts and the cost joins must agree bit-for-bit)."""
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("w1"),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
 def lm_train_counts(
     train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -944,19 +959,15 @@ def lm_train_counts(
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     bi = (
-        toks.select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("w1"),
-                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        _token_pairs(toks)
+        .select("w1", "w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
-    total = uni.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    # coalesce so an EMPTY training split yields n_total = 0 (bitlen 0),
+    # matching the oracle's coalesce(sum(cnt), 0) instead of a NULL that
+    # would NULL every downstream cost
+    total = uni.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_total"))
     return uni, bi, total
 
 
@@ -991,15 +1002,7 @@ def lm_bits(
     |vocab|-bounded (Zipf), so at 100 TB the score pass is ~one shuffle
     of the bigram occurrence stream."""
     toks = _doc_tokens(docs, id_col, text_col)
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))).alias("w1"),
-                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("w2"),
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = _token_pairs(toks).select("doc_id", "w1", "w2")
     bits = lambda c: (F.length(F.bin(c)) - 1).cast("bigint")  # noqa: E731
     scored = (
         pairs.join(
@@ -1238,12 +1241,17 @@ def weak_lf_counters(
 def weak_stats_from_counters(counters: DataFrame) -> DataFrame:
     """Read the audit table off a (possibly stream-folded) counter table:
     adds coverage_micro = 10^6·n_fired DIV n_docs and drops n_docs —
-    derived quantities are computed at read time, never folded."""
+    derived quantities are computed at read time, never folded.  The
+    divisor is floor-guarded (greatest 1) so a counter row folded from
+    an empty corpus reads coverage 0 on both engines instead of NULL
+    here / a division error in the oracle."""
     return counters.select(
         "lf",
         "label",
         "n_fired",
-        F.expr("n_fired * 1000000 DIV n_docs").cast("bigint").alias("coverage_micro"),
+        F.expr("n_fired * 1000000 DIV greatest(n_docs, 1)")
+        .cast("bigint")
+        .alias("coverage_micro"),
         "n_overlap",
         "n_conflict",
         "n_agree_vote",

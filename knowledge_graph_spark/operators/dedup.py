@@ -838,7 +838,11 @@ def tfidf_cosine_pairs(
     BEFORE the candidate join (they are the O(n²) skew bomb and carry
     near-zero weight anyway), and the pair aggregate is map-side
     combinable.  The weighted posting table feeds three consumers →
-    persisted.  ``n`` sets the token n-gram order of the term space
+    persisted.  The persist is session-lifetime by design: the returned
+    frame's lineage still reads it (an unpersist here would only disable
+    the cache and triple-compute the postings), and the default
+    MEMORY_AND_DISK level leaves eviction to the block manager's LRU —
+    same convention as the other mid-lineage hub persists.  ``n`` sets the token n-gram order of the term space
     (n = 1: plain unigram tf-idf; n >= 2: shingled cosine - rarer terms,
     sharper idf spectrum, the w-shingling middle ground between unigram
     cosine and n-gram Jaccard)."""
@@ -921,8 +925,15 @@ def quality_survivors(
     Scale shape: one equi-join on id + a top-1 row_number window
     partitioned by cluster — rank<=1 pushes map-side (WindowGroupLimit),
     so a pathological mega-cluster ships O(parts) rows, not its
-    population."""
-    j = clusters.join(scores.select(id_col, score_col), id_col)
+    population.
+
+    The score join is LEFT so cluster membership is preserved even when
+    ``scores`` misses a member (the documented contract): unscored rows
+    sort after every scored one (NULL → long-min sentinel, still id-
+    tie-broken) rather than silently vanishing from the output."""
+    j = clusters.join(scores.select(id_col, score_col), id_col, "left").withColumn(
+        score_col, F.coalesce(F.col(score_col), F.lit(-(2**63)).cast("long"))
+    )
     w = Window.partitionBy(cluster_col).orderBy(
         F.desc(score_col), F.asc(id_col)
     )

@@ -143,6 +143,19 @@ def test_lm_bits_hand_fixture(spark):
     assert got[12]["n_scored"] == 0 and got[12]["bits_per_token_micro"] == 0
 
 
+def test_lm_bits_empty_training_split(spark):
+    """An empty training split must score like the oracle: n_total
+    coalesces to 0 (bitlen 0), every pair is OOV at LM_BACKOFF_BITS —
+    never NULL-poisoned costs."""
+    train = _docs(spark, [(1, "")])  # tokenizes to nothing: empty LM
+    score = _docs(spark, [(10, "a b c")])
+    uni, bi, total = lm_train_counts(train)
+    row = lm_bits(score, uni, bi, total).collect()[0]
+    assert row["n_scored"] == 2 and row["n_oov"] == 2
+    assert row["total_bits"] == 2 * LM_BACKOFF_BITS
+    assert row["bits_per_token_micro"] == LM_BACKOFF_BITS * 1_000_000
+
+
 def test_lm_bits_backoff_path(spark):
     train = _docs(spark, [(1, "a b c d")])
     # U: a,b,c,d = 1 each, N=4; B: ab, bc, cd

@@ -277,10 +277,7 @@ def test_tfidf_bigram_terms_match_mirror(spark):
         for r in tfidf_cosine_pairs(sdf, threshold_micro=100_000, n=2).collect()
     }
     grams = {d: _ngram_toks(t, 2) for d, t in docs.items()}
-    want = _tfidf_mirror(
-        {d: "irrelevant" for d in docs}, threshold_micro=100_000, max_df=1000
-    )
-    # rebuild the mirror on bigram terms directly
+    # hand-rolled mirror on bigram terms
     tf = {d: {} for d in docs}
     for d, ts in grams.items():
         for w in ts:

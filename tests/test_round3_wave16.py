@@ -233,3 +233,33 @@ def test_quality_survivors_picks_best_and_breaks_ties(spark):
     assert {(d, r["canonical_id"]) for d, r in got.items()} == {
         (1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)
     }
+
+
+def test_quality_survivors_preserves_unscored_members(spark):
+    """A cluster member missing from ``scores`` must stay in the output
+    (sorted after every scored member), not silently vanish — and must
+    not be elected over a scored one."""
+    from knowledge_graph_spark.operators.dedup import quality_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, canonical_id long"
+    )
+    scores = spark.createDataFrame([(2, 5)], "doc_id long, quality_micro long")
+    got = {r["doc_id"]: r for r in quality_survivors(clusters, scores).collect()}
+    assert set(got) == {1, 2, 3}  # nothing dropped
+    assert got[2]["keep"] and not got[1]["keep"]
+    assert got[3]["keep"]  # fully-unscored singleton still elects itself
+
+
+def test_weak_stats_zero_doc_counter_reads_zero_coverage(spark):
+    """A counter row folded from an empty corpus (n_docs = 0) must read
+    coverage 0, not NULL (or a division error in the oracle mirror)."""
+    from knowledge_graph_spark.operators.corpus import weak_stats_from_counters
+
+    counters = spark.createDataFrame(
+        [("lf_a", 1, 0, 0, 0, 0, 0)],
+        "lf string, label int, n_docs long, n_fired long,"
+        " n_overlap long, n_conflict long, n_agree_vote long",
+    )
+    row = weak_stats_from_counters(counters).collect()[0]
+    assert row["coverage_micro"] == 0

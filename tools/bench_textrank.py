@@ -3,11 +3,14 @@
 textrank_turns is the first GROUPED fixed-round kernel (one independent
 PageRank per conversation, all conversations advanced by the same
 relational loop) — its scaling story is different from the global graph
-kernels in tools/bench_graph.py: every round's join/groupBy key includes
-conv_id, so the work is embarrassingly conversation-parallel and the
-probe checks that the implementation actually realizes that (throughput
-at local[8] vs local[32] on the SAME materialized input, efficiency =
-T_8 / (4 · T_32)).
+kernels in tools/bench_graph.py: the work is embarrassingly
+conversation-parallel and the probe checks that the chosen kernel
+actually realizes that — same materialized input at two parallelism
+levels (default local[2] vs local[8]; TEXTRANK_LEVELS overrides),
+efficiency = T_lo / ((hi/lo) · T_hi).  TEXTRANK_KERNEL picks the
+physical plan ("arrow" dense per-conv cogroup, default, or
+"relational" grouped_pagerank rounds); measured results for both are
+in BENCH_SCALING.md.
 
 Input: the deterministic synthesizer at probe size (default 30k convs ×
 20/80 heavy-tailed turns ≈ 825k turns; the similarity join expands to
