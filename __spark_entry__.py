@@ -4466,13 +4466,16 @@ def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
     return ",\n".join(parts)
 
 
-def _pr_body(rounds: int = PR_ITER, weighted: bool = False) -> str:
-    """Unrolled fixed-round integer PageRank over kg_edges — mirrors
-    graphops.pagerank_int bit-for-bit (all-BIGINT arithmetic, `//` ≡
-    Spark's DIV on positives).  AS MATERIALIZED for the same reason as
-    the LPA unroll: each round references the previous twice.  With
-    ``weighted``, mass splits by each edge's share of the source's total
-    incident weight (pagerank_int's weight= path)."""
+def _pr_body(
+    rounds: int = PR_ITER, weighted: bool = False, edges_cte: str = "kg_edges"
+) -> str:
+    """Unrolled fixed-round integer PageRank over ``edges_cte`` (default
+    kg_edges) — mirrors graphops.pagerank_int bit-for-bit (all-BIGINT
+    arithmetic, `//` ≡ Spark's DIV on positives).  AS MATERIALIZED for
+    the same reason as the LPA unroll: each round references the
+    previous twice.  With ``weighted``, mass splits by each edge's share
+    of the source's total incident weight (pagerank_int's weight= path);
+    ``edges_cte`` must expose (source, target[, weight])."""
     from knowledge_graph_spark.operators.graphops import (
         PR_DAMP_DEN,
         PR_DAMP_NUM,
@@ -4483,9 +4486,9 @@ def _pr_body(rounds: int = PR_ITER, weighted: bool = False) -> str:
     parts = [
         f"""
 , pr_sym AS MATERIALIZED (
-  SELECT source AS u, target AS v, {w_expr} AS w FROM kg_edges
+  SELECT source AS u, target AS v, {w_expr} AS w FROM {edges_cte}
   UNION ALL
-  SELECT target AS u, source AS v, {w_expr} AS w FROM kg_edges
+  SELECT target AS u, source AS v, {w_expr} AS w FROM {edges_cte}
 ),
 pr_nodes AS MATERIALIZED (SELECT DISTINCT u AS title FROM pr_sym),
 pr_n AS (SELECT count(*) AS n FROM pr_nodes),
@@ -6379,6 +6382,84 @@ def q_edge_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_recency_weights(et, bucket_sec=DECAY_BUCKET_SEC)
 
 
+def q_temporal_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal entity salience: weighted PageRank whose edge weight is
+    the DECAYED assertion support (edge_recency_weights'
+    support_decayed_micro floored to whole conv-units, min 1) — "who
+    matters lately" instead of "who ever mattered".  An edge asserted
+    daily last week outranks one asserted once years ago at the same raw
+    weight; fully-decayed edges keep a 1-unit floor so the node set (and
+    the teleport denominator) never changes with the clock.  Composes
+    two existing exact-integer operators (temporal.edge_recency_weights
+    → graphops.pagerank_int weight=), so the oracle is the decay CTEs
+    feeding the weighted-PR unroll.  Weight bound for the int64 contract:
+    floored support ≤ n_convs per edge (the pagerank_w exposure class).
+    Reference anchor: the reference ranks by degree only and keeps no
+    temporal metadata (compute_edge_degree.py, index/operate.py)."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+    from knowledge_graph_spark.operators.temporal import (
+        edge_recency_weights,
+        edge_time_ranges,
+    )
+
+    s = _stages(spark, sf_dir)
+    t = transcripts_from_events(spark, sf_dir)
+    et = edge_time_ranges(s["raw_records"], t).select(
+        "source",
+        "target",
+        F.unix_timestamp("last_seen").cast("bigint").alias("last_seen_epoch"),
+        "n_convs",
+    )
+    dec = edge_recency_weights(et, bucket_sec=DECAY_BUCKET_SEC)
+    e = dec.select(
+        "source",
+        "target",
+        F.greatest(
+            F.expr("support_decayed_micro DIV 1000000"), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("weight"),
+    )
+    return pagerank_int(e, iterations=PR_ITER, weight="weight")
+
+
+def _edge_decay_ctes() -> str:
+    """CTE chain ending in ``ed_decay`` — the edge-recency-decay oracle
+    body (mirrors temporal.edge_recency_weights over the KG's temporal
+    edge lineage), shared by the ``edge_decay`` gate and the
+    ``temporal_salience`` composition."""
+    decay_case = f"""CASE WHEN (t_max - last_seen_epoch)
+                                  // {DECAY_BUCKET_SEC} >= 20 THEN 0
+                             ELSE 1000000 // (CAST(1 AS BIGINT) <<
+                                  ((t_max - last_seen_epoch)
+                                   // {DECAY_BUCKET_SEC}))
+                        END"""
+    return f"""
+            , et_pairs AS (
+              SELECT DISTINCT least(source, target) AS source,
+                              greatest(source, target) AS target, conv_id
+              FROM rel_records),
+            et_conv AS (SELECT conv_id, max(ts) AS c_last
+                        FROM transcripts GROUP BY conv_id),
+            ed_et AS MATERIALIZED (
+              SELECT source, target,
+                     CAST(floor(epoch(max(c_last))) AS BIGINT)
+                       AS last_seen_epoch,
+                     CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+              FROM et_pairs JOIN et_conv USING (conv_id)
+              GROUP BY source, target),
+            ed_tm AS (SELECT max(last_seen_epoch) AS t_max FROM ed_et),
+            ed_decay AS MATERIALIZED (
+              SELECT source, target, last_seen_epoch,
+                     CAST((t_max - last_seen_epoch) // {DECAY_BUCKET_SEC}
+                          AS BIGINT) AS age_buckets,
+                     CAST({decay_case} AS BIGINT) AS decay_micro,
+                     CAST(n_convs * ({decay_case}) AS BIGINT)
+                       AS support_decayed_micro
+              FROM ed_et CROSS JOIN ed_tm)
+            """
+
+
 def q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps vocabulary-growth curve over the documents corpus: per doc
     in id order, exact cumulative token and distinct-type counts via the
@@ -7385,6 +7466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_ranking": q_lp_ranking,
         "lp_mrr": q_lp_mrr,
         "edge_decay": q_edge_decay,
+        "temporal_salience": q_temporal_salience,
         "heaps_law": q_heaps,
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
@@ -8105,38 +8187,26 @@ SELECT c AS node, min(t) AS cluster FROM sl_reach GROUP BY c
         ),
         "lp_ranking": _oracle(_lp_body()),
         "edge_decay": _oracle(
-            f"""
-            , et_pairs AS (
-              SELECT DISTINCT least(source, target) AS source,
-                              greatest(source, target) AS target, conv_id
-              FROM rel_records),
-            et_conv AS (SELECT conv_id, max(ts) AS c_last
-                        FROM transcripts GROUP BY conv_id),
-            ed_et AS MATERIALIZED (
-              SELECT source, target,
-                     CAST(floor(epoch(max(c_last))) AS BIGINT)
-                       AS last_seen_epoch,
-                     CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
-              FROM et_pairs JOIN et_conv USING (conv_id)
-              GROUP BY source, target),
-            ed_tm AS (SELECT max(last_seen_epoch) AS t_max FROM ed_et)
-            SELECT source, target, last_seen_epoch,
-                   CAST((t_max - last_seen_epoch) // {DECAY_BUCKET_SEC}
-                        AS BIGINT) AS age_buckets,
-                   CAST(CASE WHEN (t_max - last_seen_epoch)
-                                  // {DECAY_BUCKET_SEC} >= 20 THEN 0
-                             ELSE 1000000 // (CAST(1 AS BIGINT) <<
-                                  ((t_max - last_seen_epoch)
-                                   // {DECAY_BUCKET_SEC}))
-                        END AS BIGINT) AS decay_micro,
-                   CAST(n_convs * (CASE WHEN (t_max - last_seen_epoch)
-                                  // {DECAY_BUCKET_SEC} >= 20 THEN 0
-                             ELSE 1000000 // (CAST(1 AS BIGINT) <<
-                                  ((t_max - last_seen_epoch)
-                                   // {DECAY_BUCKET_SEC}))
-                        END) AS BIGINT) AS support_decayed_micro
-            FROM ed_et CROSS JOIN ed_tm
+            _edge_decay_ctes()
+            + """
+            SELECT source, target, last_seen_epoch, age_buckets,
+                   decay_micro, support_decayed_micro
+            FROM ed_decay
             """
+        ),
+        # temporal salience = decayed-support weighted PageRank: the
+        # decay CTEs feed the SAME weighted-PR unroll the pagerank_w
+        # gate uses, over a derived edge table
+        "temporal_salience": _oracle(
+            _edge_decay_ctes()
+            + """,
+            tsal_edges AS MATERIALIZED (
+              SELECT source, target,
+                     CAST(greatest(support_decayed_micro // 1000000, 1)
+                          AS BIGINT) AS weight
+              FROM ed_decay)
+            """
+            + _pr_body(weighted=True, edges_cte="tsal_edges")
         ),
         "heaps_law": _oracle(
             r"""

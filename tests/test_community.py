@@ -245,6 +245,62 @@ def test_cc_warm_start_from_fixpoint_verifies_in_one_round(spark):
     }
 
 
+def test_cc_warm_start_randomized_graphs_match_cold(spark):
+    """Init-independence fuzz: random graphs + random insert deltas,
+    arbitrary (even adversarial) init labels — the warm distributed path
+    must always land on the cold fixpoint.  Fixed seed, driver-local
+    union-find as the independent truth."""
+    import random
+
+    rng = random.Random(20260820)
+    for trial in range(3):
+        n = rng.randrange(30, 60)
+        names = [f"N{trial}_{i:02d}" for i in range(n)]
+        all_edges = [
+            (names[rng.randrange(n)], names[rng.randrange(n)])
+            for _ in range(rng.randrange(n, 3 * n))
+        ]
+        cut = rng.randrange(1, len(all_edges))
+        nodes = spark.createDataFrame([(x,) for x in names], "title string")
+        old = spark.createDataFrame(all_edges[:cut], "source string, target string")
+        full = spark.createDataFrame(all_edges, "source string, target string")
+        init = connected_components(nodes, old, local_threshold=0, max_iter=20)
+        warm = {
+            r.title: r.component
+            for r in connected_components(
+                nodes, full, local_threshold=0, max_iter=20, init_labels=init
+            ).collect()
+        }
+        cold = _cc_truth(names, all_edges)
+        assert warm == cold, f"trial {trial}"
+
+
+def _cc_truth(names: list, edges: list) -> dict:
+    parent = {x: x for x in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min reachable id = min over the final component
+    comp: dict = {}
+    for x in names:
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
 def test_lpa_warm_start_distributed_matches_local_twin(spark):
     """Warm LPA is 'max_iter rounds from the given start': the distributed
     iterative-join path and the driver-local twin must agree round for

@@ -34,6 +34,7 @@ CHECK = [
     "lpa_dist",
     "cc_warm",
     "lpa_warm",
+    "temporal_salience",
     "kg_nodes",
     "kg_edges",
     "edge_rank",
