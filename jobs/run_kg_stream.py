@@ -51,16 +51,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="override master (default: submit-provided)")
     p.add_argument("--chunk-size", type=int, default=1200)
     p.add_argument("--chunk-overlap", type=int, default=100)
+    p.add_argument(
+        "--components",
+        action="store_true",
+        help="also maintain the canonical-component table per fold "
+        "(warm-started on inserts, cold after deletes)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(master=args.master)
     io = TableIO(spark, base=args.output)
     cfg = PipelineConfig(chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap)
-    run_kg_cdc(spark, args.inserts, args.deletes, io, args.checkpoint, cfg)
+    run_kg_cdc(
+        spark, args.inserts, args.deletes, io, args.checkpoint, cfg,
+        components=args.components,
+    )
     try:
         nodes = read_current_kg(io, "nodes").count()
         edges = read_current_kg(io, "edges").count()
-        print(f"kg_stream committed: nodes={nodes} edges={edges}")
+        line = f"kg_stream committed: nodes={nodes} edges={edges}"
+        if args.components:
+            line += f" components={read_current_kg(io, 'components').count()}"
+        print(line)
     except FileNotFoundError:
         print("kg_stream committed: no batches arrived (empty input dirs)")
     return 0

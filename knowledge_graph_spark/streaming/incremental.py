@@ -84,7 +84,11 @@ def gc_graph_version(io: TableIO, version: int) -> None:
     sinks so the GC half of the commit protocol has ONE definition."""
     if version < 0:
         return
-    for name in (f"nodes__v{version}", f"edges__v{version}"):
+    for name in (
+        f"nodes__v{version}",
+        f"edges__v{version}",
+        f"components__v{version}",
+    ):
         try:
             io.delete(name)
         except Exception:

@@ -94,12 +94,40 @@ def _publish(
     )
 
 
+def _fold_components(io: TableIO, version: int, warm_from: int | None) -> None:
+    """Maintain ``components__v{version}`` from the just-written graph
+    tables.  ``warm_from`` names a prior components version to seed
+    ``connected_components(init_labels=...)`` — sound ONLY under
+    monotone growth (insert folds), where the min-label fixpoint is
+    init-independent, so the warm table is EXACTLY the from-scratch
+    components while reconverging only the delta's neighborhood (the
+    cc_warm gate + BENCH_SCALING.md's 9.1×/5.6× maintenance numbers).
+    Delete folds must pass ``warm_from=None``: a delete can SPLIT a
+    component, and stale merged labels are not a valid starting point
+    for min-label propagation (labels may need to go UP)."""
+    from ..operators.community import connected_components
+
+    init = None
+    if warm_from is not None:
+        try:
+            init = io.read(f"components__v{warm_from}")
+        except Exception:
+            init = None  # prior version predates component maintenance
+    comp = connected_components(
+        io.read(f"nodes__v{version}"),
+        io.read(f"edges__v{version}"),
+        init_labels=init,
+    )
+    io.write(comp, f"components__v{version}")
+
+
 def fold_insert_batch(
     io: TableIO,
     batch_df: DataFrame,
     cfg: PipelineConfig,
     epoch_id: int,
     lineage: str = "insert",
+    components: bool = False,
 ) -> None:
     """Insert micro-batch: graph union + ONE new record segment.
 
@@ -108,7 +136,12 @@ def fold_insert_batch(
     stream numbers epochs independently, so a shared lineage would make
     a delete at epoch ≤ the last insert epoch look like a committed
     replay and be silently skipped.  The defaults are therefore distinct
-    per fold."""
+    per fold.
+
+    With ``components``, each fold also maintains a canonical-component
+    table WARM-STARTED from the previous version's labels — the
+    incremental canonicalization step, paying ~one verification round
+    per batch instead of a full cold fixpoint (see _fold_components)."""
     state = _state(io)
     if _committed(state, lineage, epoch_id):
         return
@@ -127,6 +160,8 @@ def fold_insert_batch(
         merged_nodes, merged_edges = new_nodes, new_edges
     io.write(merged_nodes, f"nodes__v{k + 1}")
     io.write(merged_edges, f"edges__v{k + 1}")
+    if components:
+        _fold_components(io, k + 1, warm_from=k if k >= 0 else None)
     _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
     for df in (records, new_nodes, new_edges):
         df.unpersist()
@@ -138,10 +173,13 @@ def fold_delete_batch(
     batch_df: DataFrame,
     epoch_id: int,
     lineage: str = "delete",
+    components: bool = False,
 ) -> None:
     """Delete micro-batch (conv_ids): anti-join the record segments,
     re-merge, compact — extraction never re-runs.  See fold_insert_batch
-    on why the default ``lineage`` must differ from the insert fold's."""
+    on why the default ``lineage`` must differ from the insert fold's.
+    With ``components``, the component table is rebuilt COLD (a delete
+    can split a component — warm labels are unsound here)."""
     state = _state(io)
     if _committed(state, lineage, epoch_id):
         return
@@ -165,6 +203,8 @@ def fold_delete_batch(
     nodes, edges = parse_and_merge(io.read(compact), persist_intermediate=True)
     io.write(nodes, f"nodes__v{k + 1}")
     io.write(edges, f"edges__v{k + 1}")
+    if components:
+        _fold_components(io, k + 1, warm_from=None)
     _publish(io, state, lineage, epoch_id, k + 1, [compact])
     kept.unpersist()
     gc_graph_version(io, k - 1)
@@ -182,17 +222,22 @@ def run_kg_cdc(
     io: TableIO,
     checkpoint_dir: str,
     cfg: PipelineConfig | None = None,
+    components: bool = False,
 ):
     """Drain the insert stream, then (if delete_dir is given) the delete
     stream — availableNow triggers, sequential so a delete observes every
     insert that preceded it in the input directories.  Each query keeps
-    its own checkpoint sublocation = its own lineage id."""
+    its own checkpoint sublocation = its own lineage id.  ``components``
+    additionally maintains ``components__v{k}`` per fold (warm-started
+    on inserts, cold on deletes)."""
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     ins_ckpt = f"{checkpoint_dir}/inserts"
     q = (
         stream_transcripts(spark, insert_dir)
         .writeStream.foreachBatch(
-            lambda df, e: fold_insert_batch(io, df, cfg, e, lineage=ins_ckpt)
+            lambda df, e: fold_insert_batch(
+                io, df, cfg, e, lineage=ins_ckpt, components=components
+            )
         )
         .option("checkpointLocation", ins_ckpt)
         .trigger(availableNow=True)
@@ -204,7 +249,9 @@ def run_kg_cdc(
         q = (
             stream_deletes(spark, delete_dir)
             .writeStream.foreachBatch(
-                lambda df, e: fold_delete_batch(io, df, e, lineage=del_ckpt)
+                lambda df, e: fold_delete_batch(
+                    io, df, e, lineage=del_ckpt, components=components
+                )
             )
             .option("checkpointLocation", del_ckpt)
             .trigger(availableNow=True)

@@ -149,6 +149,63 @@ def _committed_titles(io):
 
 
 @pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_component_maintenance_matches_cold(spark, tmp_path):
+    """components=True: every insert fold warm-starts CC from the prior
+    version's labels, and init-independence means the streamed table
+    must EQUAL a from-scratch connected_components on the committed
+    graph; a delete that splits a component rebuilds cold and must
+    track the split."""
+    from knowledge_graph_spark.operators.community import connected_components
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(
+        io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0, components=True
+    )
+    # c2 bridges into the c1 component via ALPHA; c3 is disjoint
+    fold_insert_batch(
+        io, _batch(spark, "c2", ["ALPHA", "GAMMA"]), CFG, 1, components=True
+    )
+    fold_insert_batch(
+        io, _batch(spark, "c3", ["DELTA", "EPSILON"]), CFG, 2, components=True
+    )
+    comp = {
+        r.title: r.component for r in read_current_kg(io, "components").collect()
+    }
+    cold = {
+        r.title: r.component
+        for r in connected_components(
+            read_current_kg(io, "nodes"), read_current_kg(io, "edges")
+        ).collect()
+    }
+    assert comp == cold
+    assert comp["ALPHA"] == comp["GAMMA"] != comp["DELTA"]
+
+    # retract c2: the bridge edge goes; cold rebuild must reflect it
+    fold_delete_batch(
+        io, spark.createDataFrame([("c2",)], "conv_id string"), 0, components=True
+    )
+    comp2 = {
+        r.title: r.component for r in read_current_kg(io, "components").collect()
+    }
+    cold2 = {
+        r.title: r.component
+        for r in connected_components(
+            read_current_kg(io, "nodes"), read_current_kg(io, "edges")
+        ).collect()
+    }
+    assert comp2 == cold2
+    assert "GAMMA" not in comp2  # only c2 mentioned GAMMA
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_components_flag_off_writes_no_table(spark, tmp_path):
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0)
+    with pytest.raises(Exception):
+        io.read("components__v0").collect()
+
+
+@pytest.mark.filterwarnings("ignore")
 def test_kg_stream_job_cli_end_to_end_and_resume(spark, tmp_path):
     """jobs/run_kg_stream.py: drain inserts + deletes, then re-run with
     the same checkpoint — the second invocation must replay nothing."""
@@ -161,13 +218,16 @@ def test_kg_stream_job_cli_end_to_end_and_resume(spark, tmp_path):
     argv = [
         "--inserts", ins, "--deletes", dels,
         "--output", str(tmp_path / "wh"), "--checkpoint", str(tmp_path / "ckpt"),
-        "--chunk-size", "64", "--chunk-overlap", "8",
+        "--chunk-size", "64", "--chunk-overlap", "8", "--components",
     ]
     assert job.main(argv) == 0
     io = TableIO(spark, base=str(tmp_path / "wh"))
     state1 = json.loads(io.read_text(CDC_MARKER))
     titles1 = _committed_titles(io)
     assert "BETA" not in titles1 and {"ALPHA", "GAMMA"} <= titles1
+    # --components maintained the component table through insert + delete
+    comp = {r.title for r in read_current_kg(io, "components").collect()}
+    assert comp == titles1
 
     assert job.main(argv) == 0  # resume: no new files, no new versions
     assert json.loads(io.read_text(CDC_MARKER)) == state1
