@@ -208,6 +208,23 @@ def main() -> None:
                 nodes, edges, local_threshold=0, max_iter=10, round_log=rl
             ).count(),
         )
+    if "lpawarm" in OPS:
+        # incremental re-cluster: 10 cold rounds on 99% of the edges
+        # (outside the timed region), then 5 warm rounds over the full
+        # graph from those labels — the CDC-insert re-cluster cost
+        old = edges.filter(F.pmod(F.xxhash64("source", "target"), F.lit(100)) != 0)
+        linit = label_propagation(old.selectExpr("source AS title").union(
+            old.selectExpr("target AS title")).distinct(),
+            old, local_threshold=0, max_iter=10,
+        ).persist()
+        linit.count()
+        timed(
+            "lpa_warm_1pct_delta",
+            lambda rl: label_propagation(
+                nodes, edges, local_threshold=0, max_iter=5,
+                round_log=rl, init_labels=linit,
+            ).count(),
+        )
     if "pagerank" in OPS:
         timed(
             "pagerank",
