@@ -127,6 +127,35 @@ def main() -> None:
             checkpoint_dir=str(WORK / "kg_ckpt"),
         ),
     )
+    # CDC fold with per-batch component maintenance (warm-start CC) —
+    # the delta vs kg_stream prices the incremental-canonicalization
+    # add-on; the paired run without components isolates the CDC
+    # protocol's own cost
+    from knowledge_graph_spark.streaming.retract_stream import run_kg_cdc
+
+    timed(
+        "kg_cdc_stream",
+        n_turns,
+        lambda: run_kg_cdc(
+            spark,
+            turns_dir,
+            None,
+            TableIO(spark, base=str(WORK / "cdc_wh")),
+            checkpoint_dir=str(WORK / "cdc_ckpt"),
+        ),
+    )
+    timed(
+        "kg_cdc_stream_components",
+        n_turns,
+        lambda: run_kg_cdc(
+            spark,
+            turns_dir,
+            None,
+            TableIO(spark, base=str(WORK / "cdcc_wh")),
+            checkpoint_dir=str(WORK / "cdcc_ckpt"),
+            components=True,
+        ),
+    )
 
     print(
         json.dumps(
