@@ -325,6 +325,7 @@ def q_communities_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-mirrorable; the remaining third plays the CDC insert delta.
 WARM_EDGE_MOD = 3
 LPA_WARM_ROUNDS = 5
+PR_WARM_ROUNDS = 3
 
 
 def _warm_old_edges(edges: DataFrame) -> DataFrame:
@@ -366,6 +367,24 @@ def q_lpa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         local_threshold=0,
         init_labels=init,
     ).select("title", "community")
+
+
+def q_pr_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank salience maintenance: PR_ITER cold rounds on
+    the 'old' edge subset, then PR_WARM_ROUNDS rounds over the FULL
+    graph seeded from those scores (graphops.pagerank_int
+    ``init_ranks``) — the incremental re-rank after a CDC insert batch,
+    completing the warm-start triad with ``cc_warm``/``lpa_warm``.  The
+    iteration is memoryless, so the contract is "k rounds from the given
+    start"; the oracle unrolls both phases (old-subgraph 10-round PR
+    feeding a 3-round warm unroll on the full graph, new nodes seeded
+    at the cold scale//n)."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    s = _stages(spark, sf_dir)
+    e = s["edges"].select("source", "target")
+    init = pagerank_int(_warm_old_edges(e), iterations=PR_ITER)
+    return pagerank_int(e, iterations=PR_WARM_ROUNDS, init_ranks=init)
 
 
 def q_qa_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4467,7 +4486,12 @@ def _lpa_rounds_sql(nodes_cte: str, sym_cte: str, prefix: str,
 
 
 def _pr_body(
-    rounds: int = PR_ITER, weighted: bool = False, edges_cte: str = "kg_edges"
+    rounds: int = PR_ITER,
+    weighted: bool = False,
+    edges_cte: str = "kg_edges",
+    prefix: str = "pr_",
+    init_cte: str | None = None,
+    final_select: bool = True,
 ) -> str:
     """Unrolled fixed-round integer PageRank over ``edges_cte`` (default
     kg_edges) — mirrors graphops.pagerank_int bit-for-bit (all-BIGINT
@@ -4475,51 +4499,69 @@ def _pr_body(
     the same reason as the LPA unroll: each round references the
     previous twice.  With ``weighted``, mass splits by each edge's share
     of the source's total incident weight (pagerank_int's weight= path);
-    ``edges_cte`` must expose (source, target[, weight])."""
+    ``edges_cte`` must expose (source, target[, weight]).
+
+    ``prefix`` namespaces the CTEs so two unrolls compose in one query;
+    ``init_cte`` names a (title, rank_scaled) CTE that seeds round 0 —
+    nodes absent from it take the cold scale//n value (mirrors
+    pagerank_int's ``init_ranks`` warm-start).  ``final_select=False``
+    emits only the CTE chain (for composition)."""
     from knowledge_graph_spark.operators.graphops import (
         PR_DAMP_DEN,
         PR_DAMP_NUM,
         PR_SCALE,
     )
 
+    p = prefix
     w_expr = "CAST(weight AS BIGINT)" if weighted else "CAST(1 AS BIGINT)"
+    if init_cte is None:
+        r0 = f"""
+{p}r0 AS MATERIALIZED (
+  SELECT title, CAST((SELECT {PR_SCALE} // n FROM {p}n) AS BIGINT) AS rank_scaled
+  FROM {p}nodes
+)"""
+    else:
+        r0 = f"""
+{p}r0 AS MATERIALIZED (
+  SELECT n.title,
+         CAST(coalesce(i.rank_scaled, (SELECT {PR_SCALE} // n FROM {p}n))
+              AS BIGINT) AS rank_scaled
+  FROM {p}nodes n LEFT JOIN {init_cte} i ON i.title = n.title
+)"""
     parts = [
         f"""
-, pr_sym AS MATERIALIZED (
+, {p}sym AS MATERIALIZED (
   SELECT source AS u, target AS v, {w_expr} AS w FROM {edges_cte}
   UNION ALL
   SELECT target AS u, source AS v, {w_expr} AS w FROM {edges_cte}
 ),
-pr_nodes AS MATERIALIZED (SELECT DISTINCT u AS title FROM pr_sym),
-pr_n AS (SELECT count(*) AS n FROM pr_nodes),
-pr_adj AS MATERIALIZED (
+{p}nodes AS MATERIALIZED (SELECT DISTINCT u AS title FROM {p}sym),
+{p}n AS (SELECT count(*) AS n FROM {p}nodes),
+{p}adj AS MATERIALIZED (
   SELECT e.u, e.v, e.w, o.outw
-  FROM pr_sym e JOIN (SELECT u, CAST(sum(w) AS BIGINT) AS outw
-                      FROM pr_sym GROUP BY u) o ON e.u = o.u
-),
-pr_r0 AS MATERIALIZED (
-  SELECT title, CAST((SELECT {PR_SCALE} // n FROM pr_n) AS BIGINT) AS rank_scaled
-  FROM pr_nodes
-)"""
+  FROM {p}sym e JOIN (SELECT u, CAST(sum(w) AS BIGINT) AS outw
+                      FROM {p}sym GROUP BY u) o ON e.u = o.u
+),{r0}"""
     ]
     base = (
         f"(SELECT ({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) "
-        f"// ({PR_DAMP_DEN} * n) FROM pr_n)"
+        f"// ({PR_DAMP_DEN} * n) FROM {p}n)"
     )
     for k in range(1, rounds + 1):
         parts.append(
             f""",
-pr_c{k} AS MATERIALIZED (
+{p}c{k} AS MATERIALIZED (
   SELECT a.v, CAST(sum((r.rank_scaled * {PR_DAMP_NUM} * a.w) // ({PR_DAMP_DEN} * a.outw))
                    AS BIGINT) AS inflow
-  FROM pr_adj a JOIN pr_r{k - 1} r ON r.title = a.u GROUP BY a.v
+  FROM {p}adj a JOIN {p}r{k - 1} r ON r.title = a.u GROUP BY a.v
 ),
-pr_r{k} AS MATERIALIZED (
+{p}r{k} AS MATERIALIZED (
   SELECT n.title, CAST({base} + coalesce(c.inflow, 0) AS BIGINT) AS rank_scaled
-  FROM pr_nodes n LEFT JOIN pr_c{k} c ON c.v = n.title
+  FROM {p}nodes n LEFT JOIN {p}c{k} c ON c.v = n.title
 )"""
         )
-    parts.append(f"\nSELECT title, rank_scaled FROM pr_r{rounds}\n")
+    if final_select:
+        parts.append(f"\nSELECT title, rank_scaled FROM {p}r{rounds}\n")
     return "".join(parts)
 
 
@@ -5777,6 +5819,26 @@ lw_sym AS MATERIALIZED (
 {_lpa_rounds_sql('lw_nodes', 'lw_sym', 'lww_', rounds=LPA_WARM_ROUNDS,
                  init_cte=f'lwo_l{LPA_MAX_ITER}')}
 SELECT node AS title, label AS community FROM lww_l{LPA_WARM_ROUNDS}
+"""
+
+
+def _pr_warm_body() -> str:
+    """Warm-start PageRank oracle: a cold PR_ITER-round unroll over the
+    'old' edge subset (pair fingerprint % WARM_EDGE_MOD survives, same
+    filter as the cc_warm/lpa_warm gates) feeds a PR_WARM_ROUNDS unroll
+    over the full graph via ``init_cte`` — mirrors
+    graphops.pagerank_int(init_ranks=...) round for round, new nodes
+    seeded at the full graph's cold scale//n."""
+    poly_pair = _POLY.format(s="(source || '|' || target)")
+    return f"""
+, pw_old AS MATERIALIZED (
+  SELECT source, target FROM kg_edges
+  WHERE ({poly_pair}) % {WARM_EDGE_MOD} <> 0
+)
+{_pr_body(edges_cte='pw_old', prefix='pwo_', final_select=False)}
+{_pr_body(rounds=PR_WARM_ROUNDS, prefix='pww_',
+          init_cte=f'pwo_r{PR_ITER}', final_select=False)}
+SELECT title, rank_scaled FROM pww_r{PR_WARM_ROUNDS}
 """
 
 
@@ -7372,6 +7434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_dist": q_communities_dist,
         "cc_warm": q_cc_warm,
         "lpa_warm": q_lpa_warm,
+        "pr_warm": q_pr_warm,
         "qa_turns": q_qa_turns,
         "last_user_turns": q_last_user_turns,
         "conv_context": q_conv_context,
@@ -7667,6 +7730,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "lpa_warm": _oracle(_lpa_warm_body()),
+        "pr_warm": _oracle(_pr_warm_body()),
         "qa_turns": _oracle(
             """
             , qa AS (

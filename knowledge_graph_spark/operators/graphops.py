@@ -184,6 +184,7 @@ def pagerank_int(
     symmetric: bool = True,
     round_log: list | None = None,
     weight: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-round PageRank in exact integer arithmetic → (title,
     rank_scaled) with rank as units of 1/``scale`` (default 1e-12).
@@ -216,6 +217,20 @@ def pagerank_int(
     exactness requires rank·damping·w < 2^63, i.e. max weight ≲ 10^5 at
     the default 10^12 scale.  weight=None is bit-identical to the
     unweighted form (w=1, Σw=outdeg).
+
+    ``init_ranks``: warm-start round 0 from a prior ``(title,
+    rank_scaled)`` table instead of the uniform scale DIV n — the
+    incremental salience-maintenance path after a CDC insert batch
+    (completes the warm-start triad with
+    community.connected_components/label_propagation ``init_labels``).
+    The iteration is memoryless, so warm-starting k rounds from a prior
+    R-round result on the SAME graph is bit-identical to R+k cold rounds
+    (pytest-asserted); after edge inserts, a near-converged prior needs
+    few rounds to re-converge (power iteration contracts geometrically
+    from any start).  Nodes absent from ``init_ranks`` (new entities)
+    start at the cold value scale DIV n; the contract is "``iterations``
+    rounds from the given start", mirrored by the two-phase unrolled
+    oracle (gate ``pr_warm``).
     """
     w_col = (
         F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
@@ -239,7 +254,17 @@ def pagerank_int(
     adj = e.join(outw, "u").persist()
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     init = scale // n
-    ranks = nodes.select("title", F.lit(init).cast("bigint").alias("rank_scaled"))
+    if init_ranks is not None:
+        prior = init_ranks.select(
+            F.col("title").alias("__it"),
+            F.col("rank_scaled").cast("bigint").alias("__ir"),
+        )
+        ranks = nodes.join(prior, nodes["title"] == F.col("__it"), "left").select(
+            "title",
+            F.coalesce(F.col("__ir"), F.lit(init).cast("bigint")).alias("rank_scaled"),
+        )
+    else:
+        ranks = nodes.select("title", F.lit(init).cast("bigint").alias("rank_scaled"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iterations):
         _t0 = time.perf_counter()

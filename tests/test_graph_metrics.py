@@ -498,3 +498,43 @@ def test_metapath_counts_hand_graph(spark):
     }
     # every undirected 2-hop path counted exactly once
     assert sum(got.values()) == 4
+
+
+def _rank_map(df):
+    return {r.title: r.rank_scaled for r in df.collect()}
+
+
+def test_pagerank_warm_start_composes_rounds(spark):
+    """The PR iteration is memoryless: k warm rounds seeded from a prior
+    R-round result on the same graph are bit-identical to R+k cold
+    rounds — the exactness contract behind the pr_warm maintenance
+    gate."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("e", "f"), ("f", "d"), ("b", "e")],
+        "source string, target string",
+    )
+    cold5 = _rank_map(pagerank_int(edges, iterations=5))
+    prior = pagerank_int(edges, iterations=3)
+    warm = _rank_map(pagerank_int(edges, iterations=2, init_ranks=prior))
+    assert warm == cold5
+
+
+def test_pagerank_warm_start_seeds_missing_nodes_cold(spark):
+    """Nodes absent from init_ranks start at the cold scale//n of the
+    CURRENT graph (new entities after a CDC insert); present nodes keep
+    their prior mass.  iterations=0 exposes the seeding directly."""
+    from knowledge_graph_spark.operators.graphops import PR_SCALE, pagerank_int
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "new1"), ("new1", "new2")],
+        "source string, target string",
+    )
+    prior = spark.createDataFrame(
+        [("a", 111), ("b", 222), ("c", 333)], "title string, rank_scaled long"
+    )
+    seeded = _rank_map(pagerank_int(edges, iterations=0, init_ranks=prior))
+    cold = PR_SCALE // 5
+    assert seeded == {"a": 111, "b": 222, "c": 333, "new1": cold, "new2": cold}
