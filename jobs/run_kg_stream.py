@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also maintain the canonical-component table per fold "
         "(warm-started on inserts, cold after deletes)",
     )
+    p.add_argument(
+        "--salience",
+        action="store_true",
+        help="also maintain the entity-PageRank salience table per fold "
+        "(warm-started on every fold — approximation contract, see "
+        "retract_stream._fold_salience)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(master=args.master)
@@ -64,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = PipelineConfig(chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap)
     run_kg_cdc(
         spark, args.inserts, args.deletes, io, args.checkpoint, cfg,
-        components=args.components,
+        components=args.components, salience=args.salience,
     )
     try:
         nodes = read_current_kg(io, "nodes").count()
@@ -72,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
         line = f"kg_stream committed: nodes={nodes} edges={edges}"
         if args.components:
             line += f" components={read_current_kg(io, 'components').count()}"
+        if args.salience:
+            line += f" salience={read_current_kg(io, 'salience').count()}"
         print(line)
     except FileNotFoundError:
         print("kg_stream committed: no batches arrived (empty input dirs)")

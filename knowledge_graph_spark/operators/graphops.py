@@ -250,6 +250,14 @@ def pagerank_int(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. a CDC micro-batch whose chunks yielded no
+        # co-mention pairs) — return the empty ranking, not a crash
+        for df in (e, nodes):
+            df.unpersist()
+        return nodes.select(
+            "title", F.lit(0).cast("bigint").alias("rank_scaled")
+        )
     outw = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("outw"))
     adj = e.join(outw, "u").persist()
     base = (scale * (damping_den - damping_num)) // (damping_den * n)

@@ -88,6 +88,7 @@ def gc_graph_version(io: TableIO, version: int) -> None:
         f"nodes__v{version}",
         f"edges__v{version}",
         f"components__v{version}",
+        f"salience__v{version}",
     ):
         try:
             io.delete(name)

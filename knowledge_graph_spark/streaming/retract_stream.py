@@ -121,6 +121,43 @@ def _fold_components(io: TableIO, version: int, warm_from: int | None) -> None:
     io.write(comp, f"components__v{version}")
 
 
+PR_MAINT_COLD_ROUNDS = 10
+PR_MAINT_WARM_ROUNDS = 3
+
+
+def _fold_salience(io: TableIO, version: int, warm_from: int | None) -> None:
+    """Maintain ``salience__v{version}`` (entity PageRank over the
+    committed edges) from the just-written graph tables.  ``warm_from``
+    names a prior salience version to seed ``pagerank_int(init_ranks=
+    ...)``.  Unlike CC's min-label fixpoint, warm PR is an APPROXIMATION
+    contract, not an equality: the table is "PR_MAINT_WARM_ROUNDS rounds
+    from the prior scores" (new entities seeded at the cold scale//n),
+    and power iteration contracts geometrically from any start, so a
+    near-converged prior stays near converged while a cold restart would
+    pay PR_MAINT_COLD_ROUNDS rounds per batch.  Warm is sound on BOTH
+    insert and delete folds (any start converges — deleted entities fall
+    out via the node-set join), unlike CC's insert-only warm start.
+    Pytest contracts: exact replay of the warm chain (the CDC test), and
+    warm-beats-cold-at-equal-budget on a skewed small-delta graph
+    (test_graph_metrics.test_pagerank_warm_start_beats_cold_on_skewed_delta
+    — on near-complete graphs whose converged ranks sit close to
+    uniform, a cold uniform start can win instead)."""
+    from ..operators.graphops import pagerank_int
+
+    init = None
+    if warm_from is not None:
+        try:
+            init = io.read(f"salience__v{warm_from}")
+        except Exception:
+            init = None  # prior version predates salience maintenance
+    ranks = pagerank_int(
+        io.read(f"edges__v{version}").select("source", "target"),
+        iterations=PR_MAINT_WARM_ROUNDS if init is not None else PR_MAINT_COLD_ROUNDS,
+        init_ranks=init,
+    )
+    io.write(ranks, f"salience__v{version}")
+
+
 def fold_insert_batch(
     io: TableIO,
     batch_df: DataFrame,
@@ -128,6 +165,7 @@ def fold_insert_batch(
     epoch_id: int,
     lineage: str = "insert",
     components: bool = False,
+    salience: bool = False,
 ) -> None:
     """Insert micro-batch: graph union + ONE new record segment.
 
@@ -162,6 +200,8 @@ def fold_insert_batch(
     io.write(merged_edges, f"edges__v{k + 1}")
     if components:
         _fold_components(io, k + 1, warm_from=k if k >= 0 else None)
+    if salience:
+        _fold_salience(io, k + 1, warm_from=k if k >= 0 else None)
     _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
     for df in (records, new_nodes, new_edges):
         df.unpersist()
@@ -174,12 +214,15 @@ def fold_delete_batch(
     epoch_id: int,
     lineage: str = "delete",
     components: bool = False,
+    salience: bool = False,
 ) -> None:
     """Delete micro-batch (conv_ids): anti-join the record segments,
     re-merge, compact — extraction never re-runs.  See fold_insert_batch
     on why the default ``lineage`` must differ from the insert fold's.
     With ``components``, the component table is rebuilt COLD (a delete
-    can split a component — warm labels are unsound here)."""
+    can split a component — warm labels are unsound here).  ``salience``
+    stays WARM even on deletes: PR converges from any start, so the
+    stale scores remain a valid (and close) seed."""
     state = _state(io)
     if _committed(state, lineage, epoch_id):
         return
@@ -205,6 +248,8 @@ def fold_delete_batch(
     io.write(edges, f"edges__v{k + 1}")
     if components:
         _fold_components(io, k + 1, warm_from=None)
+    if salience:
+        _fold_salience(io, k + 1, warm_from=k)
     _publish(io, state, lineage, epoch_id, k + 1, [compact])
     kept.unpersist()
     gc_graph_version(io, k - 1)
@@ -223,13 +268,16 @@ def run_kg_cdc(
     checkpoint_dir: str,
     cfg: PipelineConfig | None = None,
     components: bool = False,
+    salience: bool = False,
 ):
     """Drain the insert stream, then (if delete_dir is given) the delete
     stream — availableNow triggers, sequential so a delete observes every
     insert that preceded it in the input directories.  Each query keeps
     its own checkpoint sublocation = its own lineage id.  ``components``
     additionally maintains ``components__v{k}`` per fold (warm-started
-    on inserts, cold on deletes)."""
+    on inserts, cold on deletes); ``salience`` maintains
+    ``salience__v{k}`` (entity PageRank, warm-started on every fold —
+    see _fold_salience)."""
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     ins_ckpt = f"{checkpoint_dir}/inserts"
     q = (
@@ -250,7 +298,8 @@ def run_kg_cdc(
             stream_deletes(spark, delete_dir)
             .writeStream.foreachBatch(
                 lambda df, e: fold_delete_batch(
-                    io, df, e, lineage=del_ckpt, components=components
+                    io, df, e, lineage=del_ckpt, components=components,
+                    salience=salience,
                 )
             )
             .option("checkpointLocation", del_ckpt)

@@ -538,3 +538,27 @@ def test_pagerank_warm_start_seeds_missing_nodes_cold(spark):
     seeded = _rank_map(pagerank_int(edges, iterations=0, init_ranks=prior))
     cold = PR_SCALE // 5
     assert seeded == {"a": 111, "b": 222, "c": 333, "new1": cold, "new2": cold}
+
+
+def test_pagerank_warm_start_beats_cold_on_skewed_delta(spark):
+    """The maintenance value proposition: on a skewed graph (star — the
+    converged ranks are FAR from uniform) that grows by a small delta,
+    3 warm rounds from the old graph's converged ranks land closer (L1)
+    to the new graph's converged ranks than 3 cold rounds from uniform.
+    This is the per-batch contract behind the CDC salience fold
+    (streaming/retract_stream._fold_salience)."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    old = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(50)], "source string, target string"
+    )
+    new = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(51)], "source string, target string"
+    )
+    prior = pagerank_int(old, iterations=10)
+    warm = _rank_map(pagerank_int(new, iterations=3, init_ranks=prior))
+    cold = _rank_map(pagerank_int(new, iterations=3))
+    conv = _rank_map(pagerank_int(new, iterations=30))
+    l1_warm = sum(abs(warm[t] - conv[t]) for t in conv)
+    l1_cold = sum(abs(cold[t] - conv[t]) for t in conv)
+    assert l1_warm < l1_cold

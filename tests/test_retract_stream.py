@@ -232,3 +232,83 @@ def test_kg_stream_job_cli_end_to_end_and_resume(spark, tmp_path):
     assert job.main(argv) == 0  # resume: no new files, no new versions
     assert json.loads(io.read_text(CDC_MARKER)) == state1
     assert _committed_titles(io) == titles1
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_salience_maintenance_warm_tracks_converged(spark, tmp_path):
+    """salience=True: the streamed PageRank table is 'PR_MAINT_WARM_ROUNDS
+    rounds from the prior scores' per fold.  Three contracts: (1) exact
+    replay — the committed table equals pagerank_int(final edges, warm
+    rounds, init = cold ranks of the prior version's edges), proving the
+    fold chained the right prior at the right round counts; (2) the node
+    set tracks the committed edge endpoints through inserts AND a
+    delete.  The quality claim (a warm start from a near-converged prior
+    beats the same round budget spent cold from uniform on a SKEWED
+    graph with a small delta) is operator-level, proven in
+    test_graph_metrics.test_pagerank_warm_start_beats_cold_on_skewed_delta
+    — the chunk co-mention graphs here are near-complete, so their
+    converged ranks sit close to uniform and the property is vacuous at
+    this fixture's scale."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+    from knowledge_graph_spark.streaming.retract_stream import (
+        PR_MAINT_COLD_ROUNDS,
+        PR_MAINT_WARM_ROUNDS,
+    )
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    # big skewed first batch (star around E0) so uniform is a BAD start,
+    # then a small attached delta so the prior is a GOOD one
+    fold_insert_batch(
+        io, _batch(spark, "c1", [f"ENT{i}" for i in range(8)]), CFG, 0, salience=True
+    )
+    fold_insert_batch(
+        io, _batch(spark, "c2", ["ENT0", "XNEW"]), CFG, 1, salience=True
+    )
+    sal = {r.title: r.rank_scaled for r in read_current_kg(io, "salience").collect()}
+    edges = read_current_kg(io, "edges").select("source", "target").persist()
+    endpoints = {
+        r.t
+        for r in edges.selectExpr("source AS t")
+        .union(edges.selectExpr("target AS t"))
+        .distinct()
+        .collect()
+    }
+    assert set(sal) == endpoints
+
+    # (1) exact replay of the two-fold chain
+    prior = pagerank_int(
+        io.read("edges__v0").select("source", "target"),
+        iterations=PR_MAINT_COLD_ROUNDS,
+    )
+    replay = {
+        r.title: r.rank_scaled
+        for r in pagerank_int(
+            edges, iterations=PR_MAINT_WARM_ROUNDS, init_ranks=prior
+        ).collect()
+    }
+    assert sal == replay
+
+    # (2) delete c2: XNEW leaves the graph; salience stays warm (any
+    # start converges) and its node set must track the rebased edge set
+    fold_delete_batch(
+        io, spark.createDataFrame([("c2",)], "conv_id string"), 0, salience=True
+    )
+    sal2 = {r.title: r.rank_scaled for r in read_current_kg(io, "salience").collect()}
+    e2 = read_current_kg(io, "edges").select("source", "target")
+    endpoints2 = {
+        r.t
+        for r in e2.selectExpr("source AS t")
+        .union(e2.selectExpr("target AS t"))
+        .distinct()
+        .collect()
+    }
+    assert set(sal2) == endpoints2
+    assert "XNEW" not in sal2
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_salience_flag_off_writes_no_table(spark, tmp_path):
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0)
+    with pytest.raises(Exception):
+        io.read("salience__v0").collect()
