@@ -387,6 +387,20 @@ def q_pr_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(e, iterations=PR_WARM_ROUNDS, init_ranks=init)
 
 
+def q_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting agreement (Rand/precision/recall/F1 as exact
+    integer micros) between the LPA communities and the connected
+    components of the merged KG — "how much of the community structure
+    is just connectivity", the partition-drift monitor for maintained
+    graphs (graphops.partition_agreement)."""
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    s = _stages(spark, sf_dir)
+    a = label_propagation(s["nodes"], s["edges"])
+    b = connected_components(s["nodes"], s["edges"])
+    return partition_agreement(a, b)
+
+
 def q_qa_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA-pair folding of each conversation (reference
     conversation_history.py:42-56 to_qa_turns)."""
@@ -1233,6 +1247,25 @@ def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = build_graph(filtered, ENTRY_CFG)["edges"]
     return edges.select("source", "target", F.col("weight").cast("double").alias("weight"))
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level diff between the as-of-midpoint KG snapshot and the
+    current graph (temporal.kg_version_diff): which relationships
+    appeared, vanished, or changed weight as the second half of the
+    corpus arrived — the row-level CDC/version audit under kg_churn's
+    hourly Jaccard summary.  One full-outer join on the edge key."""
+    from knowledge_graph_spark.operators.temporal import kg_version_diff
+
+    t = transcripts_from_events(spark, sf_dir)
+    ep = F.unix_timestamp("ts").cast("bigint")
+    bounds = t.agg(F.min(ep).alias("lo"), F.max(ep).alias("hi")).select(
+        F.expr("(lo + hi) DIV 2").alias("cut")
+    )
+    filtered = t.crossJoin(F.broadcast(bounds)).filter(ep <= F.col("cut")).drop("cut")
+    old = build_graph(filtered, ENTRY_CFG)["edges"]
+    new = _stages(spark, sf_dir)["edges"]
+    return kg_version_diff(old, new)
 
 
 RETRACT_MOD = 5  # delete conversations whose conv_id fingerprint % 5 == 0
@@ -5136,6 +5169,76 @@ transcripts AS (
     )
 
 
+_PRELUDE_CTE_NAMES = (
+    "transcripts",
+    "conv_docs",
+    "toks",
+    "text_units",
+    "ment_occ",
+    "first_ment",
+    "ent_records",
+    "rel_records",
+    "kg_nodes",
+    "kg_edges",
+    "degrees",
+    "alias_dict",
+)
+
+
+def _namespaced_prelude(prefix: str) -> str:
+    """ORACLE_PRELUDE with every CTE name prefixed, so a SECOND full
+    pipeline derivation can ride in the same WITH chain as the standard
+    prelude (the kg_diff oracle needs the as-of snapshot AND the current
+    graph in one query).  Pure word-boundary rename; TRANSCRIPTS_SQL is
+    collision-checked (its identifiers never shadow a prelude CTE)."""
+    import re as _re
+
+    s = ORACLE_PRELUDE
+    for nm in _PRELUDE_CTE_NAMES:
+        s = _re.sub(rf"\b{nm}\b", f"{prefix}{nm}", s)
+    return s
+
+
+def _kg_diff_body() -> str:
+    """kg_diff oracle: the standard prelude's kg_edges (current graph)
+    full-outer-joined against a namespaced as-of re-derivation (the
+    _asof_oracle substitution applied to an ``old_``-prefixed prelude
+    copy) — mirrors temporal.kg_version_diff's status/delta algebra."""
+    old = _namespaced_prelude("old_")
+    old = old.replace(
+        f"old_transcripts AS ({TRANSCRIPTS_SQL})",
+        f"""old_transcripts_all AS ({TRANSCRIPTS_SQL}),
+old_asof_cut AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut
+  FROM old_transcripts_all
+),
+old_transcripts AS (
+  SELECT t.* FROM old_transcripts_all t, old_asof_cut
+  WHERE CAST(floor(epoch(t.ts)) AS BIGINT) <= cut
+)""",
+        1,
+    )
+    return f""",
+{old}
+, kgd AS (
+  SELECT coalesce(o.source, n.source) AS source,
+         coalesce(o.target, n.target) AS target,
+         CAST(o.weight AS DOUBLE) AS w_old,
+         CAST(n.weight AS DOUBLE) AS w_new
+  FROM old_kg_edges o FULL OUTER JOIN kg_edges n
+    ON o.source = n.source AND o.target = n.target
+)
+SELECT source, target, w_old, w_new,
+       coalesce(w_new, 0) - coalesce(w_old, 0) AS delta,
+       CASE WHEN w_old IS NULL THEN 'added'
+            WHEN w_new IS NULL THEN 'removed'
+            WHEN w_old <> w_new THEN 'changed'
+            ELSE 'same' END AS status
+FROM kgd
+"""
+
+
 def _retract_oracle() -> str:
     """kg_retract oracle: the FULL pipeline prelude re-run over
     transcripts with the fingerprint-selected conversations REMOVED —
@@ -5839,6 +5942,58 @@ def _pr_warm_body() -> str:
 {_pr_body(rounds=PR_WARM_ROUNDS, prefix='pww_',
           init_cte=f'pwo_r{PR_ITER}', final_select=False)}
 SELECT title, rank_scaled FROM pww_r{PR_WARM_ROUNDS}
+"""
+
+
+def _partition_agreement_body() -> str:
+    """partition_agreement oracle: the unrolled-LPA labels vs the
+    recursive min-reachability components, folded to the pair-counting
+    contingency sums — mirrors graphops.partition_agreement's integer
+    micro algebra (`//` ≡ Spark DIV on non-negatives)."""
+    return f"""
+, lpa_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+lpa_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('lpa_nodes', 'lpa_sym', 'lpa_')},
+pa_a AS (SELECT node AS title, label AS la FROM lpa_l{LPA_MAX_ITER}),
+pag_sym AS (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION SELECT target AS a, source AS b FROM kg_edges
+),
+pag_reach(node, r) AS (
+  SELECT title, title FROM kg_nodes
+  UNION
+  SELECT s.a, pag_reach.r FROM pag_sym s JOIN pag_reach ON s.b = pag_reach.node
+),
+pa_b AS (SELECT node AS title, min(r) AS lb FROM pag_reach GROUP BY node),
+pag_cont AS (
+  SELECT la, lb, CAST(count(*) AS BIGINT) AS c
+  FROM pa_a JOIN pa_b USING (title) GROUP BY la, lb
+),
+pag_tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_nodes,
+         CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pairs_both
+  FROM pag_cont
+),
+pag_sa AS (SELECT CAST(sum(cc * (cc - 1) // 2) AS BIGINT) AS pairs_a
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS cc FROM pag_cont GROUP BY la)),
+pag_sb AS (SELECT CAST(sum(cc * (cc - 1) // 2) AS BIGINT) AS pairs_b
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS cc FROM pag_cont GROUP BY lb)),
+pag_base AS (
+  SELECT n_nodes, CAST(n_nodes * (n_nodes - 1) // 2 AS BIGINT) AS pairs_total,
+         pairs_both, pairs_a, pairs_b
+  FROM pag_tot, pag_sa, pag_sb
+)
+SELECT n_nodes, pairs_total, pairs_both, pairs_a, pairs_b,
+       CAST((pairs_both + pairs_total - pairs_a - pairs_b + pairs_both) * 1000000
+            // greatest(1, pairs_total) AS BIGINT) AS rand_micro,
+       CAST(pairs_both * 1000000 // greatest(1, pairs_a) AS BIGINT) AS precision_micro,
+       CAST(pairs_both * 1000000 // greatest(1, pairs_b) AS BIGINT) AS recall_micro,
+       CAST(2 * pairs_both * 1000000 // greatest(1, pairs_a + pairs_b) AS BIGINT) AS f1_micro
+FROM pag_base
 """
 
 
@@ -7435,6 +7590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_warm": q_cc_warm,
         "lpa_warm": q_lpa_warm,
         "pr_warm": q_pr_warm,
+        "partition_agreement": q_partition_agreement,
         "qa_turns": q_qa_turns,
         "last_user_turns": q_last_user_turns,
         "conv_context": q_conv_context,
@@ -7501,6 +7657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "metapaths": q_metapaths,
         "kg_asof": q_kg_asof,
+        "kg_diff": q_kg_diff,
         "kg_retract": q_kg_retract,
         "kg_growth": q_kg_growth,
         "type_mixing": q_type_mixing,
@@ -7731,6 +7888,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lpa_warm": _oracle(_lpa_warm_body()),
         "pr_warm": _oracle(_pr_warm_body()),
+        "partition_agreement": _oracle(_partition_agreement_body()),
         "qa_turns": _oracle(
             """
             , qa AS (
@@ -8174,6 +8332,7 @@ GROUP BY lang, pct
         "betweenness": _oracle(_bw_body()),
         "metapaths": _oracle(_METAPATH_SQL),
         "kg_asof": _asof_oracle(),
+        "kg_diff": _oracle(_kg_diff_body()),
         "kg_retract": _retract_oracle(),
         "kg_growth": _oracle("""
 , et_pairs AS (

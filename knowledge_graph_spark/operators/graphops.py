@@ -3253,3 +3253,92 @@ def wl_refinement(
     return color.join(sizes, "c").select(
         "title", F.col("c").cast("bigint").alias("wl_color"), "class_size"
     )
+
+
+def partition_agreement(
+    part_a: DataFrame,
+    part_b: DataFrame,
+    node_col: str = "title",
+    label_a: str = "community",
+    label_b: str = "component",
+) -> DataFrame:
+    """Pair-counting agreement between two node partitions → ONE row
+    (n_nodes, pairs_total, pairs_both, pairs_a, pairs_b, rand_micro,
+    precision_micro, recall_micro, f1_micro), all exact integers.
+
+    The partition-drift monitor a maintained KG needs: how much do the
+    LPA communities just restate connectivity (LPA vs CC), how far did a
+    warm re-cluster move from the cold one, did this round's extraction
+    change the community structure.  Treating A as prediction and B as
+    reference: TP = node pairs co-clustered in both (Σ C(n_ij, 2) over
+    the contingency table), precision = TP/pairs_a, recall = TP/pairs_b,
+    Rand = (TP + TN)/C(n, 2) — the classical pair-counting family
+    (Rand 1971), reported as floor-micro integers so two engines agree
+    bit-for-bit.  ARI is deliberately omitted: its cross term
+    pairs_a·pairs_b overflows int64 once n ≳ 10^5, while every statistic
+    emitted here stays exact to n ≈ 4·10^6 (pairs_total·10^6 < 2^63);
+    past that, compute the ratios in DOUBLE from the exact counts.
+
+    Scale shape: one inner join on the node key (dropping nodes absent
+    from either side — documented, they have no pair semantics), ONE
+    groupBy (label_a, label_b) shuffle with map-side partial counts, and
+    every further sum runs over the CONTINGENCY table (≤ |labels_A| ×
+    |labels_B| rows), never the node set again.  No window, no collect.
+    Reference anchor: the reference never compares partitions (each
+    leiden run overwrites the last, clustering/leiden.py); versioned
+    community maintenance is what makes the comparison exist.
+    """
+    j = part_a.select(
+        F.col(node_col).alias("node"), F.col(label_a).alias("la")
+    ).join(
+        part_b.select(F.col(node_col).alias("node"), F.col(label_b).alias("lb")),
+        "node",
+    )
+    cont = j.groupBy("la", "lb").agg(F.count("*").cast("bigint").alias("c"))
+    cont = cont.persist()
+    tot = cont.agg(
+        F.sum("c").cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias("pairs_both"),
+    )
+    sa = (
+        cont.groupBy("la")
+        .agg(F.sum("c").alias("cc"))
+        .agg(F.sum(F.expr("cc * (cc - 1) DIV 2")).cast("bigint").alias("pairs_a"))
+    )
+    sb = (
+        cont.groupBy("lb")
+        .agg(F.sum("c").alias("cc"))
+        .agg(F.sum(F.expr("cc * (cc - 1) DIV 2")).cast("bigint").alias("pairs_b"))
+    )
+    out = (
+        tot.crossJoin(sa)
+        .crossJoin(sb)
+        .select(
+            "n_nodes",
+            F.expr("n_nodes * (n_nodes - 1) DIV 2").cast("bigint").alias("pairs_total"),
+            "pairs_both",
+            "pairs_a",
+            "pairs_b",
+        )
+        .select(
+            "*",
+            F.expr(
+                "(pairs_both + pairs_total - pairs_a - pairs_b + pairs_both) * 1000000"
+                " DIV greatest(1, pairs_total)"
+            )
+            .cast("bigint")
+            .alias("rand_micro"),
+            F.expr("pairs_both * 1000000 DIV greatest(1, pairs_a)")
+            .cast("bigint")
+            .alias("precision_micro"),
+            F.expr("pairs_both * 1000000 DIV greatest(1, pairs_b)")
+            .cast("bigint")
+            .alias("recall_micro"),
+            F.expr(
+                "2 * pairs_both * 1000000 DIV greatest(1, pairs_a + pairs_b)"
+            )
+            .cast("bigint")
+            .alias("f1_micro"),
+        )
+    )
+    return out

@@ -562,3 +562,44 @@ def test_pagerank_warm_start_beats_cold_on_skewed_delta(spark):
     l1_warm = sum(abs(warm[t] - conv[t]) for t in conv)
     l1_cold = sum(abs(cold[t] - conv[t]) for t in conv)
     assert l1_warm < l1_cold
+
+
+def test_partition_agreement_hand_computed(spark):
+    """A={ab c | de}, B={ab | cde}: contingency (2,1,2) → TP=2,
+    pairs_a=4, pairs_b=4, TN=4 of C(5,2)=10 → Rand .6, P=R=F1=.5."""
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    a = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "y"), ("e", "y")],
+        "title string, community string",
+    )
+    b = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), ("c", "q"), ("d", "q"), ("e", "q")],
+        "title string, component string",
+    )
+    row = partition_agreement(a, b).collect()[0].asDict()
+    assert row == {
+        "n_nodes": 5, "pairs_total": 10, "pairs_both": 2,
+        "pairs_a": 4, "pairs_b": 4, "rand_micro": 600000,
+        "precision_micro": 500000, "recall_micro": 500000,
+        "f1_micro": 500000,
+    }
+
+
+def test_partition_agreement_identical_partitions(spark):
+    """Identical partitions (up to label renaming) score perfect 1.0
+    everywhere; nodes missing from one side are dropped (no pair
+    semantics without both labels)."""
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    a = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("c", "2"), ("zzz", "9")],
+        "title string, community string",
+    )
+    b = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "R")], "title string, component string"
+    )
+    row = partition_agreement(a, b).collect()[0].asDict()
+    assert row["n_nodes"] == 3
+    assert row["rand_micro"] == row["precision_micro"] == 1000000
+    assert row["recall_micro"] == row["f1_micro"] == 1000000

@@ -169,3 +169,28 @@ def test_hourly_anomalies_detects_injected_spike(spark):
         assert r.dev_num == dev * dev
         assert r.bound_num == 9 * (n * sx2 - sx * sx)
         assert r.is_anomaly == (r.dev_num > r.bound_num)
+
+
+def test_kg_version_diff_statuses(spark):
+    """added/removed/changed/same classification and signed delta on a
+    hand diff (temporal.kg_version_diff)."""
+    from knowledge_graph_spark.operators.temporal import kg_version_diff
+
+    old = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 3.0)],
+        "source string, target string, weight double",
+    )
+    new = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 4.0), ("c", "d", 1.0)],
+        "source string, target string, weight double",
+    )
+    rows = {
+        (r.source, r.target): (r.status, r.delta)
+        for r in kg_version_diff(old, new).collect()
+    }
+    assert rows == {
+        ("a", "b"): ("same", 0.0),
+        ("a", "c"): ("changed", 3.0),
+        ("b", "c"): ("removed", -3.0),
+        ("c", "d"): ("added", 1.0),
+    }
