@@ -401,6 +401,27 @@ def q_partition_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_agreement(a, b)
 
 
+def q_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far did the warm re-cluster move?  Pair-counting agreement
+    between the pre-delta cold LPA labels (the lpa_warm gate's init) and
+    the warm re-clustered labels on the full graph — the monitoring
+    readout a CDC maintainer checks before trusting an incremental
+    re-cluster (high F1 = stable communities, a cliff = the delta
+    restructured the graph and a cold re-cluster is due)."""
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    s = _stages(spark, sf_dir)
+    init = label_propagation(s["nodes"], _warm_old_edges(s["edges"]))
+    warm = label_propagation(
+        s["nodes"],
+        s["edges"],
+        max_iter=LPA_WARM_ROUNDS,
+        local_threshold=0,
+        init_labels=init,
+    )
+    return partition_agreement(init, warm, label_a="community", label_b="community")
+
+
 def q_qa_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QA-pair folding of each conversation (reference
     conversation_history.py:42-56 to_qa_turns)."""
@@ -5896,11 +5917,13 @@ SELECT node AS title, label AS community FROM lpa_l{LPA_MAX_ITER}
 """
 
 
-def _lpa_warm_body() -> str:
-    """Warm-start LPA oracle: an old-subgraph 10-round unroll (edges whose
-    pair fingerprint % WARM_EDGE_MOD survives) feeds a LPA_WARM_ROUNDS
-    unroll over the full graph via ``init_cte`` — mirrors
-    community.label_propagation(init_labels=...) round for round."""
+def _lpa_warm_ctes() -> str:
+    """The two-phase warm-LPA CTE chain (no final SELECT): an
+    old-subgraph 10-round unroll (edges whose pair fingerprint %
+    WARM_EDGE_MOD survives) feeds a LPA_WARM_ROUNDS unroll over the full
+    graph via ``init_cte`` — mirrors community.label_propagation
+    (init_labels=...) round for round.  Shared by the lpa_warm and
+    cluster_drift oracles."""
     poly_pair = _POLY.format(s="(source || '|' || target)")
     return f"""
 , lw_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
@@ -5920,7 +5943,11 @@ lw_sym AS MATERIALIZED (
   SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
 ),
 {_lpa_rounds_sql('lw_nodes', 'lw_sym', 'lww_', rounds=LPA_WARM_ROUNDS,
-                 init_cte=f'lwo_l{LPA_MAX_ITER}')}
+                 init_cte=f'lwo_l{LPA_MAX_ITER}')}"""
+
+
+def _lpa_warm_body() -> str:
+    return f"""{_lpa_warm_ctes()}
 SELECT node AS title, label AS community FROM lww_l{LPA_WARM_ROUNDS}
 """
 
@@ -5945,33 +5972,15 @@ SELECT title, rank_scaled FROM pww_r{PR_WARM_ROUNDS}
 """
 
 
-def _partition_agreement_body() -> str:
-    """partition_agreement oracle: the unrolled-LPA labels vs the
-    recursive min-reachability components, folded to the pair-counting
-    contingency sums — mirrors graphops.partition_agreement's integer
-    micro algebra (`//` ≡ Spark DIV on non-negatives)."""
-    return f"""
-, lpa_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
-lpa_sym AS MATERIALIZED (
-  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
-  UNION ALL
-  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
-),
-{_lpa_rounds_sql('lpa_nodes', 'lpa_sym', 'lpa_')},
-pa_a AS (SELECT node AS title, label AS la FROM lpa_l{LPA_MAX_ITER}),
-pag_sym AS (
-  SELECT source AS a, target AS b FROM kg_edges
-  UNION SELECT target AS a, source AS b FROM kg_edges
-),
-pag_reach(node, r) AS (
-  SELECT title, title FROM kg_nodes
-  UNION
-  SELECT s.a, pag_reach.r FROM pag_sym s JOIN pag_reach ON s.b = pag_reach.node
-),
-pa_b AS (SELECT node AS title, min(r) AS lb FROM pag_reach GROUP BY node),
-pag_cont AS (
+def _pag_sql(a_cte: str, b_cte: str) -> str:
+    """Pair-counting agreement tail: contingency table over two
+    (title, la)/(title, lb) CTEs → the 9-column exact-integer summary —
+    mirrors graphops.partition_agreement's micro algebra (`//` ≡ Spark
+    DIV on non-negatives).  Shared by partition_agreement and
+    cluster_drift."""
+    return f"""pag_cont AS (
   SELECT la, lb, CAST(count(*) AS BIGINT) AS c
-  FROM pa_a JOIN pa_b USING (title) GROUP BY la, lb
+  FROM {a_cte} JOIN {b_cte} USING (title) GROUP BY la, lb
 ),
 pag_tot AS (
   SELECT CAST(sum(c) AS BIGINT) AS n_nodes,
@@ -5995,6 +6004,42 @@ SELECT n_nodes, pairs_total, pairs_both, pairs_a, pairs_b,
        CAST(2 * pairs_both * 1000000 // greatest(1, pairs_a + pairs_b) AS BIGINT) AS f1_micro
 FROM pag_base
 """
+
+
+def _partition_agreement_body() -> str:
+    """partition_agreement oracle: the unrolled-LPA labels vs the
+    recursive min-reachability components, folded to the pair-counting
+    contingency sums."""
+    return f"""
+, lpa_nodes AS MATERIALIZED (SELECT title AS node FROM kg_nodes),
+lpa_sym AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+  UNION ALL
+  SELECT target AS a, source AS b, CAST(weight AS DOUBLE) AS w FROM kg_edges
+),
+{_lpa_rounds_sql('lpa_nodes', 'lpa_sym', 'lpa_')},
+pa_a AS (SELECT node AS title, label AS la FROM lpa_l{LPA_MAX_ITER}),
+pag_sym AS (
+  SELECT source AS a, target AS b FROM kg_edges
+  UNION SELECT target AS a, source AS b FROM kg_edges
+),
+pag_reach(node, r) AS (
+  SELECT title, title FROM kg_nodes
+  UNION
+  SELECT s.a, pag_reach.r FROM pag_sym s JOIN pag_reach ON s.b = pag_reach.node
+),
+pa_b AS (SELECT node AS title, min(r) AS lb FROM pag_reach GROUP BY node),
+{_pag_sql('pa_a', 'pa_b')}"""
+
+
+def _cluster_drift_body() -> str:
+    """cluster_drift oracle: the warm-LPA chain's BOTH label tables
+    (cold labels on the old subgraph, warm labels on the full graph)
+    folded to the same pair-counting summary."""
+    return f"""{_lpa_warm_ctes()},
+pa_a AS (SELECT node AS title, label AS la FROM lwo_l{LPA_MAX_ITER}),
+pa_b AS (SELECT node AS title, label AS lb FROM lww_l{LPA_WARM_ROUNDS}),
+{_pag_sql('pa_a', 'pa_b')}"""
 
 
 def _conductance_body() -> str:
@@ -7591,6 +7636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_warm": q_lpa_warm,
         "pr_warm": q_pr_warm,
         "partition_agreement": q_partition_agreement,
+        "cluster_drift": q_cluster_drift,
         "qa_turns": q_qa_turns,
         "last_user_turns": q_last_user_turns,
         "conv_context": q_conv_context,
@@ -7889,6 +7935,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_warm": _oracle(_lpa_warm_body()),
         "pr_warm": _oracle(_pr_warm_body()),
         "partition_agreement": _oracle(_partition_agreement_body()),
+        "cluster_drift": _oracle(_cluster_drift_body()),
         "qa_turns": _oracle(
             """
             , qa AS (

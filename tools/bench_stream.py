@@ -156,6 +156,21 @@ def main() -> None:
             components=True,
         ),
     )
+    # CDC fold with per-batch salience maintenance (warm-start PageRank,
+    # 3 rounds/batch) — delta vs kg_cdc_stream prices the incremental
+    # re-rank add-on
+    timed(
+        "kg_cdc_stream_salience",
+        n_turns,
+        lambda: run_kg_cdc(
+            spark,
+            turns_dir,
+            None,
+            TableIO(spark, base=str(WORK / "cdcs_wh")),
+            checkpoint_dir=str(WORK / "cdcs_ckpt"),
+            salience=True,
+        ),
+    )
 
     print(
         json.dumps(
