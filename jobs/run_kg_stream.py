@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         "(warm-started on every fold — approximation contract, see "
         "retract_stream._fold_salience)",
     )
+    p.add_argument(
+        "--communities",
+        action="store_true",
+        help="also maintain the weighted-LPA community table per fold "
+        "(warm-chained on every fold — see retract_stream._fold_communities)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(master=args.master)
@@ -72,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
     run_kg_cdc(
         spark, args.inserts, args.deletes, io, args.checkpoint, cfg,
         components=args.components, salience=args.salience,
+        communities=args.communities,
     )
     try:
         nodes = read_current_kg(io, "nodes").count()
@@ -81,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
             line += f" components={read_current_kg(io, 'components').count()}"
         if args.salience:
             line += f" salience={read_current_kg(io, 'salience').count()}"
+        if args.communities:
+            line += f" communities={read_current_kg(io, 'communities').count()}"
         print(line)
     except FileNotFoundError:
         print("kg_stream committed: no batches arrived (empty input dirs)")

@@ -89,6 +89,7 @@ def gc_graph_version(io: TableIO, version: int) -> None:
         f"edges__v{version}",
         f"components__v{version}",
         f"salience__v{version}",
+        f"communities__v{version}",
     ):
         try:
             io.delete(name)

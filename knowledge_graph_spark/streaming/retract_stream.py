@@ -158,6 +158,44 @@ def _fold_salience(io: TableIO, version: int, warm_from: int | None) -> None:
     io.write(ranks, f"salience__v{version}")
 
 
+LPA_MAINT_COLD_ROUNDS = 10
+LPA_MAINT_WARM_ROUNDS = 3
+
+
+def _fold_communities(io: TableIO, version: int, warm_from: int | None) -> None:
+    """Maintain ``communities__v{version}`` (weighted LPA labels) from
+    the just-written graph tables.  Like salience (and unlike CC), this
+    is a WARM-CHAIN contract, not a fixpoint equality: LPA's result
+    depends on its start labels, so the maintained table is
+    "LPA_MAINT_WARM_ROUNDS synchronous rounds from the prior labels"
+    (new nodes self-label), exactly the ``lpa_warm`` gate's semantics —
+    and on a stable graph a converged prior is a fixpoint, so quiet
+    batches cost ~one verification round.  Warm on BOTH inserts and
+    deletes (stale labels are a legal LPA start on any graph; the
+    ``cluster_drift`` gate is the companion stability readout).  The
+    distributed path is forced (local_threshold=0): the maintained
+    table must have ONE deterministic definition, not flip between the
+    driver-local and iterative-join twins with batch size."""
+    from ..operators.community import label_propagation
+
+    init = None
+    if warm_from is not None:
+        try:
+            init = io.read(f"communities__v{warm_from}")
+        except Exception:
+            init = None  # prior version predates community maintenance
+    nodes = io.read(f"nodes__v{version}")
+    edges = io.read(f"edges__v{version}")
+    comm = label_propagation(
+        nodes,
+        edges,
+        max_iter=LPA_MAINT_WARM_ROUNDS if init is not None else LPA_MAINT_COLD_ROUNDS,
+        local_threshold=0,
+        init_labels=init,
+    )
+    io.write(comm, f"communities__v{version}")
+
+
 def fold_insert_batch(
     io: TableIO,
     batch_df: DataFrame,
@@ -166,6 +204,7 @@ def fold_insert_batch(
     lineage: str = "insert",
     components: bool = False,
     salience: bool = False,
+    communities: bool = False,
 ) -> None:
     """Insert micro-batch: graph union + ONE new record segment.
 
@@ -202,6 +241,8 @@ def fold_insert_batch(
         _fold_components(io, k + 1, warm_from=k if k >= 0 else None)
     if salience:
         _fold_salience(io, k + 1, warm_from=k if k >= 0 else None)
+    if communities:
+        _fold_communities(io, k + 1, warm_from=k if k >= 0 else None)
     _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
     for df in (records, new_nodes, new_edges):
         df.unpersist()
@@ -215,6 +256,7 @@ def fold_delete_batch(
     lineage: str = "delete",
     components: bool = False,
     salience: bool = False,
+    communities: bool = False,
 ) -> None:
     """Delete micro-batch (conv_ids): anti-join the record segments,
     re-merge, compact — extraction never re-runs.  See fold_insert_batch
@@ -250,6 +292,8 @@ def fold_delete_batch(
         _fold_components(io, k + 1, warm_from=None)
     if salience:
         _fold_salience(io, k + 1, warm_from=k)
+    if communities:
+        _fold_communities(io, k + 1, warm_from=k)
     _publish(io, state, lineage, epoch_id, k + 1, [compact])
     kept.unpersist()
     gc_graph_version(io, k - 1)
@@ -269,6 +313,7 @@ def run_kg_cdc(
     cfg: PipelineConfig | None = None,
     components: bool = False,
     salience: bool = False,
+    communities: bool = False,
 ):
     """Drain the insert stream, then (if delete_dir is given) the delete
     stream — availableNow triggers, sequential so a delete observes every
@@ -277,14 +322,17 @@ def run_kg_cdc(
     additionally maintains ``components__v{k}`` per fold (warm-started
     on inserts, cold on deletes); ``salience`` maintains
     ``salience__v{k}`` (entity PageRank, warm-started on every fold —
-    see _fold_salience)."""
+    see _fold_salience); ``communities`` maintains ``communities__v{k}``
+    (weighted LPA labels, warm-chained on every fold — see
+    _fold_communities)."""
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     ins_ckpt = f"{checkpoint_dir}/inserts"
     q = (
         stream_transcripts(spark, insert_dir)
         .writeStream.foreachBatch(
             lambda df, e: fold_insert_batch(
-                io, df, cfg, e, lineage=ins_ckpt, components=components
+                io, df, cfg, e, lineage=ins_ckpt, components=components,
+                salience=salience, communities=communities,
             )
         )
         .option("checkpointLocation", ins_ckpt)
@@ -299,7 +347,7 @@ def run_kg_cdc(
             .writeStream.foreachBatch(
                 lambda df, e: fold_delete_batch(
                     io, df, e, lineage=del_ckpt, components=components,
-                    salience=salience,
+                    salience=salience, communities=communities,
                 )
             )
             .option("checkpointLocation", del_ckpt)

@@ -312,3 +312,63 @@ def test_kg_cdc_salience_flag_off_writes_no_table(spark, tmp_path):
     fold_insert_batch(io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0)
     with pytest.raises(Exception):
         io.read("salience__v0").collect()
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_community_maintenance_replays_warm_chain(spark, tmp_path):
+    """communities=True: the maintained table is the warm LPA chain —
+    cold LPA_MAINT_COLD_ROUNDS on v0, then per fold
+    LPA_MAINT_WARM_ROUNDS synchronous rounds from the prior labels
+    (distributed path forced).  Exact replay pins the chaining; new
+    nodes self-label and must appear."""
+    from knowledge_graph_spark.operators.community import label_propagation
+    from knowledge_graph_spark.streaming.retract_stream import (
+        LPA_MAINT_COLD_ROUNDS,
+        LPA_MAINT_WARM_ROUNDS,
+    )
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(
+        io, _batch(spark, "c1", ["ALPHA", "BETA", "GAMMA"]), CFG, 0, communities=True
+    )
+    fold_insert_batch(
+        io, _batch(spark, "c2", ["ALPHA", "XNEW"]), CFG, 1, communities=True
+    )
+    comm = {
+        r.title: r.community for r in read_current_kg(io, "communities").collect()
+    }
+    prior = label_propagation(
+        io.read("nodes__v0"),
+        io.read("edges__v0"),
+        max_iter=LPA_MAINT_COLD_ROUNDS,
+        local_threshold=0,
+    )
+    replay = {
+        r.title: r.community
+        for r in label_propagation(
+            io.read("nodes__v1"),
+            io.read("edges__v1"),
+            max_iter=LPA_MAINT_WARM_ROUNDS,
+            local_threshold=0,
+            init_labels=prior,
+        ).collect()
+    }
+    assert comm == replay
+    assert "XNEW" in comm
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_stream_path_threads_maintenance_flags(spark, tmp_path):
+    """run_kg_cdc(salience=True, communities=True) through the REAL
+    foreachBatch stream (not direct fold calls) must produce both
+    maintained tables — guards the lambda plumbing between run_kg_cdc
+    and the folds."""
+    ins = str(tmp_path / "ins")
+    _batch(spark, "c1", ["ALPHA", "BETA"]).write.mode("append").parquet(ins)
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    run_kg_cdc(
+        spark, ins, None, io, str(tmp_path / "ckpt"), CFG,
+        salience=True, communities=True,
+    )
+    assert read_current_kg(io, "salience").count() > 0
+    assert read_current_kg(io, "communities").count() > 0
