@@ -171,6 +171,21 @@ def main() -> None:
             salience=True,
         ),
     )
+    # CDC fold with per-batch community maintenance (warm-chained LPA,
+    # 3 rounds/batch) — delta vs kg_cdc_stream prices the incremental
+    # re-cluster add-on
+    timed(
+        "kg_cdc_stream_communities",
+        n_turns,
+        lambda: run_kg_cdc(
+            spark,
+            turns_dir,
+            None,
+            TableIO(spark, base=str(WORK / "cdcm_wh")),
+            checkpoint_dir=str(WORK / "cdcm_ckpt"),
+            communities=True,
+        ),
+    )
 
     print(
         json.dumps(
