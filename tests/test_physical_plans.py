@@ -438,3 +438,44 @@ def test_neighbor_sample_uses_window_group_limit(spark):
     )
     p = plan(neighbor_sample(edges, k=2))
     assert "WindowGroupLimit" in p
+
+
+def test_partition_agreement_aggregates_contingency_no_python(spark):
+    """partition_agreement's sums past the node join run over the
+    contingency table: the plan has partial (map-side) aggregation, no
+    Python, no window, and no cartesian — the 1-row combines at the end
+    are the only tiny joins."""
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    a = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y")], "title string, community string"
+    )
+    b = spark.createDataFrame(
+        [("a", "p"), ("b", "p"), ("c", "q")], "title string, component string"
+    )
+    p = plan(partition_agreement(a, b))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "PythonUDF" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kg_version_diff_single_shuffle_join_no_python(spark):
+    """kg_version_diff is ONE co-partitioned full-outer join on the edge
+    key: both sides exchange on (source, target) once, the status/delta
+    algebra is row-local Column code (no Python, no window, no extra
+    shuffle)."""
+    from knowledge_graph_spark.operators.temporal import kg_version_diff
+
+    old = spark.createDataFrame(
+        [("a", "b", 1.0)], "source string, target string, weight double"
+    )
+    new = spark.createDataFrame(
+        [("a", "b", 2.0)], "source string, target string, weight double"
+    )
+    p = plan(kg_version_diff(old, new))
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "PythonUDF" not in p
+    assert "Window" not in p
+    # one exchange per side of the join, nothing else
+    assert p.count("Exchange") <= 2

@@ -107,6 +107,10 @@ AUDIT = [
     ("textrank", "dense per-conv Arrow kernel (ONE cogroup shuffle, no round joins)"),
     ("weak_lf_stats", "row-local LF probes + one constant-width aggregate + stack"),
     ("source_profile", "profile-join rollup (count-distinct + integer-micro sums)"),
+    ("pr_warm", "warm-start PR: init-rank left join + the standard round joins"),
+    ("kg_diff", "ONE co-partitioned full-outer join on the edge key"),
+    ("partition_agreement", "contingency groupBy + tiny 1-row combines"),
+    ("cluster_drift", "two LPA chains folded to the pair-counting tail"),
 ]
 
 PY_NODES = (
