@@ -46,7 +46,7 @@ NODES = int(os.environ.get("GRAPH_NODES", str(max(EDGES // 8, 1))))
 HUB_PCT = int(os.environ.get("GRAPH_HUB_PCT", "0"))
 KG_CONVS = int(os.environ.get("GRAPH_KG_CONVS", "30000"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-# comma-separated subset of {cc,ccwarm,lpa,pagerank,scc,bw,n2v,katz,truss,
+# comma-separated subset of {cc,ccwarm,lpa,pagerank,prwarm,scc,bw,n2v,katz,truss,
 # hits,widest,typed,match,jp,mis,coarsen,msf,densest,knn,lp,sssp,c4,wl,dsweep}
 # — e.g. the 10M-edge probe runs "cc,pagerank" to bound wall clock
 OPS = set(
@@ -229,6 +229,20 @@ def main() -> None:
         timed(
             "pagerank",
             lambda rl: pagerank_int(edges, iterations=10, round_log=rl).count(),
+        )
+    if "prwarm" in OPS:
+        # incremental salience maintenance: 10 cold rounds on 99% of the
+        # edges (outside the timed region), then 3 warm rounds over the
+        # full graph from those scores — the CDC-insert re-rank cost, to
+        # compare against the 10-round cold pagerank line above
+        old = edges.filter(F.pmod(F.xxhash64("source", "target"), F.lit(100)) != 0)
+        pinit = pagerank_int(old, iterations=10).persist()
+        pinit.count()
+        timed(
+            "pr_warm_1pct_delta",
+            lambda rl: pagerank_int(
+                edges, iterations=3, round_log=rl, init_ranks=pinit
+            ).count(),
         )
     if "scc" in OPS:
         timed(
