@@ -87,3 +87,58 @@ def test_merge_pair_counts_matches_counter(spark, texts):
         key=lambda x: (-x[2], x[0], x[1]),
     )[:50]
     assert got == expect
+
+
+partitions_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(NODES),
+        st.sampled_from(["x", "y", "z"]),
+        st.sampled_from(["p", "q", "r"]),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+def _pair_stats(rows):
+    from itertools import combinations
+
+    both = pa = pb = 0
+    for (n1, a1, b1), (n2, a2, b2) in combinations(sorted(rows), 2):
+        sa, sb = a1 == a2, b1 == b2
+        pa += sa
+        pb += sb
+        both += sa and sb
+    n = len(rows)
+    tot = n * (n - 1) // 2
+    tn = tot - pa - pb + both
+    return {
+        "n_nodes": n,
+        "pairs_total": tot,
+        "pairs_both": both,
+        "pairs_a": pa,
+        "pairs_b": pb,
+        "rand_micro": (both + tn) * 1_000_000 // max(1, tot),
+        "precision_micro": both * 1_000_000 // max(1, pa),
+        "recall_micro": both * 1_000_000 // max(1, pb),
+        "f1_micro": 2 * both * 1_000_000 // max(1, pa + pb),
+    }
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=partitions_strategy)
+def test_partition_agreement_matches_pairwise_mirror(spark, rows):
+    """partition_agreement's contingency-table sums must equal the naive
+    all-pairs enumeration on every random partition pair (and its
+    bounds/symmetry fall out of the mirror equality)."""
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    a = spark.createDataFrame(
+        [(n, la) for n, la, _ in rows], "title string, community string"
+    )
+    b = spark.createDataFrame(
+        [(n, lb) for n, _, lb in rows], "title string, component string"
+    )
+    got = partition_agreement(a, b).collect()[0].asDict()
+    assert got == _pair_stats(rows)
