@@ -70,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
         help="also maintain the weighted-LPA community table per fold "
         "(warm-chained on every fold — see retract_stream._fold_communities)",
     )
+    p.add_argument(
+        "--changelog",
+        action="store_true",
+        help="also emit the per-fold edge change feed changelog__v{k} "
+        "(added/removed/changed rows only — see retract_stream._fold_changelog)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(master=args.master)
@@ -78,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     run_kg_cdc(
         spark, args.inserts, args.deletes, io, args.checkpoint, cfg,
         components=args.components, salience=args.salience,
-        communities=args.communities,
+        communities=args.communities, changelog=args.changelog,
     )
     try:
         nodes = read_current_kg(io, "nodes").count()

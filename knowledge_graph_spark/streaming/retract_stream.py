@@ -158,6 +158,27 @@ def _fold_salience(io: TableIO, version: int, warm_from: int | None) -> None:
     io.write(ranks, f"salience__v{version}")
 
 
+def _fold_changelog(io: TableIO, version: int) -> None:
+    """Write ``changelog__v{version}`` — the edge-level diff of this fold
+    against the previous committed version (temporal.kg_version_diff
+    filtered to status <> 'same'), i.e. the CHANGE FEED a downstream
+    consumer subscribes to instead of re-scanning the full edge table
+    per version: added/removed edges and weight deltas only.  Version 0
+    diffs against the empty graph, so the first changelog IS the first
+    graph (all 'added').  One co-partitioned full-outer join per fold;
+    the changelog is append-only history, so gc_graph_version does NOT
+    collect it (bounded: O(delta) rows per fold, not O(graph))."""
+    from ..operators.temporal import kg_version_diff
+
+    new = io.read(f"edges__v{version}")
+    if version > 0:
+        old = io.read(f"edges__v{version - 1}")
+    else:
+        old = new.filter("1 = 0")
+    diff = kg_version_diff(old, new).filter("status <> 'same'")
+    io.write(diff, f"changelog__v{version}")
+
+
 LPA_MAINT_COLD_ROUNDS = 10
 LPA_MAINT_WARM_ROUNDS = 3
 
@@ -205,6 +226,7 @@ def fold_insert_batch(
     components: bool = False,
     salience: bool = False,
     communities: bool = False,
+    changelog: bool = False,
 ) -> None:
     """Insert micro-batch: graph union + ONE new record segment.
 
@@ -243,6 +265,8 @@ def fold_insert_batch(
         _fold_salience(io, k + 1, warm_from=k if k >= 0 else None)
     if communities:
         _fold_communities(io, k + 1, warm_from=k if k >= 0 else None)
+    if changelog:
+        _fold_changelog(io, k + 1)
     _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
     for df in (records, new_nodes, new_edges):
         df.unpersist()
@@ -257,6 +281,7 @@ def fold_delete_batch(
     components: bool = False,
     salience: bool = False,
     communities: bool = False,
+    changelog: bool = False,
 ) -> None:
     """Delete micro-batch (conv_ids): anti-join the record segments,
     re-merge, compact — extraction never re-runs.  See fold_insert_batch
@@ -294,6 +319,8 @@ def fold_delete_batch(
         _fold_salience(io, k + 1, warm_from=k)
     if communities:
         _fold_communities(io, k + 1, warm_from=k)
+    if changelog:
+        _fold_changelog(io, k + 1)
     _publish(io, state, lineage, epoch_id, k + 1, [compact])
     kept.unpersist()
     gc_graph_version(io, k - 1)
@@ -314,6 +341,7 @@ def run_kg_cdc(
     components: bool = False,
     salience: bool = False,
     communities: bool = False,
+    changelog: bool = False,
 ):
     """Drain the insert stream, then (if delete_dir is given) the delete
     stream — availableNow triggers, sequential so a delete observes every
@@ -324,7 +352,8 @@ def run_kg_cdc(
     ``salience__v{k}`` (entity PageRank, warm-started on every fold —
     see _fold_salience); ``communities`` maintains ``communities__v{k}``
     (weighted LPA labels, warm-chained on every fold — see
-    _fold_communities)."""
+    _fold_communities); ``changelog`` emits the per-fold edge change
+    feed ``changelog__v{k}`` (see _fold_changelog)."""
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     ins_ckpt = f"{checkpoint_dir}/inserts"
     q = (
@@ -333,6 +362,7 @@ def run_kg_cdc(
             lambda df, e: fold_insert_batch(
                 io, df, cfg, e, lineage=ins_ckpt, components=components,
                 salience=salience, communities=communities,
+                changelog=changelog,
             )
         )
         .option("checkpointLocation", ins_ckpt)
@@ -348,6 +378,7 @@ def run_kg_cdc(
                 lambda df, e: fold_delete_batch(
                     io, df, e, lineage=del_ckpt, components=components,
                     salience=salience, communities=communities,
+                    changelog=changelog,
                 )
             )
             .option("checkpointLocation", del_ckpt)

@@ -372,3 +372,49 @@ def test_kg_cdc_stream_path_threads_maintenance_flags(spark, tmp_path):
     )
     assert read_current_kg(io, "salience").count() > 0
     assert read_current_kg(io, "communities").count() > 0
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_changelog_emits_exact_change_feed(spark, tmp_path):
+    """changelog=True: every fold writes the edge diff vs the previous
+    version (status <> 'same' only).  v0 is all-'added' and equals the
+    first graph; an insert fold's feed is the step diff (checked against
+    a kg_version_diff replay captured before the next fold); a delete
+    fold emits 'removed'/'changed' rows for the retracted content; the
+    feed is append-only history (v0 survives later folds and GC)."""
+    from knowledge_graph_spark.operators.temporal import kg_version_diff
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(
+        io, _batch(spark, "c1", ["ALPHA", "BETA"]), CFG, 0, changelog=True
+    )
+    log0 = {(r.source, r.target): r.status for r in io.read("changelog__v0").collect()}
+    e0 = {(r.source, r.target) for r in io.read("edges__v0").collect()}
+    assert set(log0) == e0 and set(log0.values()) == {"added"}
+
+    e0_rows = io.read("edges__v0")
+    fold_insert_batch(
+        io, _batch(spark, "c2", ["ALPHA", "GAMMA"]), CFG, 1, changelog=True
+    )
+    expect1 = {
+        (r.source, r.target): r.status
+        for r in kg_version_diff(e0_rows, io.read("edges__v1")).collect()
+        if r.status != "same"
+    }
+    log1 = {(r.source, r.target): r.status for r in io.read("changelog__v1").collect()}
+    assert log1 == expect1
+    assert any(s == "added" for s in log1.values())  # GAMMA edges arrived
+
+    e1_rows = io.read("edges__v1").collect()
+    fold_delete_batch(
+        io, spark.createDataFrame([("c2",)], "conv_id string"), 0, changelog=True
+    )
+    log2 = {(r.source, r.target): r.status for r in io.read("changelog__v2").collect()}
+    gamma_edges = {
+        (r.source, r.target) for r in e1_rows if "GAMMA" in (r.source, r.target)
+    }
+    assert gamma_edges and all(log2.get(k) == "removed" for k in gamma_edges)
+    # append-only: the v0 feed is still readable after two more folds
+    assert {
+        (r.source, r.target) for r in io.read("changelog__v0").collect()
+    } == e0
