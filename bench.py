@@ -46,6 +46,10 @@ def _run_pass(spark, entry, sf_dir: str, graph_edges: int) -> tuple[dict, int, i
     t0 = time.time()
     stages = entry._stages(spark, sf_dir)
     n_edges = stages["edges_ranked"].count()
+    # the nodes hub table is a pipeline PRODUCT — materialize it inside
+    # the kg_pipeline timing (it was previously lazily paid by whichever
+    # downstream query touched it first, inflating communities_lpa ~5s)
+    stages["nodes"].count()
     kg_secs = time.time() - t0
     timings["kg_pipeline"] = round(kg_secs, 3)
 

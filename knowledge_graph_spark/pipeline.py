@@ -69,8 +69,18 @@ def build_graph(
     config: PipelineConfig | None = None,
     alias_dict: DataFrame | None = None,
     backend: ExtractionBackend | None = None,
+    persist_intermediate: bool = False,
 ) -> dict[str, DataFrame]:
-    """Run the construction pipeline; returns every named stage output."""
+    """Run the construction pipeline; returns every named stage output.
+
+    ``persist_intermediate`` caches the exploded record table inside
+    parse_and_merge: the node/edge merge branches scan it ~19 times
+    (entity parse, relationship parse, endpoint auto-create, ordinal
+    joins), so long-lived callers that materialize several stages (the
+    gate stage hub, bench) should pass True — measured ~4.5s → ~1s for
+    the nodes materialization at sf0.1.  Default False: per-micro-batch
+    callers (the CDC folds) must not accumulate cache entries they
+    cannot unpersist."""
     cfg = config or PipelineConfig()
     out: dict[str, DataFrame] = {}
 
@@ -84,7 +94,9 @@ def build_graph(
         out["conv_docs"], size=cfg.chunk_size, overlap=cfg.chunk_overlap, tokenizer=cfg.tokenizer
     )
     out["raw_records"] = emit_records(out["text_units"], backend=backend)
-    nodes, edges = parse_and_merge(out["raw_records"])
+    nodes, edges = parse_and_merge(
+        out["raw_records"], persist_intermediate=persist_intermediate
+    )
 
     if cfg.canonicalize:
         pairs = minhash_candidate_pairs(nodes, name_col="title")
