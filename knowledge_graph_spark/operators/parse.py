@@ -241,17 +241,25 @@ def auto_endpoint_nodes(relationships: DataFrame) -> DataFrame:
 
 
 def parse_and_merge(
-    raw_records: DataFrame, persist_intermediate: bool = False
+    raw_records: DataFrame,
+    persist_intermediate: bool = False,
+    records_out: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """RAW_RECORDS → (nodes, edges) with full reference merge semantics.
 
     ``persist_intermediate=True`` caches the exploded record table that
-    BOTH outputs branch from, so a caller that materializes nodes and
-    edges as separate actions (the checkpointed job driver) parses the
-    record stream once instead of twice."""
+    BOTH outputs branch from (and that the merge's ~19 parse/ordinal
+    branches each scan), so a caller that materializes nodes and edges
+    as separate actions (the checkpointed job driver, the stage hub)
+    parses the record stream once instead of per branch.  When also
+    given ``records_out``, the cached frame is stashed under
+    ``records_out["split_records"]`` so bounded-lifetime callers (the
+    CDC micro-batch folds) can unpersist it after their writes."""
     records = split_records(raw_records)
     if persist_intermediate:
         records = records.persist()
+        if records_out is not None:
+            records_out["split_records"] = records
     entities = parse_entities(records)
     rels = parse_relationships(records)
     ent_with_ord = entities.withColumn("ord", _ordinal()).select(

@@ -95,7 +95,9 @@ def build_graph(
     )
     out["raw_records"] = emit_records(out["text_units"], backend=backend)
     nodes, edges = parse_and_merge(
-        out["raw_records"], persist_intermediate=persist_intermediate
+        out["raw_records"],
+        persist_intermediate=persist_intermediate,
+        records_out=out if persist_intermediate else None,
     )
 
     if cfg.canonicalize:

@@ -115,7 +115,7 @@ def fold_batch(
     ):
         return  # replay of a fully-committed batch
     k = int(state["version"]) if state is not None else -1
-    stages = build_graph(batch_df, cfg)
+    stages = build_graph(batch_df, cfg, persist_intermediate=True)
     new_nodes = stages["nodes"].persist()
     new_edges = stages["edges"].persist()
     if k >= 0:
@@ -132,6 +132,7 @@ def fold_batch(
     )
     new_nodes.unpersist()
     new_edges.unpersist()
+    stages["split_records"].unpersist()
     gc_graph_version(io, k - 1)
 
 

@@ -246,7 +246,7 @@ def fold_insert_batch(
         return
     k = int(state["version"]) if state is not None else -1
     segments = list((state or {}).get("segments", []))
-    stages = build_graph(batch_df, cfg)
+    stages = build_graph(batch_df, cfg, persist_intermediate=True)
     records = stages["raw_records"].persist()
     new_nodes = stages["nodes"].persist()
     new_edges = stages["edges"].persist()
@@ -268,7 +268,7 @@ def fold_insert_batch(
     if changelog:
         _fold_changelog(io, k + 1)
     _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
-    for df in (records, new_nodes, new_edges):
+    for df in (records, new_nodes, new_edges, stages["split_records"]):
         df.unpersist()
     gc_graph_version(io, k - 1)
 
@@ -310,7 +310,10 @@ def fold_delete_batch(
     kept = records.join(deleted, "conv_id", "left_anti").persist()
     compact = f"records__s{k + 1}c"
     io.write(kept, compact)
-    nodes, edges = parse_and_merge(io.read(compact), persist_intermediate=True)
+    sink: dict = {}
+    nodes, edges = parse_and_merge(
+        io.read(compact), persist_intermediate=True, records_out=sink
+    )
     io.write(nodes, f"nodes__v{k + 1}")
     io.write(edges, f"edges__v{k + 1}")
     if components:
@@ -323,6 +326,7 @@ def fold_delete_batch(
         _fold_changelog(io, k + 1)
     _publish(io, state, lineage, epoch_id, k + 1, [compact])
     kept.unpersist()
+    sink["split_records"].unpersist()
     gc_graph_version(io, k - 1)
     for seg in old_segments:  # superseded by the compact segment
         try:
