@@ -219,6 +219,7 @@ def test_kg_stream_job_cli_end_to_end_and_resume(spark, tmp_path):
         "--inserts", ins, "--deletes", dels,
         "--output", str(tmp_path / "wh"), "--checkpoint", str(tmp_path / "ckpt"),
         "--chunk-size", "64", "--chunk-overlap", "8", "--components",
+        "--salience", "--communities", "--changelog",
     ]
     assert job.main(argv) == 0
     io = TableIO(spark, base=str(tmp_path / "wh"))
@@ -228,6 +229,14 @@ def test_kg_stream_job_cli_end_to_end_and_resume(spark, tmp_path):
     # --components maintained the component table through insert + delete
     comp = {r.title for r in read_current_kg(io, "components").collect()}
     assert comp == titles1
+    # the other maintained tables + the change feed rode the same folds
+    assert {r.title for r in read_current_kg(io, "communities").collect()} == titles1
+    sal = {r.title for r in read_current_kg(io, "salience").collect()}
+    assert sal  # salience covers edge endpoints only (isolated nodes absent)
+    assert sal <= titles1
+    state_v = json.loads(io.read_text(CDC_MARKER))["version"]
+    feed = {r.status for r in io.read(f"changelog__v{state_v}").collect()}
+    assert feed and feed <= {"added", "removed", "changed"}
 
     assert job.main(argv) == 0  # resume: no new files, no new versions
     assert json.loads(io.read_text(CDC_MARKER)) == state1
