@@ -236,3 +236,22 @@ def test_kg_retract_is_strict_subset(spark):
     w_full = full.agg(F.sum("weight")).first()[0]
     w_ret = ret.agg(F.sum("weight")).first()[0]
     assert 0 < w_ret < w_full
+
+
+def test_namespaced_prelude_covers_every_cte():
+    """_namespaced_prelude renames by the explicit _PRELUDE_CTE_NAMES
+    list; a CTE added to ORACLE_PRELUDE but not the list would silently
+    collide with the un-prefixed prelude inside the kg_diff oracle.
+    Parse the prelude's actual CTE heads and require exact agreement."""
+    import re
+
+    import __spark_entry__ as entry
+
+    names = set(
+        re.findall(
+            r"(?m)^\s*,?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([A-Za-z0-9_,\s]*\))?"
+            r"\s+AS\s+(?:MATERIALIZED\s+)?\(",
+            entry.ORACLE_PRELUDE,
+        )
+    )
+    assert names == set(entry._PRELUDE_CTE_NAMES)
