@@ -1546,6 +1546,16 @@ CB_TRAIL = 3
 CB_MIN = 2
 
 
+def q_entity_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity temporal lifecycle over the raw turns (first/last seen,
+    mention-turn count, conversation spread, distinct active hours) —
+    the node-level staleness/coverage readout
+    (temporal.entity_lifecycle)."""
+    from knowledge_graph_spark.operators.temporal import entity_lifecycle
+
+    return entity_lifecycle(transcripts_from_events(spark, sf_dir))
+
+
 def q_comention_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-level co-mention burst detection: hourly (pair, bucket)
     counts vs the trailing 3-hour sum, flagged in exact integer
@@ -5138,6 +5148,25 @@ _BLOCKING_AUDIT_SQL = _BLOCKING_AUDIT_SQL.format(
 )
 
 
+_EL_BODY = f"""
+, el_m AS (
+  SELECT conv_id, ep, m.x AS title
+  FROM (SELECT conv_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+               list_distinct(regexp_extract_all(text, '{MENTION_PATTERN}')) AS ms
+        FROM transcripts),
+       LATERAL unnest(ms) AS m(x))
+SELECT title,
+       CAST(min(ep) AS BIGINT) AS first_seen,
+       CAST(max(ep) AS BIGINT) AS last_seen,
+       CAST(max(ep) - min(ep) AS BIGINT) AS span_s,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(DISTINCT ep - ((ep % 3600 + 3600) % 3600)) AS BIGINT)
+         AS n_active_buckets
+FROM el_m GROUP BY title
+"""
+
+
 _CB_BODY = f"""
 , cb_p AS (
   SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -7737,6 +7766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "blocking_audit": q_blocking_audit,
         "comention_bursts": q_comention_bursts,
+        "entity_lifecycle": q_entity_lifecycle,
         "topic_segments": q_topic_segments,
         "edge_pmi": q_edge_pmi,
         "negative_samples": q_negative_samples,
@@ -8539,6 +8569,7 @@ SELECT c AS node, min(t) AS cluster FROM sl_reach GROUP BY c
         "langid": _LANGID_SQL,
         "blocking_audit": _BLOCKING_AUDIT_SQL,
         "comention_bursts": _oracle(_CB_BODY),
+        "entity_lifecycle": _oracle(_EL_BODY),
         "topic_segments": _oracle(_TSEG_BODY),
         "edge_pmi": _oracle(_PMI_BODY),
         "negative_samples": _oracle(_NEGS_BODY),

@@ -696,3 +696,63 @@ def kg_version_diff(
         ),
         status.alias("status"),
     )
+
+
+def entity_lifecycle(
+    transcripts: DataFrame,
+    mention_pattern: str | None = None,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Per-entity temporal lifecycle → (title, first_seen, last_seen,
+    span_s, n_turns, n_convs, n_active_buckets), epochs as exact int64.
+
+    The NODE-level companion of ``edge_time_ranges`` (per-edge) and
+    ``comention_burst_profile`` (per-pair): when did each entity enter
+    the corpus, when was it last asserted, across how many
+    conversations, and over how many distinct ``bucket_s``-second
+    activity buckets — the staleness/coverage readout behind
+    ``edge_recency_weights``'s decay and the retention review a
+    multi-year transcript KG runs ("entities unseen for N months").
+    Reads raw turns directly (turn timestamps survive; chunk assembly
+    keeps only conversation granularity).
+
+    Scale shape: mention extraction is a native regexp over the turn
+    scan (no Python), one explode bounded by mentions-per-turn, then ONE
+    groupBy(title) with map-side partial aggregation; the two exact
+    count-distincts share the aggregate (Spark plans an expand — 3×
+    the exploded rows map-side, still no second shuffle).  No window,
+    no collect.  Reference anchor: the reference keeps no timestamps at
+    all on its graph (utils/graph.py merges drop source ts); temporal
+    lineage is what the Spark rebuild adds.
+    """
+    from .extract import MENTION_PATTERN
+
+    pat = mention_pattern or MENTION_PATTERN
+    m = transcripts.select(
+        "conv_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        ).alias("title"),
+    )
+    bucket = F.expr(f"ep - ((ep % {bucket_s} + {bucket_s}) % {bucket_s})")
+    return (
+        m.withColumn("bucket", bucket)
+        .groupBy("title")
+        .agg(
+            F.min("ep").alias("first_seen"),
+            F.max("ep").alias("last_seen"),
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.countDistinct("bucket").cast("bigint").alias("n_active_buckets"),
+        )
+        .select(
+            "title",
+            "first_seen",
+            "last_seen",
+            (F.col("last_seen") - F.col("first_seen")).cast("bigint").alias("span_s"),
+            "n_turns",
+            "n_convs",
+            "n_active_buckets",
+        )
+    )

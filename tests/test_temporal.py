@@ -194,3 +194,30 @@ def test_kg_version_diff_statuses(spark):
         ("b", "c"): ("removed", -3.0),
         ("c", "d"): ("added", 1.0),
     }
+
+
+def test_entity_lifecycle_hand_computed(spark):
+    """Lifecycle fields on a hand-built transcript: dedup within a turn,
+    exact epochs, distinct convs and hour buckets."""
+    import datetime
+
+    from knowledge_graph_spark.operators.temporal import entity_lifecycle
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("c1", 0, "user", "ALPHA met ALPHA here", "", t0),
+        ("c1", 1, "user", "ALPHA and BETA", "", t0 + datetime.timedelta(minutes=10)),
+        ("c2", 0, "user", "ALPHA again", "", t0 + datetime.timedelta(hours=2)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r.title: r.asDict() for r in entity_lifecycle(df).collect()}
+    a = out["ALPHA"]
+    assert a["n_turns"] == 3  # ALPHA twice in turn 0 counts once
+    assert a["n_convs"] == 2
+    assert a["n_active_buckets"] == 2  # hour 0 (two turns) + hour 2
+    assert a["span_s"] == 7200 and a["last_seen"] - a["first_seen"] == 7200
+    b = out["BETA"]
+    assert b["n_turns"] == 1 and b["n_convs"] == 1 and b["span_s"] == 0
