@@ -34,6 +34,11 @@ CHECK = [
     "lpa_dist",
     "cc_warm",
     "lpa_warm",
+    "pr_warm",
+    "cluster_drift",
+    "partition_agreement",
+    "kg_diff",
+    "entity_lifecycle",
     "temporal_salience",
     "kg_nodes",
     "kg_edges",
