@@ -717,13 +717,16 @@ def entity_lifecycle(
     keeps only conversation granularity).
 
     Scale shape: mention extraction is a native regexp over the turn
-    scan (no Python), one explode bounded by mentions-per-turn, then ONE
-    groupBy(title) with map-side partial aggregation; the two exact
-    count-distincts share the aggregate (Spark plans an expand — 3×
-    the exploded rows map-side, still no second shuffle).  No window,
-    no collect.  Reference anchor: the reference keeps no timestamps at
-    all on its graph (utils/graph.py merges drop source ts); temporal
-    lineage is what the Spark rebuild adds.
+    scan (no Python), one explode bounded by mentions-per-turn, then the
+    classic exact-distinct aggregate: Expand (3× map-side — one branch
+    per distinct column + one for the plain aggs) feeding TWO partial-
+    aggregated shuffles (dedupe the (title, conv/bucket) keys, then the
+    per-title fold) — the plan Spark uses for multiple exact
+    count-distincts in one groupBy; both exchanges combine map-side, so
+    hot entities ship per-partition partials, never raw occurrence rows.
+    No window, no collect.  Reference anchor: the reference keeps no
+    timestamps at all on its graph (utils/graph.py merges drop source
+    ts); temporal lineage is what the Spark rebuild adds.
     """
     from .extract import MENTION_PATTERN
 

@@ -479,3 +479,23 @@ def test_kg_version_diff_single_shuffle_join_no_python(spark):
     assert "Window" not in p
     # one exchange per side of the join, nothing else
     assert p.count("Exchange") <= 2
+
+
+def test_entity_lifecycle_single_aggregate_no_python(spark):
+    """entity_lifecycle is native regexp + explode + the exact-distinct
+    aggregate: no Python, no window, Expand feeding exactly two
+    partial-aggregated exchanges (distinct-key dedupe, then the
+    per-title fold)."""
+    import datetime
+
+    from knowledge_graph_spark.operators.temporal import entity_lifecycle
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "ALPHA met BETA", "", datetime.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    p = plan(entity_lifecycle(df))
+    assert "PythonUDF" not in p
+    assert "Window" not in p
+    assert "Expand" in p and "partial_count" in p
+    assert p.count("Exchange") <= 2

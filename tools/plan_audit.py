@@ -111,6 +111,7 @@ AUDIT = [
     ("kg_diff", "ONE co-partitioned full-outer join on the edge key"),
     ("partition_agreement", "contingency groupBy + tiny 1-row combines"),
     ("cluster_drift", "two LPA chains folded to the pair-counting tail"),
+    ("entity_lifecycle", "regexp explode + exact-distinct Expand aggregate"),
 ]
 
 PY_NODES = (
