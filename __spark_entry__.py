@@ -5255,8 +5255,13 @@ def _kg_diff_body() -> str:
     _asof_oracle substitution applied to an ``old_``-prefixed prelude
     copy) — mirrors temporal.kg_version_diff's status/delta algebra."""
     old = _namespaced_prelude("old_")
+    target = f"old_transcripts AS ({TRANSCRIPTS_SQL})"
+    # Fail loudly at oracle-build time if the prelude's first-CTE
+    # rendering ever drifts: a silent no-op replace would diff the full
+    # graph against itself and only surface as a gate hash mismatch.
+    assert target in old, "kg_diff oracle: prelude CTE rendering drifted"
     old = old.replace(
-        f"old_transcripts AS ({TRANSCRIPTS_SQL})",
+        target,
         f"""old_transcripts_all AS ({TRANSCRIPTS_SQL}),
 old_asof_cut AS (
   SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)

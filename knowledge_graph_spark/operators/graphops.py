@@ -3295,7 +3295,14 @@ def partition_agreement(
         "node",
     )
     cont = j.groupBy("la", "lb").agg(F.count("*").cast("bigint").alias("c"))
-    cont = cont.persist()
+    # localCheckpoint, not persist(): the contingency table is read by
+    # three downstream aggregates, but a persist() here would leak one
+    # cache-manager entry per call in long-lived sessions (gate sweeps,
+    # streaming drivers) because the 1-row result frame is returned lazy
+    # and there is no post-materialization hook to unpersist on.
+    # Checkpointed RDD blocks are reclaimed by the ContextCleaner once
+    # the frame is unreferenced — no manual lifecycle needed.
+    cont = cont.localCheckpoint(eager=True)
     tot = cont.agg(
         F.sum("c").cast("bigint").alias("n_nodes"),
         F.sum(F.expr("c * (c - 1) DIV 2")).cast("bigint").alias("pairs_both"),

@@ -108,11 +108,13 @@ def _fold_components(io: TableIO, version: int, warm_from: int | None) -> None:
     from ..operators.community import connected_components
 
     init = None
-    if warm_from is not None:
-        try:
-            init = io.read(f"components__v{warm_from}")
-        except Exception:
-            init = None  # prior version predates component maintenance
+    # Explicit existence check, not a bare except around read(): a
+    # transient I/O error must propagate (a silent cold restart would
+    # break the maintained table's warm-chain contract with no signal);
+    # only a genuinely absent prior (version predates maintenance)
+    # legitimately falls back to cold.
+    if warm_from is not None and io.exists(f"components__v{warm_from}"):
+        init = io.read(f"components__v{warm_from}")
     comp = connected_components(
         io.read(f"nodes__v{version}"),
         io.read(f"edges__v{version}"),
@@ -145,11 +147,9 @@ def _fold_salience(io: TableIO, version: int, warm_from: int | None) -> None:
     from ..operators.graphops import pagerank_int
 
     init = None
-    if warm_from is not None:
-        try:
-            init = io.read(f"salience__v{warm_from}")
-        except Exception:
-            init = None  # prior version predates salience maintenance
+    # existence check, not bare except — see _fold_components
+    if warm_from is not None and io.exists(f"salience__v{warm_from}"):
+        init = io.read(f"salience__v{warm_from}")
     ranks = pagerank_int(
         io.read(f"edges__v{version}").select("source", "target"),
         iterations=PR_MAINT_WARM_ROUNDS if init is not None else PR_MAINT_COLD_ROUNDS,
@@ -200,11 +200,9 @@ def _fold_communities(io: TableIO, version: int, warm_from: int | None) -> None:
     from ..operators.community import label_propagation
 
     init = None
-    if warm_from is not None:
-        try:
-            init = io.read(f"communities__v{warm_from}")
-        except Exception:
-            init = None  # prior version predates community maintenance
+    # existence check, not bare except — see _fold_components
+    if warm_from is not None and io.exists(f"communities__v{warm_from}"):
+        init = io.read(f"communities__v{warm_from}")
     nodes = io.read(f"nodes__v{version}")
     edges = io.read(f"edges__v{version}")
     comm = label_propagation(
