@@ -1,0 +1,114 @@
+"""GraphML source — ingest a reference graph checkpoint as DataFrames.
+
+The reference checkpoints its working graph to GraphML between stages
+(utils/graph.py save/load, SURVEY.md §2.1 S5) and ships a frozen run in
+``graph_save/``.  In this engine the node/edge *tables* are the
+checkpoint (checkpoint.py), so GraphML is not on the hot path — this
+reader exists to (a) replay the reference's own published artifacts
+through the deterministic tail (tests/test_golden_replay.py) and (b)
+migrate an existing reference deployment's checkpoints into the table
+layout.
+
+Scale shape: checkpoint GraphML files are driver-sized by construction —
+the reference materializes the whole graph in a single networkx object
+before writing, so any file this reader will ever see fits on one
+machine.  The parse therefore runs driver-side (stdlib ElementTree,
+no external deps) and the rows are parallelized into DataFrames.  If a
+multi-GB GraphML ever appears, split it per-<node>/<edge> element with a
+streaming SAX pass feeding mapPartitions — but a graph that size should
+never round-trip through XML at all; that is what the tables are for.
+
+Typed attributes: GraphML declares per-attribute types in <key>
+elements (attr.type long/double/string...).  Those declarations drive
+the output schema, so `degree` comes back as a long and `weight` as a
+double without caller-side casts.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_NS = {"g": "http://graphml.graphdrawing.org/xmlns"}
+
+_TYPE_MAP = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+}
+
+_CASTS = {
+    "int": int,
+    "long": int,
+    "float": float,
+    "double": float,
+    "boolean": lambda s: s.strip().lower() == "true",
+    "string": lambda s: s,
+}
+
+
+def _keys_for(root, domain: str) -> list[tuple[str, str, str]]:
+    """[(key_id, attr_name, attr_type)] declared for `domain` (node|edge),
+    in document order (stable column order across reads)."""
+    out = []
+    for k in root.findall("g:key", _NS):
+        if k.get("for") == domain:
+            out.append((k.get("id"), k.get("attr.name"), k.get("attr.type") or "string"))
+    return out
+
+
+def _data_map(el) -> dict[str, str]:
+    return {d.get("key"): (d.text or "") for d in el.findall("g:data", _NS)}
+
+
+def read_graphml(
+    spark: SparkSession, path: str, node_id_col: str = "title"
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a GraphML file → (nodes, edges) DataFrames.
+
+    nodes: (`node_id_col`, *declared node attrs); edges:
+    (source, target, *declared edge attrs).  Attribute columns are typed
+    from the <key> declarations; absent <data> entries are NULL (GraphML
+    semantics: attribute not set on this element).
+    """
+    root = ET.parse(path).getroot()
+    graph = root.find("g:graph", _NS)
+    nkeys = _keys_for(root, "node")
+    ekeys = _keys_for(root, "edge")
+
+    def _schema(lead: list[tuple[str, T.DataType]], keys) -> T.StructType:
+        fields = [T.StructField(n, t, False) for n, t in lead]
+        for _kid, name, atype in keys:
+            fields.append(
+                T.StructField(name, _TYPE_MAP.get(atype, T.StringType()), True)
+            )
+        return T.StructType(fields)
+
+    def _row(lead_vals: list, data: dict[str, str], keys) -> tuple:
+        vals = list(lead_vals)
+        for kid, _name, atype in keys:
+            raw = data.get(kid)
+            vals.append(None if raw is None else _CASTS.get(atype, str)(raw))
+        return tuple(vals)
+
+    node_rows = [
+        _row([n.get("id")], _data_map(n), nkeys)
+        for n in graph.findall("g:node", _NS)
+    ]
+    edge_rows = [
+        _row([e.get("source"), e.get("target")], _data_map(e), ekeys)
+        for e in graph.findall("g:edge", _NS)
+    ]
+    nodes = spark.createDataFrame(
+        node_rows, _schema([(node_id_col, T.StringType())], nkeys)
+    )
+    edges = spark.createDataFrame(
+        edge_rows,
+        _schema([("source", T.StringType()), ("target", T.StringType())], ekeys),
+    )
+    return nodes, edges
