@@ -1546,6 +1546,7 @@ def scc_fixed_rounds(
     inner_rounds: int = 4,
     outer_rounds: int = 2,
     round_log: list | None = None,
+    rounds_used: list | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph via fixed-round
     forward-backward min-label peeling (the FW-BW-trim family, Fleischer
@@ -1578,6 +1579,22 @@ def scc_fixed_rounds(
     against the remaining edges plus a min-aggregate (the Pregel round;
     map-side combinable).  Peeling uses left_anti joins.  localCheckpoint
     caps plan growth, as in the other iterative kernels.
+
+    Round-4 adaptivity (output-identical to the fixed unroll):
+    - forward and backward propagation run FUSED in one join per round
+      (edges tagged with a direction column; labels carry (node, dir)) —
+      the two directions are independent, so batching them halves the
+      number of *sequential* stages, which is what actually bounds this
+      kernel's wall clock (the per-round tables are small; scheduling
+      latency of 16 serial rounds dominated the old shape);
+    - only the DELTA (labels that changed last round) joins the edge
+      list — min-propagation is monotone, so an unchanged label cannot
+      contribute a new minimum to any neighbour;
+    - a round with an empty delta ends the inner loop, and an empty
+      remaining set ends the outer loop: further rounds are provable
+      no-ops, so the gate's fixed-round oracle still matches bit-for-bit
+      (`rounds_used` reports the budget actually consumed for the
+      bench's rounds-vs-budget readout).
     """
     e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1590,34 +1607,86 @@ def scc_fixed_rounds(
         .distinct()
     )
 
-    def _min_prop(rem: DataFrame, er: DataFrame, along_out: bool) -> DataFrame:
-        lab = rem.select("node", F.col("node").alias("lab"))
-        frm, to = ("a", "b") if along_out else ("b", "a")
-        for _ in range(inner_rounds):
-            # alias both sides: in outer round 2+ the label frontier and
-            # the peeled edge set share the round-1 lineage (self-join)
-            step = (
-                lab.alias("L")
-                .join(er.alias("E"), F.col("L.node") == F.col(f"E.{frm}"))
-                .select(F.col(f"E.{to}").alias("node"), F.col("L.lab").alias("lab"))
+    def _min_prop_fused(rem: DataFrame, er: DataFrame) -> tuple[DataFrame, int]:
+        """Both propagation directions in one (node, dir)-keyed loop;
+        delta-only joins; early exit on a converged frontier.  Returns
+        (labels, rounds_actually_run) — labels bit-identical to running
+        `inner_rounds` full union+min rounds per direction."""
+        ed = (
+            er.select(
+                F.col("a").alias("frm"), F.col("b").alias("to"), F.lit("f").alias("dir")
             )
-            lab = (
-                lab.unionByName(step)
-                .groupBy("node")
-                .agg(F.min("lab").alias("lab"))
+            .unionByName(
+                er.select(
+                    F.col("b").alias("frm"),
+                    F.col("a").alias("to"),
+                    F.lit("b").alias("dir"),
+                )
+            )
+            .localCheckpoint(eager=False)
+        )
+        lab = rem.select(
+            "node",
+            F.col("node").alias("lab"),
+            F.explode(F.array(F.lit("f"), F.lit("b"))).alias("dir"),
+        ).localCheckpoint(eager=False)
+        delta = lab
+        used = 0
+        for i in range(inner_rounds):
+            used += 1
+            step = (
+                delta.alias("L")
+                .join(
+                    ed.alias("E"),
+                    (F.col("L.node") == F.col("E.frm"))
+                    & (F.col("L.dir") == F.col("E.dir")),
+                )
+                .select(
+                    F.col("E.to").alias("node"),
+                    F.col("L.lab").alias("lab"),
+                    F.col("E.dir").alias("dir"),
+                )
+            )
+            cand = step.groupBy("node", "dir").agg(F.min("lab").alias("nl"))
+            merged = (
+                lab.join(cand, ["node", "dir"], "left")
+                .select(
+                    "node",
+                    "dir",
+                    F.least(
+                        F.col("lab"), F.coalesce(F.col("nl"), F.col("lab"))
+                    ).alias("new_lab"),
+                    F.coalesce(F.col("nl") < F.col("lab"), F.lit(False)).alias("chg"),
+                )
+                .withColumnRenamed("new_lab", "lab")
                 .localCheckpoint(eager=False)
             )
-        return lab
+            lab = merged.select("node", "dir", "lab")
+            if i < inner_rounds - 1:
+                delta = merged.filter("chg").select("node", "dir", "lab")
+                if delta.limit(1).count() == 0:
+                    break  # fixpoint: remaining rounds are no-ops
+        return lab, used
 
     remaining, er, out = nodes, e0, None
+    if rounds_used is None:
+        rounds_used = []
     # when the caller asks for per-outer-round walls, materialize each
     # round's resolution eagerly so the entry measures real work (the
     # default lazy checkpoints defer everything to the final action)
     eager = round_log is not None
     for r in range(1, outer_rounds + 1):
         _t0 = time.perf_counter()
-        f = _min_prop(remaining, er, along_out=True).withColumnRenamed("lab", "fmin")
-        bk = _min_prop(remaining, er, along_out=False).withColumnRenamed("lab", "bmin")
+        if r > 1 and remaining.limit(1).count() == 0:
+            break  # everything resolved: further outer rounds are no-ops
+        fused, used = _min_prop_fused(remaining, er)
+        rounds_used.append(used)
+        f = fused.filter(F.col("dir") == "f").select(
+            "node", F.col("lab").alias("fmin")
+        )
+        bk = fused.filter(F.col("dir") == "b").select(
+            "node", F.col("lab").alias("bmin")
+        )
         res = (
             f.join(bk, "node")
             .filter(F.col("fmin") == F.col("bmin"))
@@ -2617,16 +2686,30 @@ def min_spanning_forest(
             )
             .transform(checkpoint_fresh)
         )
+        # pointer-double with a converged early exit: the log2(n_active)
+        # budget is the worst case (one long chain); real Borůvka pointer
+        # forests flatten in a handful of doublings, and each skipped
+        # doubling is a full sequential stage.  A doubling that moves no
+        # pointer is a fixpoint (p is idempotent), so stopping is exact.
         for _ in range(max(1, math.ceil(math.log2(max(n_active, 2))))):
-            par = (
+            stepped = (
                 par.join(
                     par.select(F.col("c").alias("p"), F.col("p").alias("p2")),
                     "p",
                     "left",
                 )
-                .select("c", F.coalesce("p2", "p").alias("p"))
+                .select(
+                    "c",
+                    F.coalesce("p2", "p").alias("np"),
+                    (F.col("p2").isNotNull() & (F.col("p2") != F.col("p"))).alias(
+                        "moved"
+                    ),
+                )
                 .transform(checkpoint_fresh)
             )
+            par = stepped.select("c", F.col("np").alias("p"))
+            if stepped.filter("moved").limit(1).count() == 0:
+                break
         # inactive components (no cut edge) keep their label
         comp = (
             comp.join(par.withColumnRenamed("c", "comp"), "comp", "left")
