@@ -53,10 +53,15 @@ TRANSCRIPT_DDL = (
 COMMIT_MARKER = "_stream/commit.json"
 
 
-def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """File-source transcript stream; ``max_files_per_trigger`` sets the
+    micro-batch size (files × rows-per-file), the knob the CDC
+    amortization study sweeps (tools/bench_cdc_batch.py)."""
     return (
         spark.readStream.schema(TRANSCRIPT_DDL)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

@@ -344,6 +344,7 @@ def run_kg_cdc(
     salience: bool = False,
     communities: bool = False,
     changelog: bool = False,
+    max_files_per_trigger: int = 64,
 ):
     """Drain the insert stream, then (if delete_dir is given) the delete
     stream — availableNow triggers, sequential so a delete observes every
@@ -359,7 +360,7 @@ def run_kg_cdc(
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     ins_ckpt = f"{checkpoint_dir}/inserts"
     q = (
-        stream_transcripts(spark, insert_dir)
+        stream_transcripts(spark, insert_dir, max_files_per_trigger)
         .writeStream.foreachBatch(
             lambda df, e: fold_insert_batch(
                 io, df, cfg, e, lineage=ins_ckpt, components=components,
