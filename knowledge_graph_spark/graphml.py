@@ -112,3 +112,87 @@ def read_graphml(
         _schema([("source", T.StringType()), ("target", T.StringType())], ekeys),
     )
     return nodes, edges
+
+
+_XML_TYPE = {
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+}
+
+
+def write_graphml(
+    nodes: DataFrame,
+    edges: DataFrame,
+    path: str,
+    node_id_col: str = "title",
+    edgedefault: str = "undirected",
+) -> None:
+    """Write (nodes, edges) DataFrames as a GraphML file in the
+    reference checkpoint's structure (<key> declarations from the
+    DataFrame dtypes, one <data> per non-null attribute) — the export
+    half of the migration seam: a graph built here can be handed back to
+    reference tooling (nx.read_graphml) or round-tripped through
+    ``read_graphml`` losslessly (tests/test_golden_replay.py).
+
+    Driver-side by design, like the reader: the reference only ever
+    produces driver-sized GraphML (the whole graph transits one networkx
+    object), and anything bigger belongs in the node/edge tables.  The
+    collect here is therefore a documented bound, not a scale path.
+    """
+    from xml.sax.saxutils import escape, quoteattr
+
+    nattrs = [(c, t) for c, t in nodes.dtypes if c != node_id_col]
+    eattrs = [(c, t) for c, t in edges.dtypes if c not in ("source", "target")]
+    lines = [
+        "<?xml version='1.0' encoding='utf-8'?>",
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+    ]
+    key_ids: dict[tuple[str, str], str] = {}
+    for domain, attrs in (("node", nattrs), ("edge", eattrs)):
+        for name, dtype in attrs:
+            kid = f"d{len(key_ids)}"
+            key_ids[(domain, name)] = kid
+            xt = _XML_TYPE.get(dtype, "string")
+            lines.append(
+                f'<key id="{kid}" for="{domain}" attr.name={quoteattr(name)} '
+                f'attr.type="{xt}"/>'
+            )
+    lines.append(f'<graph edgedefault="{edgedefault}">')
+
+    def _fmt(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float) and v == int(v):
+            return f"{v:.1f}"  # nx float rendering: 8.0, not 8
+        return str(v)
+
+    for r in nodes.collect():
+        d = r.asDict()
+        lines.append(f"<node id={quoteattr(str(d[node_id_col]))}>")
+        for name, _t in nattrs:
+            if d[name] is not None:
+                kid = key_ids[("node", name)]
+                lines.append(
+                    f'  <data key="{kid}">{escape(_fmt(d[name]))}</data>'
+                )
+        lines.append("</node>")
+    for r in edges.collect():
+        d = r.asDict()
+        lines.append(
+            f"<edge source={quoteattr(str(d['source']))} "
+            f"target={quoteattr(str(d['target']))}>"
+        )
+        for name, _t in eattrs:
+            if d[name] is not None:
+                kid = key_ids[("edge", name)]
+                lines.append(
+                    f'  <data key="{kid}">{escape(_fmt(d[name]))}</data>'
+                )
+        lines.append("</edge>")
+    lines.append("</graph></graphml>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))

@@ -384,3 +384,19 @@ def test_export_headers_match_schema_contract():
         S.CLAIMS.fieldNames()
     )
     assert {"id", "chunk", "n_tokens"} <= set(tu_cols)
+
+
+def test_graphml_round_trip_lossless(spark, gold_graph, tmp_path):
+    """write_graphml(read_graphml(x)) re-reads to identical frames —
+    attribute typing, null attrs, and id escaping all survive the
+    round trip on the reference's own checkpoint."""
+    from knowledge_graph_spark.graphml import read_graphml, write_graphml
+
+    nodes, edges = gold_graph
+    out = str(tmp_path / "rt.graphml")
+    write_graphml(nodes, edges, out)
+    n2, e2 = read_graphml(spark, out)
+    assert n2.schema == nodes.schema
+    assert e2.schema == edges.schema
+    assert nodes.exceptAll(n2).count() == 0 and n2.exceptAll(nodes).count() == 0
+    assert edges.exceptAll(e2).count() == 0 and e2.exceptAll(edges).count() == 0
