@@ -699,6 +699,7 @@ def blocking_quality(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int = 50,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """ER blocking-quality audit of the MinHash-LSH blocker (Christen
     2012's three standard blocking metrics) → ONE row:
@@ -720,9 +721,16 @@ def blocking_quality(
     parameters (num_perm, bands) trade completeness against reduction,
     and this op measures where the deployed configuration actually sits
     on that curve.  The exact side is O(sum of squared posting lists) —
-    at corpus scale run it on a stratified sample of names (the metrics
-    are ratio estimates, stable under uniform sampling); the candidate
-    side is the production blocker and scales as it does.
+    the dominant gate cost at sf0.1 (651 s: it is the deliberately
+    unpruned quadratic baseline).  ``sample_mod=k`` is the corpus-scale
+    path: keep the deterministic 1/k of names with
+    pmod(xxhash64(title), k) == 0 and audit the blocker on that
+    subcorpus — the three metrics are ratio estimates, stable under
+    uniform name sampling (both truth and candidate pair sets restrict
+    to the SAME sampled name universe, so numerators and denominators
+    shrink together).  ``sample_mod=None``/1 is exact and is what the
+    gate checks; the candidate side is the production blocker and
+    scales as it does.
 
     All five counts are exact bigints; the three ratios are single IEEE
     divisions of those counts, so a SQL oracle reproduces every column
@@ -732,8 +740,12 @@ def blocking_quality(
         docs.select(normalized_text(F.col(text_col)).alias("title"))
         .filter(F.col("title") != "")
         .distinct()
-        .persist()
     )
+    if sample_mod is not None and sample_mod > 1:
+        named = named.filter(
+            F.pmod(F.xxhash64(F.col("title")), F.lit(sample_mod)) == 0
+        )
+    named = named.persist()
     # every multi-consumer frame is persisted: the metric row fans out
     # into four 1-row aggregates, and without the persists each count
     # re-runs the signature UDF / shingle explode from the text scan

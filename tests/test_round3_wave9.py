@@ -308,3 +308,24 @@ def test_comention_bursts_pairs_within_turn_only(spark):
     pairs = {(r.source, r.target) for r in out}
     assert pairs == {("AAA", "BBB"), ("AAA", "CCC"), ("BBB", "CCC")}
     assert all(r.cnt == 1 for r in out)
+
+
+def test_blocking_quality_sample_mod(spark):
+    """sample_mod: 1/None are exact-identical; k>1 audits the
+    deterministic 1/k name subuniverse — counts shrink together and the
+    metric identities keep holding (the corpus-scale estimator path)."""
+    rows = [
+        (i, f"document {i} " + " ".join(f"tok{i}_{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = blocking_quality(docs, threshold=0.5).collect()[0]
+    same = blocking_quality(docs, threshold=0.5, sample_mod=1).collect()[0]
+    assert full.asDict() == same.asDict()
+    sampled = blocking_quality(docs, threshold=0.5, sample_mod=4).collect()[0]
+    assert 0 < sampled.n_names < full.n_names
+    assert sampled.n_total_pairs == sampled.n_names * (sampled.n_names - 1) // 2
+    assert sampled.n_hit <= min(sampled.n_cand if sampled.n_cand else 0,
+                                sampled.n_truth if sampled.n_truth else 0) or (
+        sampled.n_cand == 0 or sampled.n_truth == 0
+    )
