@@ -1868,6 +1868,58 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CP_CORE_K = 64
+CP_CORE_ROUNDS = 3
+CP_PR_ITER = 3
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph from the TPC-H lineitem table: distinct
+    (part, part) pairs appearing in the same order, canonical a < b —
+    at sf0.1 this is 20k nodes / 1.2M edges, so the driver's own
+    hash-checked gates exercise the distributed iterative kernels PAST
+    the 200k-edge driver-local cutover (the KG extracted from the
+    driver's fixed-vocabulary events stays a toy graph; this one grows
+    with sf).  The within-order self-join is bounded by basket size
+    (≤7 items per TPC-H order — per-group quadratic with a small
+    constant; the general mitigation for unbounded baskets is a
+    per-group item cap before pairing, exactly like the LSH hot-bucket
+    cap)."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("bigint").alias("source"),
+            F.col("b.l_partkey").cast("bigint").alias("target"),
+        )
+        .distinct()
+    )
+
+
+def q_copurchase_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peel over the lineitem co-purchase graph — the
+    dense-cohort filter on a graph that actually scales with sf."""
+    from knowledge_graph_spark.operators.graphops import k_core
+
+    return k_core(
+        _copurchase_edges(spark, sf_dir), k=CP_CORE_K, rounds=CP_CORE_ROUNDS
+    )
+
+
+def q_copurchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round integer PageRank over the lineitem co-purchase graph
+    (same unrolled-oracle strategy as `pagerank`, non-toy node count)."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    return pagerank_int(_copurchase_edges(spark, sf_dir), iterations=CP_PR_ITER)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: growth-stable closed-form hash
     assignment (no RNG; a doc never migrates splits as the corpus grows)."""
@@ -2696,6 +2748,45 @@ SELECT title, CAST(count(*) AS BIGINT) AS degree FROM (
   SELECT a AS title FROM e{rounds} UNION ALL SELECT b AS title FROM e{rounds})
 GROUP BY title"""
     return sql
+
+
+_CP_EDGES_SQL = """
+cp_edges AS MATERIALIZED (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS source,
+                  CAST(b.l_partkey AS BIGINT) AS target
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+def _cp_core_sql(k: int = CP_CORE_K, rounds: int = CP_CORE_ROUNDS) -> str:
+    """Unrolled k-core peel over the lineitem co-purchase graph —
+    standalone (no pipeline prelude needed; the graph derives straight
+    from the lineitem view), same round algebra as _kcore_sql."""
+    sql = f"""WITH {_CP_EDGES_SQL},
+cp_e0 AS MATERIALIZED (SELECT source AS a, target AS b FROM cp_edges)"""
+    for r in range(rounds):
+        sql += f""",
+cp_kd{r} AS MATERIALIZED (SELECT t, count(*) AS d FROM (
+    SELECT a AS t FROM cp_e{r} UNION ALL SELECT b AS t FROM cp_e{r}) GROUP BY t),
+cp_kp{r} AS MATERIALIZED (SELECT t FROM cp_kd{r} WHERE d >= {k}),
+cp_e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM cp_e{r} e
+  JOIN cp_kp{r} ka ON e.a = ka.t JOIN cp_kp{r} kb ON e.b = kb.t)"""
+    sql += f"""
+SELECT title, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT a AS title FROM cp_e{rounds} UNION ALL SELECT b AS title FROM cp_e{rounds})
+GROUP BY title"""
+    return sql
+
+
+def _cp_rank_sql(rounds: int = CP_PR_ITER) -> str:
+    """Unrolled integer PageRank over the co-purchase graph — composes
+    the parameterized _pr_body over the cp_edges CTE (standalone)."""
+    return f"WITH {_CP_EDGES_SQL}" + _pr_body(
+        rounds=rounds, edges_cte="cp_edges", prefix="cpr_"
+    )
 
 
 def _ktruss_body(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
@@ -7795,6 +7886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "fuzzy_aliases": q_fuzzy_aliases,
         "k_core": q_k_core,
+        "copurchase_core": q_copurchase_core,
+        "copurchase_rank": q_copurchase_rank,
         "k_truss": q_k_truss,
         "hash_split": q_hash_split,
         "leakfree_split": q_leakfree_split,
@@ -8709,6 +8802,8 @@ SELECT * FROM nj WHERE jaccard_micro >= {int(NJ_TAU * 1_000_000)}
         "emb_neardup_lsh": _EMB_NEARDUP_LSH_SQL,
         "fuzzy_aliases": _oracle(_FUZZY_ALIASES_BODY),
         "k_core": _kcore_sql(),
+        "copurchase_core": _cp_core_sql(),
+        "copurchase_rank": _cp_rank_sql(),
         "k_truss": _oracle(_ktruss_body()),
         "hash_split": _HASH_SPLIT_SQL,
         "leakfree_split": f"""

@@ -38,6 +38,8 @@ CHECK = [
     "cluster_drift",
     "partition_agreement",
     "kg_diff",
+    "copurchase_core",
+    "copurchase_rank",
     "entity_lifecycle",
     "temporal_salience",
     "kg_nodes",
