@@ -499,3 +499,21 @@ def test_entity_lifecycle_single_aggregate_no_python(spark):
     assert "Window" not in p
     assert "Expand" in p and "partial_count" in p
     assert p.count("Exchange") <= 2
+
+
+def test_copurchase_edge_build_pruned_equijoin(spark):
+    """The co-purchase graph build is ONE equi-join on l_orderkey with
+    the partkey inequality as a join filter — no cartesian product, no
+    Python, and the lineitem scans are column-pruned to exactly the two
+    join columns (a 16-column table read as 2)."""
+    import __spark_entry__ as entry
+
+    p = plan(entry._copurchase_edges(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
+    assert "l_orderkey" in p and "l_partkey" in p
+    # column pruning reached the parquet scan: no non-join lineitem
+    # column survives anywhere in the physical plan
+    for col in ("l_extendedprice", "l_comment", "l_shipdate", "l_quantity"):
+        assert col not in p
