@@ -400,3 +400,51 @@ def test_graphml_round_trip_lossless(spark, gold_graph, tmp_path):
     assert e2.schema == edges.schema
     assert nodes.exceptAll(n2).count() == 0 and n2.exceptAll(nodes).count() == 0
     assert edges.exceptAll(e2).count() == 0 and e2.exceptAll(edges).count() == 0
+
+
+def test_graphml_round_trip_hostile_attribute_values(spark, tmp_path):
+    """Writer escaping survives XML-hostile content: quotes, angle
+    brackets, ampersands, unicode, whitespace-heavy ids, null attrs,
+    and every declared attribute type round-trip exactly."""
+    from pyspark.sql import types as T
+
+    from knowledge_graph_spark.graphml import read_graphml, write_graphml
+
+    nodes = spark.createDataFrame(
+        [
+            ('A "quoted" <name> & more', "d<&>c", 3, 1.5, True),
+            ("ünïcode — em-dash", None, -7, 0.25, False),
+            ("  spaced  id  ", "desc with\ttab", 0, 8.0, None),
+        ],
+        T.StructType(
+            [
+                T.StructField("title", T.StringType(), False),
+                T.StructField("description", T.StringType(), True),
+                T.StructField("level", T.LongType(), True),
+                T.StructField("weight", T.DoubleType(), True),
+                T.StructField("flag", T.BooleanType(), True),
+            ]
+        ),
+    )
+    edges = spark.createDataFrame(
+        [
+            ('A "quoted" <name> & more', "ünïcode — em-dash", 2.0, "s<id>&"),
+            ("ünïcode — em-dash", "  spaced  id  ", 16.0, None),
+        ],
+        T.StructType(
+            [
+                T.StructField("source", T.StringType(), False),
+                T.StructField("target", T.StringType(), False),
+                T.StructField("weight", T.DoubleType(), False),
+                T.StructField("source_id", T.StringType(), True),
+            ]
+        ),
+    )
+    out = str(tmp_path / "hostile.graphml")
+    write_graphml(nodes, edges, out)
+    n2, e2 = read_graphml(spark, out)
+    # names + types must survive (the reader declares attrs nullable —
+    # GraphML semantics: any <data> may be absent — so compare dtypes)
+    assert n2.dtypes == nodes.dtypes and e2.dtypes == edges.dtypes
+    assert sorted(map(tuple, nodes.collect())) == sorted(map(tuple, n2.collect()))
+    assert sorted(map(tuple, edges.collect())) == sorted(map(tuple, e2.collect()))

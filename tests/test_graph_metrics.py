@@ -603,3 +603,71 @@ def test_partition_agreement_identical_partitions(spark):
     assert row["n_nodes"] == 3
     assert row["rand_micro"] == row["precision_micro"] == 1000000
     assert row["recall_micro"] == row["f1_micro"] == 1000000
+
+
+def test_scc_early_exit_is_output_identical_and_reports_rounds(spark):
+    """Round-4 adaptivity contract: on a graph whose min-label fixpoint
+    is shallower than the budget, the inner loop exits early
+    (rounds_used < budget) and the output is bit-identical to a larger
+    budget's — extra rounds are provable no-ops."""
+    from knowledge_graph_spark.operators.graphops import scc_fixed_rounds
+
+    # two disjoint 2-cycles + a singleton: fixpoint after 2 rounds
+    edges = [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("e", "a")]
+    df = spark.createDataFrame(edges, "source string, target string")
+    ru_small, ru_big = [], []
+    small = {
+        (r.node, r.scc_id, r.resolved_round)
+        for r in scc_fixed_rounds(
+            df, inner_rounds=8, outer_rounds=2, rounds_used=ru_small
+        ).collect()
+    }
+    big = {
+        (r.node, r.scc_id, r.resolved_round)
+        for r in scc_fixed_rounds(
+            df, inner_rounds=12, outer_rounds=2, rounds_used=ru_big
+        ).collect()
+    }
+    assert small == big
+    assert all(u < 8 for u in ru_small), ru_small  # early exit fired
+    # outer round 2 runs on the peeled leftovers (e resolves round 2)
+    assert len(ru_small) == 2
+
+
+def test_scc_outer_early_exit_when_fully_resolved(spark):
+    """When outer round 1 resolves every node, the second outer round is
+    skipped entirely (rounds_used has one entry) and no leftover rows
+    are emitted."""
+    from knowledge_graph_spark.operators.graphops import scc_fixed_rounds
+
+    edges = [("a", "b"), ("b", "a")]
+    ru = []
+    out = scc_fixed_rounds(
+        spark.createDataFrame(edges, "source string, target string"),
+        inner_rounds=4,
+        outer_rounds=3,
+        rounds_used=ru,
+    ).collect()
+    assert len(ru) == 1
+    assert {(r.node, r.scc_id, r.resolved_round) for r in out} == {
+        ("a", "a", 1),
+        ("b", "a", 1),
+    }
+
+
+def test_msf_long_chain_exact_with_pointer_early_exit(spark):
+    """A 64-node weighted path: Borůvka must select every chain edge
+    (the MSF of a tree is the tree) — the star contraction's pointer
+    chains are long here, exercising the doubling early exit without
+    changing the result."""
+    from knowledge_graph_spark.operators.graphops import min_spanning_forest
+
+    n = 64
+    rows = [
+        (f"v{i:02d}", f"v{i + 1:02d}", float(((i * 7) % 13) + 1))
+        for i in range(n - 1)
+    ]
+    df = spark.createDataFrame(rows, "source string, target string, weight double")
+    got = min_spanning_forest(df, rounds=7).collect()
+    assert len(got) == n - 1
+    assert {(r.source, r.target, r.weight) for r in got} == set(rows)
