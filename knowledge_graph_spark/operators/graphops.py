@@ -185,6 +185,7 @@ def pagerank_int(
     round_log: list | None = None,
     weight: str | None = None,
     init_ranks: DataFrame | None = None,
+    early_exit: bool = False,
 ) -> DataFrame:
     """Fixed-round PageRank in exact integer arithmetic → (title,
     rank_scaled) with rank as units of 1/``scale`` (default 1e-12).
@@ -231,6 +232,15 @@ def pagerank_int(
     start at the cold value scale DIV n; the contract is "``iterations``
     rounds from the given start", mirrored by the two-phase unrolled
     oracle (gate ``pr_warm``).
+
+    ``early_exit=True`` stops when a round leaves every rank unchanged:
+    the update is a deterministic function of the previous round, so an
+    unchanged state is a fixpoint and all remaining rounds are provable
+    no-ops — output stays bit-identical to the fixed unroll.  Off by
+    default (the probe is one tiny join per round; gates keep the exact
+    fixed-round plan); the CDC salience fold turns it on because its
+    warm-started quiet batches converge in ~one round but were always
+    paying the full budget.
     """
     w_col = (
         F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
@@ -274,7 +284,7 @@ def pagerank_int(
     else:
         ranks = nodes.select("title", F.lit(init).cast("bigint").alias("rank_scaled"))
     ranks = ranks.localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for i in range(iterations):
         _t0 = time.perf_counter()
         contrib = (
             adj.join(ranks.select(F.col("title").alias("u"), "rank_scaled"), "u")
@@ -287,7 +297,7 @@ def pagerank_int(
             .groupBy("v")
             .agg(F.sum("c").cast("bigint").alias("inflow"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, nodes["title"] == contrib["v"], "left")
             .select(
                 "title",
@@ -299,6 +309,24 @@ def pagerank_int(
         )
         if round_log is not None:
             round_log.append(time.perf_counter() - _t0)
+        converged = False
+        if early_exit and i < iterations - 1:
+            converged = (
+                new_ranks.alias("N")
+                .join(
+                    ranks.select(
+                        F.col("title"), F.col("rank_scaled").alias("__prev")
+                    ),
+                    "title",
+                )
+                .filter(F.col("rank_scaled") != F.col("__prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        ranks = new_ranks
+        if converged:
+            break  # fixpoint: remaining rounds are no-ops
     e.unpersist()
     adj.unpersist()
     nodes.unpersist()

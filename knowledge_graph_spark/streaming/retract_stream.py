@@ -154,6 +154,10 @@ def _fold_salience(io: TableIO, version: int, warm_from: int | None) -> None:
         io.read(f"edges__v{version}").select("source", "target"),
         iterations=PR_MAINT_WARM_ROUNDS if init is not None else PR_MAINT_COLD_ROUNDS,
         init_ranks=init,
+        # a quiet batch's warm start is already at the integer fixpoint;
+        # early_exit stops after the verification round instead of
+        # spending the full budget (output bit-identical either way)
+        early_exit=True,
     )
     io.write(ranks, f"salience__v{version}")
 

@@ -671,3 +671,22 @@ def test_msf_long_chain_exact_with_pointer_early_exit(spark):
     got = min_spanning_forest(df, rounds=7).collect()
     assert len(got) == n - 1
     assert {(r.source, r.target, r.weight) for r in got} == set(rows)
+
+
+def test_pagerank_early_exit_output_identical(spark):
+    """early_exit=True is bit-identical to the fixed unroll and stops at
+    the integer fixpoint: on a symmetric 2-cycle the ranks converge in
+    one round, so a 10-round budget and a 3-round budget agree."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "source string, target string"
+    )
+    fixed = sorted(map(tuple, pagerank_int(df, iterations=10).collect()))
+    adaptive = sorted(
+        map(tuple, pagerank_int(df, iterations=10, early_exit=True).collect())
+    )
+    assert fixed == adaptive
+    # and against a smaller budget past the fixpoint
+    small = sorted(map(tuple, pagerank_int(df, iterations=3).collect()))
+    assert small == adaptive
