@@ -50,8 +50,20 @@ _HTML_ENTITIES = [
 ]
 
 
+def _strip_ws(col: Column) -> Column:
+    """Python ``str.strip()`` semantics: remove ALL leading/trailing
+    whitespace — tabs, newlines, unicode spaces — not just 0x20.  JVM
+    ``trim()`` strips only the space character, which left a trailing
+    space behind on inputs like ``'; \\t'`` (trim can't remove the
+    space because a tab sits outside it; the control-char regex then
+    deletes the tab).  Caught by the parser differential fuzz
+    (tests/test_parse_fuzz.py); ``(?U)`` makes \\s match unicode
+    whitespace like Python's strip."""
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+
+
 def _native_clean(col: Column) -> Column:
-    c = F.trim(col)
+    c = _strip_ws(col)
     for entity, char in _HTML_ENTITIES:
         c = F.replace(c, F.lit(entity), F.lit(char))
     return F.regexp_replace(c, r"[\x00-\x1f\x7f-\x9f]", "")
@@ -71,8 +83,10 @@ def clean_str_col(col: Column) -> Column:
 
 def strip_outer_parens(col: Column) -> Column:
     """Remove one layer of surrounding parentheses from a record tuple
-    (reference graph_extractor.py:200 ``re.sub(r'^\\(|\\)$', '', ...)``)."""
-    return F.regexp_replace(F.trim(col), r"^\(|\)$", "")
+    (reference graph_extractor.py:200 ``re.sub(r'^\\(|\\)$', '', ...)``
+    applied to ``record.strip()`` — full Python whitespace strip, see
+    ``_strip_ws``)."""
+    return F.regexp_replace(_strip_ws(col), r"^\(|\)$", "")
 
 
 def parse_weight(col: Column) -> Column:
