@@ -70,10 +70,12 @@ def _native_clean(col: Column) -> Column:
 
 
 def clean_name(col: Column) -> Column:
-    """Entity-name normalization: unescape + control-strip + UPPER + trim,
-    matching reference graph_extractor.py:205-206 / utils/graph.py:62.
-    Native (whole-stage codegen) — the hot parse path."""
-    return F.upper(F.trim(_native_clean(col)))
+    """Entity-name normalization: unescape + control-strip + UPPER,
+    matching reference graph_extractor.py:205-206 / utils/graph.py:62
+    (``clean_str(name.upper())`` — no second trim after the clean, so a
+    control-char-guarded trailing space survives exactly like Python).
+    Native (whole-stage codegen)."""
+    return F.upper(_native_clean(col))
 
 
 def clean_str_col(col: Column) -> Column:

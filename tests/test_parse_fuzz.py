@@ -60,7 +60,7 @@ types = st.sampled_from(["", "PERSON", "org", "&amp;T", "  geo  ", "E<|>X"])
 weights = st.one_of(
     st.integers(0, 200).map(lambda i: str(i / 4)),
     st.integers(0, 50).map(str),
-    st.sampled_from(["", "junk", "1e2", "  7  ", "+3", "-2.25"]),
+    st.sampled_from(["", "junk", "1e2", "  7  ", "\t8\t", "+3", "-2.25"]),
 )
 
 
