@@ -448,3 +448,47 @@ def test_graphml_round_trip_hostile_attribute_values(spark, tmp_path):
     assert n2.dtypes == nodes.dtypes and e2.dtypes == edges.dtypes
     assert sorted(map(tuple, nodes.collect())) == sorted(map(tuple, n2.collect()))
     assert sorted(map(tuple, edges.collect())) == sorted(map(tuple, e2.collect()))
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_hierarchy_matches_reference_on_random_partitions(spark, data):
+    """Property extension of the golden hierarchy replay: on RANDOM
+    multi-level node partitions (refining or not), the distributed
+    community_hierarchy emits exactly the subset-containment pairs the
+    reference's restore_community_hierarchy loop emits.  Partition
+    inputs make the reference's early ``break`` order-independent, so
+    the comparison is well-defined."""
+    from knowledge_graph_spark.operators.reports import community_hierarchy
+
+    n = data.draw(st.integers(3, 14))
+    nodes = [f"n{i}" for i in range(n)]
+    rows = []
+    for level in range(data.draw(st.integers(2, 3))):
+        k = data.draw(st.integers(1, max(1, n // 2)))
+        assignment = data.draw(
+            st.lists(st.integers(0, k - 1), min_size=n, max_size=n)
+        )
+        for node, c in zip(nodes, assignment):
+            rows.append((node, f"L{level}c{c}", level))
+    members = spark.createDataFrame(
+        rows, "title string, community string, level int"
+    )
+    ours = sorted(
+        (r["community"], r["level"], r["sub_community"], r["sub_community_size"])
+        for r in community_hierarchy(members).collect()
+    )
+    ref = sorted(
+        (d["community"], d["level"], d["sub_community"], d["sub_community_size"])
+        for d in _reference_hierarchy(members.toPandas())
+    )
+    assert ours == ref
