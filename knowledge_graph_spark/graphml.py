@@ -26,6 +26,8 @@ double without caller-side casts.
 
 from __future__ import annotations
 
+import math
+import re
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,6 +147,19 @@ def write_graphml(
     """
     from xml.sax.saxutils import escape, quoteattr
 
+    # Characters outside the XML 1.0 Char production (everything in
+    # C0 except \t \n \r, plus surrogates / U+FFFE / U+FFFF) make the
+    # file unparseable by ANY XML reader, including read_graphml —
+    # strip them so the documented lossless round-trip holds for every
+    # value the tables can contain.  (Lossless over the XML-1.0-
+    # representable subset; nx's writer has the same constraint.)
+    _xml_invalid = re.compile(
+        "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]"
+    )
+
+    def _xml_safe(s: str) -> str:
+        return _xml_invalid.sub("", s)
+
     nattrs = [(c, t) for c, t in nodes.dtypes if c != node_id_col]
     eattrs = [(c, t) for c, t in edges.dtypes if c not in ("source", "target")]
     lines = [
@@ -158,7 +173,7 @@ def write_graphml(
             key_ids[(domain, name)] = kid
             xt = _XML_TYPE.get(dtype, "string")
             lines.append(
-                f'<key id="{kid}" for="{domain}" attr.name={quoteattr(name)} '
+                f'<key id="{kid}" for="{domain}" attr.name={quoteattr(_xml_safe(name))} '
                 f'attr.type="{xt}"/>'
             )
     lines.append(f'<graph edgedefault="{edgedefault}">')
@@ -166,31 +181,34 @@ def write_graphml(
     def _fmt(v) -> str:
         if isinstance(v, bool):
             return "true" if v else "false"
-        if isinstance(v, float) and v == int(v):
-            return f"{v:.1f}"  # nx float rendering: 8.0, not 8
+        if isinstance(v, float):
+            if not math.isfinite(v):
+                return str(v)  # nan / inf / -inf, matching str(float)
+            if v == int(v):
+                return f"{v:.1f}"  # nx float rendering: 8.0, not 8
         return str(v)
 
     for r in nodes.collect():
         d = r.asDict()
-        lines.append(f"<node id={quoteattr(str(d[node_id_col]))}>")
+        lines.append(f"<node id={quoteattr(_xml_safe(str(d[node_id_col])))}>")
         for name, _t in nattrs:
             if d[name] is not None:
                 kid = key_ids[("node", name)]
                 lines.append(
-                    f'  <data key="{kid}">{escape(_fmt(d[name]))}</data>'
+                    f'  <data key="{kid}">{escape(_xml_safe(_fmt(d[name])))}</data>'
                 )
         lines.append("</node>")
     for r in edges.collect():
         d = r.asDict()
         lines.append(
-            f"<edge source={quoteattr(str(d['source']))} "
-            f"target={quoteattr(str(d['target']))}>"
+            f"<edge source={quoteattr(_xml_safe(str(d['source'])))} "
+            f"target={quoteattr(_xml_safe(str(d['target'])))}>"
         )
         for name, _t in eattrs:
             if d[name] is not None:
                 kid = key_ids[("edge", name)]
                 lines.append(
-                    f'  <data key="{kid}">{escape(_fmt(d[name]))}</data>'
+                    f'  <data key="{kid}">{escape(_xml_safe(_fmt(d[name])))}</data>'
                 )
         lines.append("</edge>")
     lines.append("</graph></graphml>")

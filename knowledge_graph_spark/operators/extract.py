@@ -216,13 +216,13 @@ class RecordedBackend:
         key = _prompt_key(messages)
         if key in self._responses:
             return self._responses[key]
-        if self._strict:
-            raise KeyError(
-                f"no recorded response for prompt {key[:12]}… "
-                f"(role={messages[0]['role']}, "
-                f"head={messages[0]['content'][:60]!r})"
-            )
-        return ""
+        # Always raise: _one's non-strict handler is the single place
+        # that decides what a missing round means (drop the doc).
+        raise KeyError(
+            f"no recorded response for prompt {key[:12]}… "
+            f"(role={messages[0]['role']}, "
+            f"head={messages[0]['content'][:60]!r})"
+        )
 
     @staticmethod
     def _fold(records: list[str], response: str) -> None:

@@ -311,14 +311,15 @@ def pagerank_int(
             round_log.append(time.perf_counter() - _t0)
         converged = False
         if early_exit and i < iterations - 1:
+            # eqNullSafe: a NULL-titled node (possible when edges carry
+            # null endpoints) must still be visible to the fixpoint
+            # probe, or its rank change could end the loop early and
+            # break the bit-identical-to-fixed-unroll contract.
+            prev = ranks.select(
+                F.col("title").alias("__pt"), F.col("rank_scaled").alias("__prev")
+            )
             converged = (
-                new_ranks.alias("N")
-                .join(
-                    ranks.select(
-                        F.col("title"), F.col("rank_scaled").alias("__prev")
-                    ),
-                    "title",
-                )
+                new_ranks.join(prev, new_ranks["title"].eqNullSafe(F.col("__pt")))
                 .filter(F.col("rank_scaled") != F.col("__prev"))
                 .limit(1)
                 .count()

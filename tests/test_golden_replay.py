@@ -450,6 +450,59 @@ def test_graphml_round_trip_hostile_attribute_values(spark, tmp_path):
     assert sorted(map(tuple, edges.collect())) == sorted(map(tuple, e2.collect()))
 
 
+def test_graphml_write_nonfinite_and_invalid_chars(spark, tmp_path):
+    """Round-4 ADVICE lows: (a) non-finite float attributes (nan/±inf)
+    export as nan/inf/-inf instead of crashing _fmt; (b) XML-1.0-invalid
+    control characters are stripped at write time so the emitted file is
+    re-readable by any XML parser — lossless over the representable
+    subset, same constraint nx's writer has."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from knowledge_graph_spark.graphml import read_graphml, write_graphml
+
+    nodes = spark.createDataFrame(
+        [
+            ("nan-node", float("nan"), "clean"),
+            ("inf-node", float("inf"), "bell\x07desc\x00null"),
+            ("ninf-node", float("-inf"), "esc\x1b[0m"),
+            ("ctl\x01id", 2.5, "tab\tand\nnewline kept"),
+        ],
+        T.StructType(
+            [
+                T.StructField("title", T.StringType(), False),
+                T.StructField("weight", T.DoubleType(), True),
+                T.StructField("description", T.StringType(), True),
+            ]
+        ),
+    )
+    edges = spark.createDataFrame(
+        [("nan-node", "ctl\x01id", float("nan"))],
+        T.StructType(
+            [
+                T.StructField("source", T.StringType(), False),
+                T.StructField("target", T.StringType(), False),
+                T.StructField("weight", T.DoubleType(), True),
+            ]
+        ),
+    )
+    out = str(tmp_path / "nonfinite.graphml")
+    write_graphml(nodes, edges, out)  # must not raise
+    n2, e2 = read_graphml(spark, out)  # must re-parse
+    got = {r["title"]: r for r in n2.collect()}
+    assert math.isnan(got["nan-node"]["weight"])
+    assert got["inf-node"]["weight"] == float("inf")
+    assert got["ninf-node"]["weight"] == float("-inf")
+    # invalid chars stripped; XML-legal whitespace survives
+    assert got["inf-node"]["description"] == "belldescnull"
+    assert got["ninf-node"]["description"] == "esc[0m"
+    assert got["ctlid"]["description"] == "tab\tand\nnewline kept"
+    (erow,) = e2.collect()
+    assert (erow["source"], erow["target"]) == ("nan-node", "ctlid")
+    assert math.isnan(erow["weight"])
+
+
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 

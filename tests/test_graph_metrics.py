@@ -690,3 +690,25 @@ def test_pagerank_early_exit_output_identical(spark):
     # and against a smaller budget past the fixpoint
     small = sorted(map(tuple, pagerank_int(df, iterations=3).collect()))
     assert small == adaptive
+
+
+def test_pagerank_early_exit_sees_null_titled_nodes(spark):
+    """Round-4 ADVICE low: the fixpoint probe joins old/new ranks with
+    eqNullSafe, so a NULL-titled node (edges with null endpoints) stays
+    visible to the convergence check and early_exit remains
+    bit-identical to the fixed unroll on such graphs."""
+    from knowledge_graph_spark.operators.graphops import pagerank_int
+
+    rows = [("a", None), (None, "b"), ("a", "c"), ("c", "b"), ("b", "a")]
+    df = spark.createDataFrame(rows, "source string, target string")
+
+    def key(t):
+        return ("" if t[0] is None else "\x01" + t[0], t[1])
+
+    for iters in (3, 10):
+        fixed = sorted(map(tuple, pagerank_int(df, iterations=iters).collect()), key=key)
+        adaptive = sorted(
+            map(tuple, pagerank_int(df, iterations=iters, early_exit=True).collect()),
+            key=key,
+        )
+        assert fixed == adaptive, iters

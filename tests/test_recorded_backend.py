@@ -64,6 +64,22 @@ def test_strict_replay_raises_on_unrecorded_prompt():
     assert loose._one("UNRECORDED TEXT WITH NEWTOKEN") == COMPLETION
 
 
+def test_nonstrict_missing_glean_round_drops_doc():
+    """A chunk whose round-0 response IS recorded but whose CONTINUE
+    round is missing degrades to the bare completion marker in
+    non-strict mode — the reference's per-document error path drops the
+    whole doc (graph_extractor.py:105-107), never a partial round.
+    Regression for the round-4 ADVICE low: _invoke must raise so
+    _one's non-strict handler actually fires mid-chain."""
+    t = TEXTS[0]
+    fix = record_gleaning_fixture([t], max_gleanings=0)  # round-0 key only
+    loose = RecordedBackend(fix, max_gleanings=1, strict=False)
+    assert loose._one(t) == COMPLETION
+    strict = RecordedBackend(fix, max_gleanings=1, strict=True)
+    with pytest.raises(KeyError):
+        strict._one(t)
+
+
 def test_probe_gates_second_continue_round():
     """With max_gleanings=2, a chunk whose first gleaning round finds
     nothing must answer NO at the probe and never consume a second
