@@ -450,6 +450,57 @@ def test_graphml_round_trip_hostile_attribute_values(spark, tmp_path):
     assert sorted(map(tuple, edges.collect())) == sorted(map(tuple, e2.collect()))
 
 
+def test_lpa_vs_leiden_agreement_on_frozen_run(spark, gold_graph):
+    """Scores this engine's weighted LPA against the reference's OWN
+    frozen Leiden partition (round-4 VERDICT #1) — converting the last
+    excluded parity quantity (community ids) into a measured number.
+
+    ``graph_save/cluster_graph.graphml`` carries the reference's Leiden
+    ``cluster`` label on each level-0 LCC node (181 nodes, 12 clusters;
+    reference verbs/community_detection/clustering/leiden.py:45-61 —
+    this frozen run has a single hierarchy level, so "per level" is one
+    row).  We run label_propagation on the SAME weighted edges and
+    pair-count agreement with partition_agreement (Rand / P / R / F1,
+    exact integer micros).  LPA is not Leiden, so exact id parity is
+    out of scope by design; the asserted floors pin that the LPA
+    partition (a) agrees far above the connectivity-only baseline
+    (CC = one cluster: Rand 0.156, F1 0.269) and (b) recovers the bulk
+    of Leiden's co-membership pairs.  Measured on this frozen run:
+    24 LPA communities vs 12 Leiden clusters, Rand 0.828, precision
+    0.460, recall 0.630, F1 0.532 (recorded in PARITY.md)."""
+    from knowledge_graph_spark.operators.community import (
+        connected_components,
+        label_propagation,
+    )
+    from knowledge_graph_spark.operators.graphops import partition_agreement
+
+    nodes, edges = gold_graph
+    leiden = nodes.filter(F.col("cluster").isNotNull()).select("title", "cluster")
+    assert leiden.count() == 181
+    lt = leiden.select("title")
+    e = (
+        edges.join(lt.withColumnRenamed("title", "source"), "source")
+        .join(lt.withColumnRenamed("title", "target"), "target")
+        .select("source", "target", "weight")
+    )
+    ref = leiden.withColumnRenamed("cluster", "component")
+
+    lpa = label_propagation(lt, e, max_iter=10)
+    (agr,) = partition_agreement(lpa, ref).collect()
+    assert agr["n_nodes"] == 181
+    # floors: well above the CC baseline, bulk of Leiden pairs recovered
+    assert agr["rand_micro"] >= 750_000, agr
+    assert agr["recall_micro"] >= 550_000, agr
+    assert agr["f1_micro"] >= 450_000, agr
+
+    cc = connected_components(lt, e).withColumnRenamed("component", "community")
+    (base,) = partition_agreement(cc, ref).collect()
+    # the graph is one component, so CC carries no cluster information;
+    # LPA must beat it decisively on every score
+    assert agr["f1_micro"] > base["f1_micro"] + 200_000, (agr, base)
+    assert agr["rand_micro"] > base["rand_micro"] + 200_000, (agr, base)
+
+
 def test_graphml_write_nonfinite_and_invalid_chars(spark, tmp_path):
     """Round-4 ADVICE lows: (a) non-finite float attributes (nan/±inf)
     export as nan/inf/-inf instead of crashing _fmt; (b) XML-1.0-invalid
