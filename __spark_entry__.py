@@ -1920,6 +1920,37 @@ def q_copurchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(_copurchase_edges(spark, sf_dir), iterations=CP_PR_ITER)
 
 
+CP_HIER_LEVELS = 3
+
+
+def q_community_hierarchy3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-3 community hierarchy over the sf-scaling co-purchase graph
+    (VERDICT r4 #5): three matching-contraction levels
+    (graphops.coarsen_communities) feed the R10 containment operator
+    (reports.community_hierarchy) — every level is a REAL refinement
+    (matching always merges adjacent supernodes), unlike deterministic
+    LPA re-runs which reproduce themselves on induced components.
+    Containment rows span levels 0→1 AND 1→2."""
+    from knowledge_graph_spark.operators.graphops import coarsen_communities
+
+    e = _copurchase_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    n = (
+        e.select(F.col("source").alias("title"))
+        .unionByName(e.select(F.col("target").alias("title")))
+        .distinct()
+    )
+    leveled = coarsen_communities(n, e, levels=CP_HIER_LEVELS, rounds=MM_ROUNDS)
+    # distinct: unlike hierarchical_lpa's level-qualified labels, supernode
+    # ids persist across levels, so community_hierarchy's size join fans
+    # out into identical projected rows when an unchanged sub-community's
+    # size coincides across levels (oracle mirrors with SELECT DISTINCT)
+    return (
+        reports.community_hierarchy(leveled)
+        .select("community", "level", "sub_community", "sub_community_size")
+        .distinct()
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: growth-stable closed-form hash
     assignment (no RNG; a doc never migrates splits as the corpus grows)."""
@@ -2787,6 +2818,74 @@ def _cp_rank_sql(rounds: int = CP_PR_ITER) -> str:
     return f"WITH {_CP_EDGES_SQL}" + _pr_body(
         rounds=rounds, edges_cte="cp_edges", prefix="cpr_"
     )
+
+
+def _cp_hier3_sql(levels: int = 3, rounds: int = MM_ROUNDS) -> str:
+    """Depth-``levels`` matching-coarsening hierarchy over the
+    co-purchase graph + R10 containment — mirrors graphops.
+    coarsen_communities feeding reports.community_hierarchy.  Per level:
+    one unrolled symmetric-proposal matching (namespaced ``_mm_body``),
+    one composed-map advance (LEFT join on the current supernode), and —
+    below the last level — one contraction.  Standalone (derives from
+    the lineitem view, no pipeline prelude)."""
+    sql = f"""WITH {_CP_EDGES_SQL},
+ch_nodes AS MATERIALIZED (
+  SELECT DISTINCT t FROM (
+    SELECT source AS t FROM cp_edges UNION ALL SELECT target FROM cp_edges)),
+ch_e1 AS MATERIALIZED (
+  SELECT source AS a, target AS b, CAST(1 AS DOUBLE) AS w,
+         CAST(1 AS BIGINT) AS n_multi
+  FROM cp_edges),
+chm0 AS MATERIALIZED (SELECT t, t AS s FROM ch_nodes)"""
+    for k in range(1, levels + 1):
+        sql += f""",
+ch_ne{k} AS (SELECT a AS source, b AS target FROM ch_e{k} WHERE a <> b)"""
+        sql += _mm_body(
+            rounds=rounds, as_cte=f"chmm{k}", src=f"ch_ne{k}", prefix=f"chp{k}"
+        )
+        sql += f""",
+chstep{k} AS MATERIALIZED (
+  SELECT source AS n, source AS ns FROM chmm{k}
+  UNION ALL SELECT target, source FROM chmm{k}),
+chm{k} AS MATERIALIZED (
+  SELECT m.t, coalesce(s.ns, m.s) AS s
+  FROM chm{k - 1} m LEFT JOIN chstep{k} s ON m.s = s.n)"""
+        if k < levels:
+            sql += f""",
+ch_e{k + 1} AS MATERIALIZED (
+  SELECT least(msn, mtn) AS a, greatest(msn, mtn) AS b,
+         CAST(sum(w) AS DOUBLE) AS w, CAST(sum(n_multi) AS BIGINT) AS n_multi
+  FROM (
+    SELECT coalesce(ms.ns, e.a) AS msn, coalesce(mt.ns, e.b) AS mtn,
+           e.w, e.n_multi
+    FROM ch_e{k} e
+    LEFT JOIN chstep{k} ms ON e.a = ms.n
+    LEFT JOIN chstep{k} mt ON e.b = mt.n)
+  GROUP BY least(msn, mtn), greatest(msn, mtn))"""
+    leveled_union = "\n  UNION ALL ".join(
+        f"SELECT t AS title, s AS community, CAST({levels - k} AS INT) AS level "
+        f"FROM chm{k}"
+        for k in range(1, levels + 1)
+    )
+    sql += f""",
+ch_leveled AS MATERIALIZED (
+  {leveled_union}),
+ch_joined AS (
+  SELECT a.community AS parent, a.level, b.community AS sub_community
+  FROM ch_leveled a JOIN ch_leveled b ON a.title = b.title
+  WHERE b.level = a.level + 1),
+ch_sub_sizes AS (
+  SELECT community AS sub_community, level AS sub_level,
+         count(*) AS sub_size
+  FROM ch_leveled GROUP BY community, level),
+ch_overlap AS (
+  SELECT parent, level, sub_community, count(*) AS overlap
+  FROM ch_joined GROUP BY parent, level, sub_community)
+SELECT DISTINCT o.parent AS community, o.level, o.sub_community,
+       CAST(s.sub_size AS INT) AS sub_community_size
+FROM ch_overlap o JOIN ch_sub_sizes s ON o.sub_community = s.sub_community
+WHERE o.overlap = s.sub_size"""
+    return sql
 
 
 def _ktruss_body(k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS) -> str:
@@ -7782,6 +7881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarized_edges": q_summarized_edges,
         "community_reports": q_community_reports,
         "community_hierarchy": q_community_hierarchy,
+        "community_hierarchy3": q_community_hierarchy3,
         "text_profile": q_text_profile,
         "pii_scrub": q_pii_scrub,
         "corpus_stats": q_corpus_stats,
@@ -8130,6 +8230,7 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "community_hierarchy": _oracle(_hierarchy_body()),
+        "community_hierarchy3": _cp_hier3_sql(),
         "canonicalization": _oracle(_CANONICALIZATION_BODY),
         "canonical_nodes": _oracle(_CANON_CTE + """
             SELECT t.title, t.type, d.description, s.source_ids

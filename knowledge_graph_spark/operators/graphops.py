@@ -2193,6 +2193,85 @@ def coarsen_hierarchy(
     return cur
 
 
+def coarsen_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    levels: int = 3,
+    rounds: int = 4,
+    node_col: str = "title",
+    src: str = "source",
+    dst: str = "target",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Depth-L community hierarchy from multilevel matching-coarsening →
+    (title, community, level), one row per node per level.
+
+    Level ``levels-1`` is the FINEST granularity (one matching +
+    contraction), level 0 the coarsest (``levels`` contractions) —
+    the R10 orientation (reports.community_hierarchy): level L+1
+    communities nest inside level L.  A node's community at level L is
+    the supernode its contraction chain reaches after ``levels - L``
+    matchings, so containment holds BY CONSTRUCTION at every depth:
+    each contraction only merges whole supernodes, never splits one.
+    This is the depth-parameterized re-clustering the reference gets
+    from hierarchical Leiden (leiden.py:45-61) — deterministic LPA
+    cannot provide it (re-running the same rounds on an induced
+    component reproduces itself), but matching-coarsening strictly
+    coarsens wherever any adjacent pair remains, so every level is a
+    REAL refinement step on any graph at any scale.
+
+    Scale shape: per level one fixed-round ``maximal_matching`` + one
+    ``coarsen_by_matching`` contraction (hash equi-joins + map-side
+    combined groupBy), plus ONE equi-join to advance the composed
+    node→supernode map (keyed on the current supernode — never the
+    original node set twice).  Edge tables shrink geometrically; the
+    node map stays |V| rows with no driver state, no windows, no
+    collect.
+    """
+    out = None
+    cur = edges.select(
+        F.col(src).alias("a"),
+        F.col(dst).alias("b"),
+        F.col(weight_col).cast("double").alias("w"),
+        F.lit(1).cast("bigint").alias("n_multi"),
+    )
+    m_map = nodes.select(
+        F.col(node_col).alias("__t"), F.col(node_col).alias("__s")
+    )
+    for k in range(1, levels + 1):
+        matching = maximal_matching(
+            cur.filter(F.col("a") != F.col("b")).select(
+                F.col("a").alias("source"), F.col("b").alias("target")
+            ),
+            rounds=rounds,
+        ).localCheckpoint(eager=True)
+        step = matching.select(
+            F.col("source").alias("__n"), F.col("source").alias("__ns")
+        ).unionByName(
+            matching.select(
+                F.col("target").alias("__n"), F.col("source").alias("__ns")
+            )
+        )
+        m_map = (
+            m_map.join(step, m_map["__s"] == step["__n"], "left")
+            .select(
+                "__t", F.coalesce(F.col("__ns"), F.col("__s")).alias("__s")
+            )
+            .localCheckpoint(eager=True)
+        )
+        lvl = m_map.select(
+            F.col("__t").alias(node_col),
+            F.col("__s").alias("community"),
+            F.lit(levels - k).cast("int").alias("level"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+        if k < levels:
+            cur = coarsen_by_matching(
+                cur, matching, src="a", dst="b", weight_col="w", count_col="n_multi"
+            ).localCheckpoint(eager=True)
+    return out
+
+
 def edge_partition_audit(
     edges: DataFrame,
     n_parts: int = 32,

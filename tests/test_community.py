@@ -355,3 +355,141 @@ def test_lpa_warm_start_from_converged_labels_is_stable(spark):
     assert {r.title: r.community for r in warm.collect()} == {
         r.title: r.community for r in cold.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-5: depth-L hierarchy (VERDICT r4 #5) — coarsen_communities +
+# hierarchical_lpa iter_schedule.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def test_hierarchical_lpa_iter_schedule_constant_is_default(spark):
+    """iter_schedule=[k, k, ...] with k = the default max_iter must be
+    bit-identical to omitting the schedule (the opt-in path changes
+    nothing unless the budgets actually differ)."""
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((f"n{base + i}", f"n{base + j}", 5.0))
+    edges.append(("n0", "n4", 0.1))
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(8)], "title string")
+    e = spark.createDataFrame(edges, "source string, target string, weight double")
+    plain = sorted(
+        map(tuple, hierarchical_lpa(nodes, e, max_cluster_size=4, max_levels=3).collect())
+    )
+    sched = sorted(
+        map(
+            tuple,
+            hierarchical_lpa(
+                nodes, e, max_cluster_size=4, max_levels=3, iter_schedule=[10, 10, 10]
+            ).collect(),
+        )
+    )
+    assert plain == sched
+
+
+def test_hierarchical_lpa_iter_schedule_containment(spark):
+    """A decreasing round budget per level still yields legal R10
+    containment: every level-(L+1) community's members share ONE
+    level-L community (qualified labels make this structural)."""
+    import itertools
+
+    names = [f"C{c}_{i}" for c in range(2) for i in range(10)]
+    nodes = spark.createDataFrame([(x,) for x in names], "title string")
+    rows = []
+    for c in range(2):
+        members = [f"C{c}_{i}" for i in range(10)]
+        rows += [(a, b, 5.0) for a, b in itertools.combinations(members, 2)]
+    rows.append(("C0_0", "C1_0", 0.1))
+    e = spark.createDataFrame(rows, "source string, target string, weight double")
+    lev = hierarchical_lpa(
+        nodes, e, max_cluster_size=4, max_levels=3, iter_schedule=[10, 2, 1]
+    )
+    rows_ = lev.collect()
+    by_level = {}
+    for r in rows_:
+        by_level.setdefault(r.level, {})[r.title] = r.community
+    levels = sorted(by_level)
+    for lo, hi in zip(levels, levels[1:]):
+        parents = {}
+        for t, c in by_level[hi].items():
+            parents.setdefault(c, set()).add(by_level[lo][t])
+        assert all(len(p) == 1 for p in parents.values()), (lo, hi, parents)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_coarsen_communities_containment_fuzz(spark, data):
+    """Property fuzz (VERDICT r4 #5, mirroring the golden hierarchy
+    fuzz): on RANDOM graphs, coarsen_communities(levels=3) emits, per
+    level, a full partition of the node set; every finer community nests
+    in exactly one coarser community; community counts are monotone
+    (coarser ≤ finer); and reports.community_hierarchy over the leveled
+    frame equals a sequential Python containment loop."""
+    from knowledge_graph_spark.operators import reports
+    from knowledge_graph_spark.operators.graphops import coarsen_communities
+
+    n = data.draw(st.integers(min_value=4, max_value=24))
+    m = data.draw(st.integers(min_value=3, max_value=60))
+    names = [f"v{i:02d}" for i in range(n)]
+    pairs = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n - 1),
+                st.integers(0, n - 1),
+                st.integers(1, 9),
+            ),
+            min_size=m,
+            max_size=m,
+        )
+    )
+    edges = [
+        (names[a], names[b], float(w)) for a, b, w in pairs if a != b
+    ]
+    if not edges:
+        edges = [(names[0], names[1], 1.0)]
+    nodes = spark.createDataFrame([(x,) for x in names], "title string")
+    e = spark.createDataFrame(edges, "source string, target string, weight double")
+    levels = 3
+    lev = coarsen_communities(nodes, e, levels=levels, rounds=3)
+    rows = lev.collect()
+    by_level: dict = {}
+    for r in rows:
+        by_level.setdefault(r.level, {})[r.title] = r.community
+    assert sorted(by_level) == list(range(levels))
+    counts = {}
+    for L, mp in by_level.items():
+        # full partition: every node exactly once per level
+        assert sorted(mp) == names, L
+        counts[L] = len(set(mp.values()))
+    for lo, hi in zip(range(levels - 1), range(1, levels)):
+        assert counts[lo] <= counts[hi], counts  # coarser has <= communities
+        parents = {}
+        for t, c in by_level[hi].items():
+            parents.setdefault(c, set()).add(by_level[lo][t])
+        assert all(len(p) == 1 for p in parents.values()), (lo, hi)
+    # community_hierarchy == sequential containment loop (the reference's
+    # restore_community_hierarchy issubset check, run per adjacent pair)
+    expected = set()
+    member_sets: dict = {}
+    for L, mp in by_level.items():
+        for t, c in mp.items():
+            member_sets.setdefault((L, c), set()).add(t)
+    for (L, c), members in member_sets.items():
+        for (L2, c2), sub in member_sets.items():
+            if L2 == L + 1 and sub <= members:
+                expected.add((c, L, c2, len(sub)))
+    got = {
+        (r.community, r.level, r.sub_community, r.sub_community_size)
+        for r in reports.community_hierarchy(lev).collect()
+    }
+    assert got == expected

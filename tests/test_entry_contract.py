@@ -52,6 +52,7 @@ CHECK = [
     "community_reports",
     "communities_lpa",
     "community_hierarchy",
+    "community_hierarchy3",
     "text_unit_links",
     "text_profile",
     "sessions",
