@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
         "(warm-chained on every fold — see retract_stream._fold_communities)",
     )
     p.add_argument(
+        "--claims",
+        action="store_true",
+        help="also maintain the V1-V5 claim/covariate table per fold "
+        "(claim extraction runs once per conversation at insert time; "
+        "deletes anti-join the parsed-claim segments and re-run the "
+        "merge tail only — see retract_stream._fold_claims)",
+    )
+    p.add_argument(
         "--changelog",
         action="store_true",
         help="also emit the per-fold edge change feed changelog__v{k} "
@@ -85,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.inserts, args.deletes, io, args.checkpoint, cfg,
         components=args.components, salience=args.salience,
         communities=args.communities, changelog=args.changelog,
+        claims=args.claims,
     )
     try:
         nodes = read_current_kg(io, "nodes").count()
@@ -96,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
             line += f" salience={read_current_kg(io, 'salience').count()}"
         if args.communities:
             line += f" communities={read_current_kg(io, 'communities').count()}"
+        if args.claims:
+            line += f" claims={read_current_kg(io, 'claims').count()}"
         print(line)
     except FileNotFoundError:
         print("kg_stream committed: no batches arrived (empty input dirs)")

@@ -95,6 +95,7 @@ def gc_graph_version(io: TableIO, version: int) -> None:
         f"components__v{version}",
         f"salience__v{version}",
         f"communities__v{version}",
+        f"claims__v{version}",
     ):
         try:
             io.delete(name)

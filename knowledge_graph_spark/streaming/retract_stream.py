@@ -84,13 +84,28 @@ def _committed(state: dict | None, lineage: str, epoch_id: int) -> bool:
 
 
 def _publish(
-    io: TableIO, state: dict | None, lineage: str, epoch_id: int, version: int, segments: list[str]
+    io: TableIO,
+    state: dict | None,
+    lineage: str,
+    epoch_id: int,
+    version: int,
+    segments: list[str],
+    claim_segments: list[str] | None = None,
 ) -> None:
     epochs = dict((state or {}).get("epochs", {}))
     epochs[lineage] = int(epoch_id)
+    if claim_segments is None:  # fold not maintaining claims: carry as-is
+        claim_segments = list((state or {}).get("claim_segments", []))
     io.write_text(
         CDC_MARKER,
-        json.dumps({"version": version, "segments": segments, "epochs": epochs}),
+        json.dumps(
+            {
+                "version": version,
+                "segments": segments,
+                "claim_segments": claim_segments,
+                "epochs": epochs,
+            }
+        ),
     )
 
 
@@ -162,6 +177,31 @@ def _fold_salience(io: TableIO, version: int, warm_from: int | None) -> None:
     io.write(ranks, f"salience__v{version}")
 
 
+def _fold_claims(io: TableIO, version: int, claim_segments: list[str]) -> None:
+    """Maintain ``claims__v{version}`` (the V1-V5 covariate table) from
+    the accumulated PARSED-claim segments — the extraction-never-re-runs
+    pattern applied to claims (VERDICT r4 #4): the per-turn claim EMIT
+    (V1, the LLM seam) runs exactly once per conversation at insert
+    time and lands as parsed rows in a ``claims__s*`` segment; this fold
+    only re-runs the cheap merge tail (V4 groupBy subject + V5 ids)
+    over the retained rows.  A delete therefore costs one conv-keyed
+    anti-join + one |subjects|-sized groupBy, never a re-extraction.
+    Alias linking (V3) is not applied here — the CDC sink maintains the
+    pre-link covariates exactly like the batch job's alias_dict=None
+    path; a maintained alias dictionary would slot in between segments
+    and merge (reference verbs/covariates/extract_covariates.py:28-48).
+    """
+    from ..operators.claims import finalize_claims, merge_claims
+
+    rows = None
+    for seg in claim_segments:
+        part = io.read(seg)
+        rows = part if rows is None else rows.unionByName(part)
+    if rows is None:
+        return
+    io.write(finalize_claims(merge_claims(rows)), f"claims__v{version}")
+
+
 def _fold_changelog(io: TableIO, version: int) -> None:
     """Write ``changelog__v{version}`` — the edge-level diff of this fold
     against the previous committed version (temporal.kg_version_diff
@@ -229,6 +269,7 @@ def fold_insert_batch(
     salience: bool = False,
     communities: bool = False,
     changelog: bool = False,
+    claims: bool = False,
 ) -> None:
     """Insert micro-batch: graph union + ONE new record segment.
 
@@ -269,7 +310,18 @@ def fold_insert_batch(
         _fold_communities(io, k + 1, warm_from=k if k >= 0 else None)
     if changelog:
         _fold_changelog(io, k + 1)
-    _publish(io, state, lineage, epoch_id, k + 1, segments + [seg])
+    claim_segments: list[str] | None = None
+    if claims:
+        from ..operators.claims import emit_claim_records, parse_claim_records
+
+        cseg = f"claims__s{k + 1}"
+        io.write(parse_claim_records(emit_claim_records(batch_df)), cseg)
+        claim_segments = list((state or {}).get("claim_segments", [])) + [cseg]
+        _fold_claims(io, k + 1, claim_segments)
+    _publish(
+        io, state, lineage, epoch_id, k + 1, segments + [seg],
+        claim_segments=claim_segments,
+    )
     for df in (records, new_nodes, new_edges, stages["split_records"]):
         df.unpersist()
     gc_graph_version(io, k - 1)
@@ -284,6 +336,7 @@ def fold_delete_batch(
     salience: bool = False,
     communities: bool = False,
     changelog: bool = False,
+    claims: bool = False,
 ) -> None:
     """Delete micro-batch (conv_ids): anti-join the record segments,
     re-merge, compact — extraction never re-runs.  See fold_insert_batch
@@ -326,11 +379,26 @@ def fold_delete_batch(
         _fold_communities(io, k + 1, warm_from=k)
     if changelog:
         _fold_changelog(io, k + 1)
-    _publish(io, state, lineage, epoch_id, k + 1, [compact])
+    claim_segments: list[str] | None = None
+    old_claim_segments: list[str] = []
+    if claims and state.get("claim_segments"):
+        old_claim_segments = list(state["claim_segments"])
+        crows = None
+        for cseg in old_claim_segments:
+            part = io.read(cseg)
+            crows = part if crows is None else crows.unionByName(part)
+        ccompact = f"claims__s{k + 1}c"
+        io.write(crows.join(deleted, "conv_id", "left_anti"), ccompact)
+        claim_segments = [ccompact]
+        _fold_claims(io, k + 1, claim_segments)
+    _publish(
+        io, state, lineage, epoch_id, k + 1, [compact],
+        claim_segments=claim_segments,
+    )
     kept.unpersist()
     sink["split_records"].unpersist()
     gc_graph_version(io, k - 1)
-    for seg in old_segments:  # superseded by the compact segment
+    for seg in old_segments + old_claim_segments:  # superseded by compacts
         try:
             io.delete(seg)
         except Exception:
@@ -348,6 +416,7 @@ def run_kg_cdc(
     salience: bool = False,
     communities: bool = False,
     changelog: bool = False,
+    claims: bool = False,
     max_files_per_trigger: int = 64,
 ):
     """Drain the insert stream, then (if delete_dir is given) the delete
@@ -360,7 +429,10 @@ def run_kg_cdc(
     see _fold_salience); ``communities`` maintains ``communities__v{k}``
     (weighted LPA labels, warm-chained on every fold — see
     _fold_communities); ``changelog`` emits the per-fold edge change
-    feed ``changelog__v{k}`` (see _fold_changelog)."""
+    feed ``changelog__v{k}`` (see _fold_changelog); ``claims`` maintains
+    the V1-V5 covariate table ``claims__v{k}`` from persisted
+    parsed-claim segments (see _fold_claims — claim extraction runs once
+    per conversation; deletes anti-join and re-merge only)."""
     cfg = cfg or PipelineConfig(chunk_size=128, chunk_overlap=16, tokenizer="ws")
     ins_ckpt = f"{checkpoint_dir}/inserts"
     q = (
@@ -369,7 +441,7 @@ def run_kg_cdc(
             lambda df, e: fold_insert_batch(
                 io, df, cfg, e, lineage=ins_ckpt, components=components,
                 salience=salience, communities=communities,
-                changelog=changelog,
+                changelog=changelog, claims=claims,
             )
         )
         .option("checkpointLocation", ins_ckpt)
@@ -385,7 +457,7 @@ def run_kg_cdc(
                 lambda df, e: fold_delete_batch(
                     io, df, e, lineage=del_ckpt, components=components,
                     salience=salience, communities=communities,
-                    changelog=changelog,
+                    changelog=changelog, claims=claims,
                 )
             )
             .option("checkpointLocation", del_ckpt)

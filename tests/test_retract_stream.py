@@ -374,13 +374,15 @@ def test_kg_cdc_stream_path_threads_maintenance_flags(spark, tmp_path):
     and the folds."""
     ins = str(tmp_path / "ins")
     _batch(spark, "c1", ["ALPHA", "BETA"]).write.mode("append").parquet(ins)
+    _claim_batch(spark, "c2", [(1, "CLICK", 3)]).write.mode("append").parquet(ins)
     io = TableIO(spark, base=str(tmp_path / "wh"))
     run_kg_cdc(
         spark, ins, None, io, str(tmp_path / "ckpt"), CFG,
-        salience=True, communities=True,
+        salience=True, communities=True, claims=True,
     )
     assert read_current_kg(io, "salience").count() > 0
     assert read_current_kg(io, "communities").count() > 0
+    assert read_current_kg(io, "claims").count() > 0
 
 
 @pytest.mark.filterwarnings("ignore")
@@ -427,3 +429,76 @@ def test_kg_cdc_changelog_emits_exact_change_feed(spark, tmp_path):
     assert {
         (r.source, r.target) for r in io.read("changelog__v0").collect()
     } == e0
+
+
+def _claim_batch(spark, conv, items):
+    """Transcript batch whose turns match the planted claim grammar
+    (USER_x saw EVT_y on ITEM_z) plus one non-claim turn."""
+    rows = [
+        (
+            conv,
+            i,
+            "user",
+            f"USER_{u} saw EVT_{e} on ITEM_{it} during the session",
+            "",
+            TS + datetime.timedelta(minutes=i),
+        )
+        for i, (u, e, it) in enumerate(items)
+    ]
+    rows.append((conv, len(items), "assistant", "no claim here", "", TS))
+    return spark.createDataFrame(rows, TRANSCRIPT_DDL)
+
+
+def _claims_dict(df):
+    return {r.subject_id: r.asDict() for r in df.collect()}
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_claims_delete_equals_rebuild(spark, tmp_path):
+    """VERDICT r4 #4: the CDC-maintained claims table after inserts + a
+    delete is BIT-IDENTICAL to the batch V1-V5 chain run from scratch on
+    the retained transcripts — claim extraction ran once per
+    conversation, the delete only anti-joined the parsed segments and
+    re-ran the merge tail (retract_stream._fold_claims)."""
+    from knowledge_graph_spark.operators.claims import extract_claims
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    b1 = _claim_batch(spark, "c1", [(1, "CLICK", 3), (1, "VIEW", 4), (2, "CLICK", 3)])
+    b2 = _claim_batch(spark, "c2", [(1, "CLICK", 3), (3, "BUY", 5)])
+    fold_insert_batch(io, b1, CFG, 0, lineage="ins", claims=True)
+    fold_insert_batch(io, b2, CFG, 1, lineage="ins", claims=True)
+
+    # after both inserts: claims == batch chain over c1 ∪ c2
+    got = _claims_dict(read_current_kg(io, "claims"))
+    want = _claims_dict(extract_claims(b1.unionByName(b2)))
+    assert got == want and {"USER_1", "USER_2", "USER_3"} <= set(got)
+
+    # delete c1 → claims rebased to the batch chain over c2 alone
+    fold_delete_batch(
+        io, spark.createDataFrame([("c1",)], "conv_id string"), 0,
+        lineage="del", claims=True,
+    )
+    got = _claims_dict(read_current_kg(io, "claims"))
+    want = _claims_dict(extract_claims(b2))
+    assert got == want
+    assert "USER_2" not in got  # only c1 carried USER_2's claim
+
+    # segments compacted to ONE retained claim segment; replaying the
+    # committed delete epoch is a no-op
+    state = json.loads(io.read_text(CDC_MARKER))
+    assert len(state["claim_segments"]) == 1
+    assert state["claim_segments"][0].endswith("c")
+    fold_delete_batch(
+        io, spark.createDataFrame([("c1",)], "conv_id string"), 0,
+        lineage="del", claims=True,
+    )
+    assert json.loads(io.read_text(CDC_MARKER)) == state
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_claims_flag_off_writes_no_table(spark, tmp_path):
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    fold_insert_batch(io, _claim_batch(spark, "c1", [(1, "CLICK", 3)]), CFG, 0, lineage="ins")
+    assert not io.exists("claims__v0")
+    state = json.loads(io.read_text(CDC_MARKER))
+    assert state["claim_segments"] == []
