@@ -742,8 +742,10 @@ def blocking_quality(
         .distinct()
     )
     if sample_mod is not None and sample_mod > 1:
+        # shared cross-engine rolling-hash family (not xxhash64), so the
+        # SQL oracle can apply the IDENTICAL deterministic subuniverse
         named = named.filter(
-            F.pmod(F.xxhash64(F.col("title")), F.lit(sample_mod)) == 0
+            F.pmod(rolling_fingerprint(F.col("title")), F.lit(sample_mod)) == 0
         )
     named = named.persist()
     # every multi-consumer frame is persisted: the metric row fans out

@@ -329,3 +329,52 @@ def test_blocking_quality_sample_mod(spark):
                                 sampled.n_truth if sampled.n_truth else 0) or (
         sampled.n_cand == 0 or sampled.n_truth == 0
     )
+
+
+def test_blocking_quality_exact_matches_brute_force(spark):
+    """Pins the EXACT path now that the blocking_audit gate runs on the
+    sample_mod subuniverse (VERDICT r4 #3): on a small corpus the
+    operator's exact truth-pair count equals an all-pairs Python
+    Jaccard loop over the normalized-name shingle sets, and n_hit
+    equals the brute-force truth ∩ candidate intersection."""
+    from knowledge_graph_spark.operators.linking import (
+        _shingles,
+        minhash_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, f"document {i} " + " ".join(f"tok{i}_{j}" for j in range(10)))
+            for i in range(25)]
+    rows += [
+        (100, base),
+        (101, base.replace("lazy", "sleepy")),
+        (103, base.replace("river", "creek")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = blocking_quality(docs, threshold=0.5).collect()[0]
+
+    from knowledge_graph_spark.functions.textqc import normalized_text
+    names = sorted(
+        r.title
+        for r in docs.select(normalized_text(F.col("text")).alias("title"))
+        .filter("title <> ''").distinct().collect()
+    )
+    sets = {n: _shingles(n, 9) for n in names}
+    truth = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.5:
+                truth.add((a, b))
+    assert out.n_names == len(names)
+    assert out.n_truth == len(truth) and len(truth) >= 2  # planted near-dups
+    ndf = docs.select(normalized_text(F.col("text")).alias("title")).filter(
+        "title <> ''"
+    ).distinct()
+    cand = {
+        (r.name_a, r.name_b)
+        for r in minhash_candidate_pairs(
+            ndf, name_col="title", num_perm=64, bands=16, shingle_k=9
+        ).collect()
+    }
+    assert out.n_hit == len(truth & cand)
