@@ -1576,6 +1576,7 @@ def scc_fixed_rounds(
     outer_rounds: int = 2,
     round_log: list | None = None,
     rounds_used: list | None = None,
+    edge_layout: str | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph via fixed-round
     forward-backward min-label peeling (the FW-BW-trim family, Fleischer
@@ -1624,6 +1625,22 @@ def scc_fixed_rounds(
       no-ops, so the gate's fixed-round oracle still matches bit-for-bit
       (`rounds_used` reports the budget actually consumed for the
       bench's rounds-vs-budget readout).
+
+    ``edge_layout`` (round-5, VERDICT r4 #2 — output byte-identical,
+    physical plan only): at 1.2M+ edges the kernel is shuffle-bound
+    because every inner round's frontier join re-exchanges the FULL
+    directed edge list (each early-exit probe is its own action, so
+    Catalyst's ReuseExchange never amortizes it).  ``"bucket"``
+    materializes each outer round's direction-tagged edges as a table
+    BUCKETED on the join key (frm, dir) — the durable form of
+    ``edge_partition_audit``'s src_hash strategy, the only layout a
+    DataFrame engine can make the join planner actually *see* (a bare
+    repartition() is invisible to Catalyst across actions) — so per
+    inner round only the O(delta) label frontier shuffles and the edge
+    side is scanned in place.  Write-once cost |E| per outer round vs
+    |E| shuffle per inner round; A/B walls + shuffle bytes in
+    BENCH_SCALING.md.  Default None keeps the exact round-4 plan (what
+    the gates run).
     """
     e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -1636,24 +1653,41 @@ def scc_fixed_rounds(
         .distinct()
     )
 
+    spark = edges.sparkSession
+    _bucket_seq = [0]
+
+    def _bucketize(df: DataFrame, cols: list[str]) -> tuple[DataFrame, str]:
+        """Write df as a table bucketed on `cols` (bucket count = the
+        session's shuffle partitions) and read it back — the read
+        reports HashPartitioning(cols) to Catalyst, so equi-joins on
+        `cols` skip the exchange on this side."""
+        _bucket_seq[0] += 1
+        name = f"__scc_bucket_{id(_bucket_seq)}_{_bucket_seq[0]}"
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df.write.mode("overwrite").format("parquet").bucketBy(p, *cols).saveAsTable(
+            name
+        )
+        return spark.table(name), name
+
     def _min_prop_fused(rem: DataFrame, er: DataFrame) -> tuple[DataFrame, int]:
         """Both propagation directions in one (node, dir)-keyed loop;
         delta-only joins; early exit on a converged frontier.  Returns
         (labels, rounds_actually_run) — labels bit-identical to running
         `inner_rounds` full union+min rounds per direction."""
-        ed = (
+        ed = er.select(
+            F.col("a").alias("frm"), F.col("b").alias("to"), F.lit("f").alias("dir")
+        ).unionByName(
             er.select(
-                F.col("a").alias("frm"), F.col("b").alias("to"), F.lit("f").alias("dir")
+                F.col("b").alias("frm"),
+                F.col("a").alias("to"),
+                F.lit("b").alias("dir"),
             )
-            .unionByName(
-                er.select(
-                    F.col("b").alias("frm"),
-                    F.col("a").alias("to"),
-                    F.lit("b").alias("dir"),
-                )
-            )
-            .localCheckpoint(eager=False)
         )
+        bucket_name = None
+        if edge_layout == "bucket":
+            ed, bucket_name = _bucketize(ed, ["frm", "dir"])
+        else:
+            ed = ed.localCheckpoint(eager=False)
         lab = rem.select(
             "node",
             F.col("node").alias("lab"),
@@ -1695,6 +1729,11 @@ def scc_fixed_rounds(
                 delta = merged.filter("chg").select("node", "dir", "lab")
                 if delta.limit(1).count() == 0:
                     break  # fixpoint: remaining rounds are no-ops
+        if bucket_name is not None:
+            # materialize before dropping the bucketed table the lazy
+            # label lineage still reads from
+            lab = lab.localCheckpoint(eager=True)
+            spark.sql(f"DROP TABLE IF EXISTS {bucket_name}")
         return lab, used
 
     remaining, er, out = nodes, e0, None
