@@ -517,3 +517,20 @@ def test_copurchase_edge_build_pruned_equijoin(spark):
     # column survives anywhere in the physical plan
     for col in ("l_extendedprice", "l_comment", "l_shipdate", "l_quantity"):
         assert col not in p
+
+
+def test_coarsen_communities_plan_no_cartesian_no_python(spark):
+    """The depth-L hierarchy is matchings + contractions + one composed
+    map advance per level — all hash equi-joins and partial aggregates:
+    no nested-loop/cartesian join, no Python anywhere in the plan."""
+    from knowledge_graph_spark.operators.graphops import coarsen_communities
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "title string")
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)],
+        "source string, target string, weight double",
+    )
+    p = plan(coarsen_communities(nodes, e, levels=2, rounds=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PythonUDF" not in p
