@@ -2832,7 +2832,7 @@ def _cp_rank_sql(rounds: int = CP_PR_ITER) -> str:
     )
 
 
-def _cp_hier3_sql(levels: int = 3, rounds: int = MM_ROUNDS) -> str:
+def _cp_hier3_sql(levels: int = CP_HIER_LEVELS, rounds: int = MM_ROUNDS) -> str:
     """Depth-``levels`` matching-coarsening hierarchy over the
     co-purchase graph + R10 containment — mirrors graphops.
     coarsen_communities feeding reports.community_hierarchy.  Per level:
@@ -5348,8 +5348,9 @@ SELECT n_names,
          AS pairs_quality
 FROM cnts
 """
-# the shared hash family is spliced in post-f-string (the only remaining
-# braces are these two placeholders)
+# the shared hash family + the gate's sample filter are spliced in
+# post-f-string (the only remaining braces are these FOUR placeholders:
+# poly_g, perm_x_pi, poly_title, block_mod)
 _BLOCKING_AUDIT_SQL = _BLOCKING_AUDIT_SQL.format(
     poly_g=_POLY.format(s="g"),
     perm_x_pi=_perm("x", "pi"),

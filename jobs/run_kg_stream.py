@@ -95,18 +95,31 @@ def main(argv: list[str] | None = None) -> int:
         communities=args.communities, changelog=args.changelog,
         claims=args.claims,
     )
+    def _count(name: str) -> str:
+        # A maintained table can legitimately be absent at the committed
+        # version even when its flag is on (e.g. --claims enabled on a
+        # run whose only batch was a delete against a pre-claims
+        # deployment: the fold advances the version without a claims
+        # table).  Spark surfaces the missing path as AnalysisException,
+        # not FileNotFoundError — report "absent", don't crash a job
+        # whose fold committed fine.
+        try:
+            return str(read_current_kg(io, name).count())
+        except Exception:
+            return "absent"
+
     try:
         nodes = read_current_kg(io, "nodes").count()
         edges = read_current_kg(io, "edges").count()
         line = f"kg_stream committed: nodes={nodes} edges={edges}"
         if args.components:
-            line += f" components={read_current_kg(io, 'components').count()}"
+            line += f" components={_count('components')}"
         if args.salience:
-            line += f" salience={read_current_kg(io, 'salience').count()}"
+            line += f" salience={_count('salience')}"
         if args.communities:
-            line += f" communities={read_current_kg(io, 'communities').count()}"
+            line += f" communities={_count('communities')}"
         if args.claims:
-            line += f" claims={read_current_kg(io, 'claims').count()}"
+            line += f" claims={_count('claims')}"
         print(line)
     except FileNotFoundError:
         print("kg_stream committed: no batches arrived (empty input dirs)")

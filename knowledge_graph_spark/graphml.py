@@ -116,6 +116,20 @@ def read_graphml(
     return nodes, edges
 
 
+# Characters outside the XML 1.0 Char production (everything in C0
+# except \t \n \r, plus surrogates / U+FFFE / U+FFFF) make a file
+# unparseable by ANY XML reader, including read_graphml — stripped at
+# write time so the documented lossless round-trip holds over the
+# XML-1.0-representable subset (nx's writer has the same constraint).
+_XML_INVALID = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff\ufffe\uffff]"
+)
+
+
+def _xml_safe(s: str) -> str:
+    return _XML_INVALID.sub("", s)
+
+
 _XML_TYPE = {
     "int": "int",
     "bigint": "long",
@@ -146,19 +160,6 @@ def write_graphml(
     collect here is therefore a documented bound, not a scale path.
     """
     from xml.sax.saxutils import escape, quoteattr
-
-    # Characters outside the XML 1.0 Char production (everything in
-    # C0 except \t \n \r, plus surrogates / U+FFFE / U+FFFF) make the
-    # file unparseable by ANY XML reader, including read_graphml —
-    # strip them so the documented lossless round-trip holds for every
-    # value the tables can contain.  (Lossless over the XML-1.0-
-    # representable subset; nx's writer has the same constraint.)
-    _xml_invalid = re.compile(
-        "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]"
-    )
-
-    def _xml_safe(s: str) -> str:
-        return _xml_invalid.sub("", s)
 
     nattrs = [(c, t) for c, t in nodes.dtypes if c != node_id_col]
     eattrs = [(c, t) for c, t in edges.dtypes if c not in ("source", "target")]

@@ -334,6 +334,9 @@ def hierarchical_lpa(
     behavior bit-identical to previous releases.
     """
 
+    if iter_schedule is not None and not iter_schedule:
+        raise ValueError("iter_schedule must be None or a non-empty list")
+
     def _iters(level: int) -> dict:
         if iter_schedule is None:
             return kwargs

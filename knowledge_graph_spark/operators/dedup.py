@@ -724,8 +724,9 @@ def blocking_quality(
     the dominant gate cost at sf0.1 (651 s: it is the deliberately
     unpruned quadratic baseline).  ``sample_mod=k`` is the corpus-scale
     path: keep the deterministic 1/k of names with
-    pmod(xxhash64(title), k) == 0 and audit the blocker on that
-    subcorpus — the three metrics are ratio estimates, stable under
+    pmod(rolling_fingerprint(title), k) == 0 — the shared cross-engine
+    hash family, so the SQL oracle applies the identical filter — and
+    audit the blocker on that subcorpus — the three metrics are ratio estimates, stable under
     uniform name sampling (both truth and candidate pair sets restrict
     to the SAME sampled name universe, so numerators and denominators
     shrink together).  ``sample_mod=None``/1 is exact and is what the

@@ -1642,6 +1642,10 @@ def scc_fixed_rounds(
     BENCH_SCALING.md.  Default None keeps the exact round-4 plan (what
     the gates run).
     """
+    if edge_layout not in (None, "bucket"):
+        # a typo'd layout must not silently run the default and get
+        # recorded as an A/B arm (review finding)
+        raise ValueError(f"unknown edge_layout {edge_layout!r}; use None or 'bucket'")
     e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .distinct()
@@ -1688,6 +1692,19 @@ def scc_fixed_rounds(
             ed, bucket_name = _bucketize(ed, ["frm", "dir"])
         else:
             ed = ed.localCheckpoint(eager=False)
+        try:
+            return _rounds(rem, ed, eager_out=bucket_name is not None)
+        finally:
+            if bucket_name is not None:
+                # drop the scratch table on EVERY exit path (an OOM or
+                # interrupt mid-loop must not leak an |E|-sized managed
+                # table per outer round); on success _rounds eagerly
+                # checkpointed the labels first, so the drop is safe
+                spark.sql(f"DROP TABLE IF EXISTS {bucket_name}")
+
+    def _rounds(
+        rem: DataFrame, ed: DataFrame, eager_out: bool
+    ) -> tuple[DataFrame, int]:
         lab = rem.select(
             "node",
             F.col("node").alias("lab"),
@@ -1729,11 +1746,10 @@ def scc_fixed_rounds(
                 delta = merged.filter("chg").select("node", "dir", "lab")
                 if delta.limit(1).count() == 0:
                     break  # fixpoint: remaining rounds are no-ops
-        if bucket_name is not None:
-            # materialize before dropping the bucketed table the lazy
-            # label lineage still reads from
+        if eager_out:
+            # materialize before the caller drops the bucketed table the
+            # lazy label lineage still reads from
             lab = lab.localCheckpoint(eager=True)
-            spark.sql(f"DROP TABLE IF EXISTS {bucket_name}")
         return lab, used
 
     remaining, er, out = nodes, e0, None

@@ -190,6 +190,14 @@ def _fold_claims(io: TableIO, version: int, claim_segments: list[str]) -> None:
     pre-link covariates exactly like the batch job's alias_dict=None
     path; a maintained alias dictionary would slot in between segments
     and merge (reference verbs/covariates/extract_covariates.py:28-48).
+
+    Flag semantics across runs: ``claims`` gates EXTRACTION on insert
+    folds only — a conversation inserted while the flag was off has no
+    claim segment and stays absent from the claims table after
+    re-enabling (extraction never re-runs; rebuild from the batch job
+    if completeness matters).  Deletes purge existing claim segments
+    UNCONDITIONALLY (fold_delete_batch), so retraction is honored even
+    across flag toggles.
     """
     from ..operators.claims import finalize_claims, merge_claims
 
@@ -381,7 +389,12 @@ def fold_delete_batch(
         _fold_changelog(io, k + 1)
     claim_segments: list[str] | None = None
     old_claim_segments: list[str] = []
-    if claims and state.get("claim_segments"):
+    # Purge claim segments whenever they EXIST, regardless of the
+    # `claims` flag: a retraction must reach every persisted derivative
+    # of the deleted conversation, or a later --claims run would re-fold
+    # the retracted rows back into claims__v{k} (review finding).  The
+    # flag only gates whether INSERT folds extract claims.
+    if state.get("claim_segments"):
         old_claim_segments = list(state["claim_segments"])
         crows = None
         for cseg in old_claim_segments:

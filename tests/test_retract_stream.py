@@ -502,3 +502,34 @@ def test_kg_cdc_claims_flag_off_writes_no_table(spark, tmp_path):
     assert not io.exists("claims__v0")
     state = json.loads(io.read_text(CDC_MARKER))
     assert state["claim_segments"] == []
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_kg_cdc_claims_purged_on_delete_even_without_flag(spark, tmp_path):
+    """Review finding: retraction must reach the persisted claim
+    segments even when the delete fold runs WITHOUT claims=True —
+    otherwise a later --claims run would re-fold the retracted
+    conversation's rows back into the claims table."""
+    from knowledge_graph_spark.operators.claims import extract_claims
+
+    io = TableIO(spark, base=str(tmp_path / "wh"))
+    b1 = _claim_batch(spark, "c1", [(1, "CLICK", 3)])
+    b2 = _claim_batch(spark, "c2", [(2, "VIEW", 4)])
+    fold_insert_batch(io, b1, CFG, 0, lineage="ins", claims=True)
+    fold_insert_batch(io, b2, CFG, 1, lineage="ins", claims=True)
+    # delete WITHOUT the flag — segments must still be purged
+    fold_delete_batch(
+        io, spark.createDataFrame([("c1",)], "conv_id string"), 0, lineage="del"
+    )
+    state = json.loads(io.read_text(CDC_MARKER))
+    assert len(state["claim_segments"]) == 1
+    assert state["claim_segments"][0].endswith("c")
+    # the claims table at the committed version reflects the retraction
+    got = _claims_dict(read_current_kg(io, "claims"))
+    assert got == _claims_dict(extract_claims(b2))
+    assert "USER_1" not in got
+    # and a later claims=True insert fold sees only retained + new rows
+    b3 = _claim_batch(spark, "c3", [(3, "BUY", 5)])
+    fold_insert_batch(io, b3, CFG, 2, lineage="ins", claims=True)
+    got = _claims_dict(read_current_kg(io, "claims"))
+    assert got == _claims_dict(extract_claims(b2.unionByName(b3)))
